@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (see TESTDATA.md).
+  *
+  * All queries take a `dir` (scale-factor directory) so the same code runs
+  * at sf0.001 (smoke), sf0.01 (correctness) and sf0.1 (bench) — and, on a
+  * real cluster, against any parquet root. Reads are plain
+  * `spark.read.parquet`, so Catalyst's column pruning and filter pushdown
+  * reach the scan.
+  */
+object Tables {
+  /** Timestamp columns per table. The driver's parquet stores
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read
+    * nanos as long (legacy conf) and rebuild a proper TimestampType column
+    * with integer division (a double division would lose precision above
+    * 2^53 ns ≈ 1970+104 days).
+    */
+  private val tsCols: Map[String, Seq[String]] = Map(
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events"   -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      acc.schema.find(_.name == c) match {
+        case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+          acc.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c DIV 1000)"))
+        case _ => acc
+      }
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

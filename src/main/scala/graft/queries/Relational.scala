@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Core relational query surface, oracle-checked against DuckDB.
+  *
+  * These exercise every relational shape the reference computes with numpy /
+  * pandas (SURVEY.md §2.5): scan, projection, filter, inner/broadcast/anti/
+  * semi/cross joins, aggregation, window ranking, top-k, union/distinct,
+  * pivot, scalar functions. Plans are declarative DataFrame ops so Catalyst
+  * applies pushdown/pruning/join-selection; dimension tables are explicitly
+  * `broadcast()` so the 100TB plan never shuffles the fact table against a
+  * small side.
+  *
+  * Float discipline for the hash-compare oracle: every aggregated double is
+  * `round(_, 2|4)` on BOTH sides, so the ~1e-12 relative error between
+  * Spark's partition-order summation and DuckDB's sequential summation
+  * cannot flip a digit. Integer-width mismatches (DuckDB `length`/`sum` of
+  * int widen to BIGINT/HUGEINT) are reconciled with explicit casts in the
+  * oracle SQL.
+  */
+object Relational {
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: full-scan aggregate with map-side
+    // partial aggregation; groups are tiny so the shuffle is negligible.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("sum_disc_price"),
+          round(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Filter + projection that must reach the parquet scan as PushedFilters
+    // + a 4-column ReadSchema.
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 25)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    }),
+
+    // 3-way join: customer (dim, broadcast) ⋈ orders ⋈ lineitem; the two
+    // fact tables shuffle on the join key once.
+    "q03_join_revenue" -> ((s, d) => {
+      val c = broadcast(Tables.customer(s, d))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
+    // Fact ⋈ small dim: broadcast hash join, no shuffle of lineitem.
+    "q04_dim_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(revenue), 2).as("rev"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // Window ranking: top-3 customers by balance per nation (deterministic
+    // tie-break on key). Same shape as the reference's rank_test_score.
+    "q05_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("rn"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("n_name", "rn")
+    }),
+
+    // Anti join: customers with no recent orders.
+    "q06_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Semi join: suppliers with recent shipments (EXISTS).
+    "q07_semi_join" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // Union + distinct across two tables.
+    "q08_union_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    }),
+
+    // Small cross join (the reference's candidates × folds task lattice).
+    "q09_cross_join" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Global top-k with deterministic tie-break.
+    "q10_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Time-bucketed aggregation over the event stream (batch view of the
+    // streaming hourly rollup in graft.streaming).
+    "q11_events_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Scalar function battery: string ops, cast, coalesce.
+    "q12_scalar_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("int").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        round(coalesce(col("p_retailprice"), lit(0.0)), 2).as("price"),
+        col("p_size").cast("long").as("size_l"))
+        .orderBy("p_partkey")
+    }),
+
+    // Pivot (groupBy().pivot() — the reference's dict-of-arrays reshape).
+    "q13_pivot_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    }),
+
+    // Exact distinct aggregation.
+    "q14_distinct_users" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // Semi-structured: JSON field extraction from the props column.
+    "q15_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q04_dim_join" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q05_window_topn" ->
+      """SELECT n_name, rn, c_custkey, acctbal FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |    round(c_acctbal,2) AS acctbal
+        |  FROM customer) t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn <= 3
+        |ORDER BY n_name, rn""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q08_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q09_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q10_topk" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS totalprice FROM orders
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_u,
+        | substr(p_type, 1, 5) AS type5,
+        | CAST(length(p_name) AS INT) AS name_len,
+        | p_brand || '-' || p_type AS brand_type,
+        | round(coalesce(p_retailprice, 0.0),2) AS price,
+        | CAST(p_size AS BIGINT) AS size_l
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q13_pivot_events" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type='click') AS click,
+        | count(*) FILTER (WHERE event_type='view') AS view,
+        | count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type='signup') AS signup,
+        | count(*) FILTER (WHERE event_type='error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q14_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plan.{ParamGrid, ParamSampler, RemovalLadder}
+
+class PlannerSpec extends AnyFunSuite {
+
+  test("ParamGrid expands in sorted-key product order, last key fastest") {
+    val got = ParamGrid.expand(Map("b" -> Seq(3, 4), "a" -> Seq(1, 2)))
+    assert(got == Seq(
+      Map("a" -> 1, "b" -> 3), Map("a" -> 1, "b" -> 4),
+      Map("a" -> 2, "b" -> 3), Map("a" -> 2, "b" -> 4)))
+  }
+
+  test("ParamGrid multi-grid concatenates in order") {
+    val got = ParamGrid.expandAll(Seq(
+      Map("a" -> Seq(1)), Map("b" -> Seq(2, 3))))
+    assert(got == Seq(Map("a" -> 1), Map("b" -> 2), Map("b" -> 3)))
+  }
+
+  test("ParamSampler clamps nIter to grid size and is seeded-deterministic") {
+    val grid = Map("a" -> Seq(1, 2, 3), "b" -> Seq(10, 20))
+    val all = ParamSampler.sample(grid, 100, seed = 7)
+    assert(all.size == 6)
+    assert(all.toSet == ParamGrid.expand(grid).toSet)
+    val s1 = ParamSampler.sample(grid, 3, seed = 42)
+    val s2 = ParamSampler.sample(grid, 3, seed = 42)
+    assert(s1 == s2 && s1.size == 3)
+    assert(s1.distinct.size == 3, "sampling is without replacement")
+  }
+
+  test("RemovalLadder keeps the empty drop-set and respects min features") {
+    assert(RemovalLadder.dropCounts(64, 5, 10) == (0 to 50 by 5))
+    assert(RemovalLadder.dropCounts(10, 3, 10) == Seq(0))
+    val rungs = RemovalLadder.rungs(Seq(9, 8, 7, 6, 5, 4, 3, 2, 1, 0), 3, 4)
+    assert(rungs == Seq(Seq(), Seq(9, 8, 7), Seq(9, 8, 7, 6, 5, 4)))
+  }
+}

@@ -2,9 +2,18 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A real distributed hyperparameter search: candidates × folds fanned
+    * out against the broadcast embeddings matrix, aggregated to a
+    * cv_results frame (mean/std/rank per candidate).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gs = new graft.search.DistGridSearchCV(
+      graft.exec.LogisticRegressionGD,
+      Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(30.0)), cv = 3)
+    gs.fit(spark, df, "embedding", "label").cvResults
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++

@@ -1,0 +1,116 @@
+package graft.exec
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Model-parallel executor: the engine's core inversion (SURVEY.md §1.1) —
+  * the TRAINING DATA is broadcast once per node, the TASK axis (candidates
+  * × folds × classes × seeds × subsets) is what Spark parallelizes.
+  *
+  * Scale story: this is the reference's regime (X fits in executor memory;
+  * tasks are heavy and few), and it is exactly where task-parallelism beats
+  * data-parallel fits by 10-100× (BASELINE.md). When X outgrows broadcast
+  * (~the 100 TB data plane), the meta-estimators' relational skeletons
+  * (fold columns, CvResults, rank/best) keep working over data-parallel
+  * per-task fits — the planners and aggregations in graft.plan/graft.agg
+  * are already pure DataFrame ops.
+  */
+object ModelParallel {
+
+  /** Broadcast-able training matrix with per-row fold ids. */
+  final case class TrainMatrix(x: Array[Array[Double]], y: Array[Double],
+                               folds: Array[Int]) {
+    def nRows: Int = x.length
+    def trainOf(fold: Int): (Array[Array[Double]], Array[Double]) = {
+      val idx = (0 until nRows).filter(folds(_) != fold)
+      (idx.map(x).toArray, idx.map(y).toArray)
+    }
+    def testOf(fold: Int): (Array[Array[Double]], Array[Double]) = {
+      val idx = (0 until nRows).filter(folds(_) == fold)
+      (idx.map(x).toArray, idx.map(y).toArray)
+    }
+  }
+
+  /** Collect (featuresCol: array<numeric>, labelCol) to a driver matrix.
+    * Explicit cast to array<double>/double so float parquet vectors and
+    * int labels marshal uniformly.
+    */
+  def collectMatrix(df: DataFrame, featuresCol: String, labelCol: String,
+                    cv: Int, seed: Long, stratified: Boolean = true): TrainMatrix = {
+    val rows = df.select(col(featuresCol).cast("array<double>"),
+      col(labelCol).cast("double")).collect()
+    val x = rows.map(_.getSeq[Double](0).toArray)
+    val y = rows.map(_.getDouble(1))
+    TrainMatrix(x, y, if (stratified) stratifiedFolds(y, cv, seed) else shuffledFolds(y.length, cv, seed))
+  }
+
+  /** Seeded shuffled round-robin folds (sklearn KFold(shuffle=True)). */
+  def shuffledFolds(n: Int, k: Int, seed: Long): Array[Int] = {
+    val order = new Random(seed).shuffle((0 until n).toVector)
+    val folds = new Array[Int](n)
+    order.zipWithIndex.foreach { case (row, pos) => folds(row) = pos % k }
+    folds
+  }
+
+  /** Stratified folds: round-robin within each class after a seeded
+    * shuffle, so every fold sees the class distribution (sklearn
+    * StratifiedKFold semantics, not bit-identical splits).
+    */
+  def stratifiedFolds(y: Array[Double], k: Int, seed: Long): Array[Int] = {
+    val rng = new Random(seed)
+    val folds = new Array[Int](y.length)
+    y.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, members) =>
+      val order = rng.shuffle(members.map(_._2).toVector)
+      order.zipWithIndex.foreach { case (row, pos) => folds(row) = pos % k }
+    }
+    folds
+  }
+
+  final case class FitTask(taskId: Int, candidateId: Int, fold: Int,
+                           params: Map[String, Double])
+
+  final case class TaskResult(candidate_id: Int, fold_id: Int, score: Double,
+                              n_test: Long, fit_time_ms: Double, score_time_ms: Double)
+
+  /** Fan the task lattice out one-task-per-partition (the reference's
+    * 'auto' heuristic, `base.py:53-64` — fit tasks are heavy and few, so
+    * scheduling granularity IS the task) and fit+score each against the
+    * broadcast matrix. Returns the per-(candidate, fold) score frame that
+    * CvResults aggregates.
+    *
+    * `errorScore`: Some(v) fills failed fits with score=v (reference
+    * `error_score`, `search.py:232-259`); None rethrows.
+    */
+  def run(spark: SparkSession, tasks: Seq[FitTask], bc: Broadcast[TrainMatrix],
+          learner: Learner, scoring: String, seed: Long,
+          errorScore: Option[Double] = None): DataFrame = {
+    import spark.implicits._
+    val scorerName = scoring
+    val results = spark.sparkContext
+      .parallelize(tasks, math.max(1, tasks.size))
+      .map { t =>
+        val m = bc.value
+        val scorer = Metrics.scorer(scorerName)
+        val (trainX, trainY) = m.trainOf(t.fold)
+        val (testX, testY) = m.testOf(t.fold)
+        val t0 = System.nanoTime()
+        try {
+          val model = learner.fit(trainX, trainY, t.params, seed + t.taskId)
+          val t1 = System.nanoTime()
+          val score = scorer(model, testX, testY)
+          val t2 = System.nanoTime()
+          TaskResult(t.candidateId, t.fold, score, testX.length.toLong,
+            (t1 - t0) / 1e6, (t2 - t1) / 1e6)
+        } catch {
+          case e: Exception => errorScore match {
+            case Some(v) => TaskResult(t.candidateId, t.fold, v, 0L, 0.0, 0.0)
+            case None    => throw e
+          }
+        }
+      }
+    results.toDS().toDF()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.agg.CvResults
+import graft.exec.{CART, Learner, LogRegModel, Metrics, Model, ModelParallel}
+import graft.exec.ModelParallel.{FitTask, TrainMatrix}
+import graft.plan.RemovalLadder
+
+/** Distributed feature elimination (reference `eliminate.py`):
+  * 1. initial full fit ranks features by importance (the cost-estimation
+  *    pre-pass, `eliminate.py:141-157`);
+  * 2. nested removal ladder drops 0, step, 2*step, ... worst features
+  *    keeping >= minFeaturesToSelect (`eliminate.py:159-163`);
+  * 3. rungs × folds fan out as tasks; per-task column mask projection;
+  * 4. mean score per rung → argmax → refit on the best columns.
+  *
+  * The fitted result delegates prediction through the column mask
+  * (`eliminate.py:241-284` = VectorSlicer-then-model).
+  */
+final case class MaskedModel(model: Model, keep: Array[Int]) extends Model {
+  private def slice(x: Array[Double]): Array[Double] = keep.map(x)
+  def predict(x: Array[Double]): Double = model.predict(slice(x))
+  def predictProba(x: Array[Double]): Array[Double] = model.predictProba(slice(x))
+}
+
+final case class EliminatorResult(scores: DataFrame,
+                                  bestFeatures: Array[Int],
+                                  bestScore: Double,
+                                  model: MaskedModel)
+
+class DistFeatureEliminator(learner: Learner,
+                            minFeaturesToSelect: Int = 1,
+                            step: Int = 1,
+                            cv: Int = 5,
+                            scoring: String = "accuracy",
+                            seed: Long = 42) extends Serializable {
+
+  /** Importance extraction: |coef| sum for linear models, split-based for
+    * trees/forests (reference uses `coef_`/`feature_importances_`,
+    * `eliminate.py:141-157`).
+    */
+  private[search] def importances(m: Model, d: Int): Array[Double] = m match {
+    case lr: LogRegModel =>
+      (0 until d).map(j => lr.weights.map(w => math.abs(w(j))).sum).toArray
+    case t: CART.TreeModel => t.featureImportances(d)
+    case f: ForestModel    => f.featureImportances(d)
+    case _                 => Array.fill(d)(1.0)
+  }
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): EliminatorResult = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
+    fitMatrix(spark, matrix)
+  }
+
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): EliminatorResult = {
+    val d = matrix.x(0).length
+    // 1. pre-pass: rank features worst-first.
+    val full = learner.fit(matrix.x, matrix.y, Map.empty, seed)
+    val imp = importances(full, d)
+    val worstFirst = (0 until d).sortBy(j => (imp(j), j)).toArray
+
+    // 2. ladder of drop-lists.
+    val rungs = RemovalLadder.rungs(worstFirst.toSeq, step, minFeaturesToSelect)
+
+    // 3. rungs × folds fan-out; per-task column mask.
+    val bc = spark.sparkContext.broadcast(matrix)
+    val lrn = learner
+    val scorerName = scoring
+    val baseSeed = seed
+    val rungKeeps: Seq[Array[Int]] =
+      rungs.map(drop => (0 until d).filterNot(drop.toSet).toArray)
+    val tasks = for {
+      (keep, ri) <- rungKeeps.zipWithIndex
+      fold <- 0 until cv
+    } yield (ri, fold, keep)
+    import spark.implicits._
+    val scores = spark.sparkContext
+      .parallelize(tasks, math.max(1, tasks.size))
+      .map { case (ri, fold, keep) =>
+        val m = bc.value
+        val scorer = Metrics.scorer(scorerName)
+        val (trainX, trainY) = m.trainOf(fold)
+        val (testX, testY) = m.testOf(fold)
+        val model = lrn.fit(trainX.map(r => keep.map(r)), trainY, Map.empty,
+          baseSeed + ri * 100 + fold)
+        val s = scorer(MaskedModel(model, keep), testX, testY)
+        ModelParallel.TaskResult(ri, fold, s, testX.length.toLong, 0.0, 0.0)
+      }
+      .toDS().toDF()
+
+    // 4. aggregate, pick best rung (ties -> fewest dropped = lowest id,
+    //    matching the reference's argmax-first semantics).
+    val agg = CvResults.aggregate(scores, Seq("candidate_id"))
+    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
+    val bestRung = bestRow.getAs[Int]("candidate_id")
+    val keep = rungKeeps(bestRung)
+    val refit = learner.fit(matrix.x.map(r => keep.map(r)), matrix.y, Map.empty, seed)
+    bc.unpersist() // returned scores DataFrame is lazy
+    EliminatorResult(agg.orderBy("candidate_id"), keep,
+      bestRow.getAs[Double]("mean_test_score"), MaskedModel(refit, keep))
+  }
+}

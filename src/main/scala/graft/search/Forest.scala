@@ -1,0 +1,156 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.util.Random
+
+import graft.exec.{CART, Model, ModelParallel}
+import graft.exec.ModelParallel.TrainMatrix
+
+/** Task-parallel tree ensembles (reference `ensemble.py`): one Spark task
+  * per tree, each tree sees ALL rows of the broadcast matrix — the
+  * reference's accuracy edge over row-partitioned forests
+  * (`examples/search/spark_ml.py:20-24`). Bootstrap is multinomial
+  * sample-weight counts per tree (`_build_trees`, `ensemble.py:88-106`),
+  * so no data copy per task.
+  */
+final case class ForestModel(trees: Array[CART.TreeModel],
+                             nClasses: Int) extends Model {
+  /** Soft vote: mean of per-tree probability vectors (sklearn forest
+    * semantics); regression: mean prediction.
+    */
+  def predictProba(x: Array[Double]): Array[Double] = {
+    if (nClasses == 0) return Array(predict(x))
+    val acc = new Array[Double](nClasses)
+    trees.foreach { t =>
+      val p = t.predictProba(x)
+      var i = 0
+      while (i < nClasses && i < p.length) { acc(i) += p(i); i += 1 }
+    }
+    acc.map(_ / trees.length)
+  }
+  def predict(x: Array[Double]): Double =
+    if (nClasses == 0) trees.map(_.predict(x)).sum / trees.length
+    else {
+      val p = predictProba(x)
+      var b = 0; var i = 1
+      while (i < p.length) { if (p(i) > p(b)) b = i; i += 1 }
+      b.toDouble
+    }
+  def featureImportances(d: Int): Array[Double] = {
+    val acc = new Array[Double](d)
+    trees.foreach { t =>
+      val imp = t.featureImportances(d)
+      var i = 0
+      while (i < d) { acc(i) += imp(i); i += 1 }
+    }
+    acc.map(_ / trees.length)
+  }
+}
+
+class DistForest(nEstimators: Int = 100,
+                 params: Map[String, Double] = Map.empty,
+                 classification: Boolean = true,
+                 bootstrap: Boolean = true,
+                 extraTrees: Boolean = false,
+                 seed: Long = 42) extends Serializable {
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): ForestModel = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
+      stratified = false)
+    fitMatrix(spark, matrix)
+  }
+
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): ForestModel = {
+    val nClasses = if (classification) matrix.y.max.toInt + 1 else 0
+    val bc = spark.sparkContext.broadcast(matrix)
+    val p = params ++ (if (extraTrees) Map("random_splits" -> 1.0) else Map.empty) ++
+      // sklearn default max_features for forests: sqrt(d) for
+      // classification; we express it as a fraction.
+      (if (!params.contains("max_features") && classification)
+        Map("max_features" -> -1.0) else Map.empty)
+    val doBootstrap = bootstrap && !extraTrees
+    val baseSeed = seed
+    val trees = spark.sparkContext
+      .parallelize(0 until nEstimators, math.max(1, nEstimators))
+      .map { treeIdx =>
+        val m = bc.value
+        val n = m.nRows
+        val d = if (n > 0) m.x(0).length else 0
+        val treeParams =
+          if (p.get("max_features").contains(-1.0))
+            p + ("max_features" -> math.sqrt(d.toDouble) / d)
+          else p
+        val treeSeed = baseSeed + treeIdx
+        val w: Array[Double] =
+          if (!doBootstrap) null
+          else {
+            // Multinomial counts = bincount of n draws with replacement.
+            val rng = new Random(treeSeed)
+            val counts = new Array[Double](n)
+            var i = 0
+            while (i < n) { counts(rng.nextInt(n)) += 1.0; i += 1 }
+            counts
+          }
+        CART.grow(m.x, m.y, w, treeParams, treeSeed, nClasses)
+      }
+      .collect()
+    bc.destroy()
+    ForestModel(trees, nClasses)
+  }
+}
+
+/** Unsupervised tree embedding (reference `DistRandomTreesEmbedding`,
+  * `ensemble.py:619-716`): extra-trees fit on a uniform-random target,
+  * rows are encoded one-hot by the leaf each tree routes them to.
+  */
+final case class TreeEmbeddingModel(trees: Array[CART.TreeModel]) extends Serializable {
+  val leafOffsets: Array[Int] = trees.scanLeft(0)(_ + _.nLeaves).init
+  def width: Int = trees.map(_.nLeaves).sum
+  /** Active one-hot indices (sorted) for a row — the sparse embedding. */
+  def transform(x: Array[Double]): Array[Int] =
+    trees.indices.map(t => leafOffsets(t) + trees(t).leafIndex(x)).toArray
+}
+
+class DistRandomTreesEmbedding(nEstimators: Int = 100,
+                               maxDepth: Int = 5,
+                               seed: Long = 42) extends Serializable {
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): TreeEmbeddingModel = {
+    // Random uniform target (`ensemble.py:704-705`), regression trees with
+    // random splits.
+    val rng = new Random(seed)
+    val randomY = Array.fill(matrix.nRows)(rng.nextDouble())
+    val m2 = TrainMatrix(matrix.x, randomY, matrix.folds)
+    val forest = new DistForest(nEstimators,
+      Map("max_depth" -> maxDepth.toDouble), classification = false,
+      bootstrap = false, extraTrees = true, seed = seed)
+    TreeEmbeddingModel(forest.fitMatrix(spark, m2).trees)
+  }
+}
+
+/** Out-of-fold predicted probabilities (reference `get_oof`/
+  * `get_single_oof`, `ensemble.py:112-151`): per fold, fit on train, emit
+  * probabilities on test; union covers every row exactly once.
+  */
+object OutOfFold {
+  def oofProba(spark: SparkSession, matrix: TrainMatrix, mkLearner: graft.exec.Learner,
+               cv: Int, seed: Long): Array[Array[Double]] = {
+    val bc = spark.sparkContext.broadcast(matrix)
+    val rows = spark.sparkContext
+      .parallelize(0 until cv, cv)
+      .flatMap { fold =>
+        val m = bc.value
+        val (trainX, trainY) = m.trainOf(fold)
+        val model = mkLearner.fit(trainX, trainY, Map.empty, seed + fold)
+        m.folds.zipWithIndex.collect {
+          case (f, i) if f == fold => (i, model.predictProba(m.x(i)))
+        }
+      }
+      .collect()
+    bc.destroy()
+    val out = new Array[Array[Double]](matrix.nRows)
+    rows.foreach { case (i, p) => out(i) = p }
+    out
+  }
+}

@@ -1,0 +1,172 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.exec.{ConstantModel, Learner, Model, ModelParallel}
+import graft.exec.ModelParallel.TrainMatrix
+
+/** One-vs-rest / one-vs-one meta-estimators (reference `multiclass.py`).
+  *
+  * The task axis is the class (or class pair); the matrix is broadcast
+  * once. Class fan-out is keyed, not positional — models come back as
+  * (classLabel, model) pairs and are reassembled by sorting the key
+  * (replacing `multiclass.py:332-334`'s argsort reorder).
+  */
+final case class OvRModel(classes: Array[Double], models: Array[Model],
+                          norm: Option[String]) extends Model {
+
+  /** Stacked per-class positive probabilities, optionally row-normalized
+    * (`multiclass.py:337-362`).
+    */
+  def predictProba(x: Array[Double]): Array[Double] = {
+    val raw = models.map { m =>
+      val p = m.predictProba(x)
+      if (p.length > 1) p(1) else p(0)
+    }
+    norm match {
+      case Some("l1") =>
+        val s = raw.map(math.abs).sum
+        if (s == 0) raw else raw.map(_ / s)
+      case Some("l2") =>
+        val s = math.sqrt(raw.map(v => v * v).sum)
+        if (s == 0) raw else raw.map(_ / s)
+      case Some("max") =>
+        val s = raw.map(math.abs).max
+        if (s == 0) raw else raw.map(_ / s)
+      case _ => raw
+    }
+  }
+
+  def predict(x: Array[Double]): Double = {
+    val p = predictProba(x)
+    var b = 0; var i = 1
+    while (i < p.length) { if (p(i) > p(b)) b = i; i += 1 }
+    classes(b)
+  }
+}
+
+class DistOneVsRest(learner: Learner,
+                    norm: Option[String] = None,
+                    maxNegatives: Option[Double] = None,
+                    negMethod: String = "ratio",
+                    seed: Long = 42) extends Serializable {
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): OvRModel = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
+      stratified = false)
+    fitMatrix(spark, matrix)
+  }
+
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvRModel = {
+    val classes = matrix.y.distinct.sorted
+    val bc = spark.sparkContext.broadcast(matrix)
+    val lrn = learner
+    val maxNeg = maxNegatives
+    val method = negMethod
+    val baseSeed = seed
+    val fitted = spark.sparkContext
+      .parallelize(classes.toSeq, classes.length)
+      .map { c =>
+        val m = bc.value
+        val rng = new scala.util.Random(baseSeed + c.toLong)
+        // Binary problem: positives = class c; optional negative cap
+        // (reference `_negatives_mask`, multiclass.py:76-106).
+        val posIdx = m.y.indices.filter(m.y(_) == c)
+        val negIdxAll = m.y.indices.filter(m.y(_) != c)
+        val negIdx = maxNeg match {
+          case Some(v) =>
+            val cap = method match {
+              case "multiplier" => math.min(negIdxAll.size, (v * posIdx.size).toInt)
+              case _            => math.min(negIdxAll.size, (v * negIdxAll.size).toInt)
+            }
+            if (cap >= negIdxAll.size) negIdxAll
+            else rng.shuffle(negIdxAll.toVector).take(cap).sorted
+          case None => negIdxAll
+        }
+        val idx = (posIdx ++ negIdx).toArray
+        val x = idx.map(m.x)
+        val yBin = idx.map(i => if (m.y(i) == c) 1.0 else 0.0)
+        val model: Model =
+          if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
+          else lrn.fit(x, yBin, Map.empty, baseSeed + c.toLong)
+        (c, model)
+      }
+      .collect()
+    bc.destroy()
+    val byClass = fitted.sortBy(_._1)
+    OvRModel(byClass.map(_._1), byClass.map(_._2), norm)
+  }
+}
+
+/** OvO: majority vote over all n(n-1)/2 pairwise binary problems, ties to
+  * the smallest class (`multiclass.py:365-475`).
+  */
+final case class OvOModel(classes: Array[Double],
+                          pairs: Array[(Double, Double)],
+                          models: Array[Model]) extends Model {
+  def predict(x: Array[Double]): Double = {
+    val votes = scala.collection.mutable.Map.empty[Double, Int].withDefaultValue(0)
+    var i = 0
+    while (i < pairs.length) {
+      val (a, b) = pairs(i)
+      val winner = if (models(i).predict(x) == 0.0) a else b
+      votes(winner) += 1
+      i += 1
+    }
+    classes.minBy(c => (-votes(c), c))
+  }
+  def predictProba(x: Array[Double]): Array[Double] = {
+    // Normalized vote shares (sklearn OvO has no predict_proba; the
+    // reference inherits decision_function — vote share is our analog).
+    val votes = new Array[Double](classes.length)
+    var i = 0
+    while (i < pairs.length) {
+      val (a, b) = pairs(i)
+      val winner = if (models(i).predict(x) == 0.0) a else b
+      votes(classes.indexOf(winner)) += 1
+      i += 1
+    }
+    val s = votes.sum
+    if (s == 0) votes else votes.map(_ / s)
+  }
+}
+
+class DistOneVsOne(learner: Learner, seed: Long = 42) extends Serializable {
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): OvOModel = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
+      stratified = false)
+    fitMatrix(spark, matrix)
+  }
+
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvOModel = {
+    val classes = matrix.y.distinct.sorted
+    val pairs = for {
+      i <- classes.indices
+      j <- (i + 1) until classes.length
+    } yield (classes(i), classes(j))
+    val bc = spark.sparkContext.broadcast(matrix)
+    val lrn = learner
+    val baseSeed = seed
+    val fitted = spark.sparkContext
+      .parallelize(pairs, math.max(1, pairs.length))
+      .map { case (a, b) =>
+        val m = bc.value
+        // Restrict to the two classes, remap to {0, 1}
+        // (`_fit_ovo_binary`, multiclass.py:155-172).
+        val idx = m.y.indices.filter(i => m.y(i) == a || m.y(i) == b).toArray
+        val x = idx.map(m.x)
+        val yBin = idx.map(i => if (m.y(i) == a) 0.0 else 1.0)
+        val model: Model =
+          if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
+          else lrn.fit(x, yBin, Map.empty, baseSeed)
+        ((a, b), model)
+      }
+      .collect()
+    bc.destroy()
+    val ordered = fitted.sortBy(_._1)
+    OvOModel(classes, ordered.map(_._1), ordered.map(_._2))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.CvResults
+import graft.exec.{Learner, Metrics, Model, ModelParallel}
+import graft.exec.ModelParallel.{FitTask, TrainMatrix}
+import graft.plan.{ParamGrid, ParamSampler}
+
+/** Search meta-estimators: distributed hyperparameter search over
+  * candidates × CV folds (reference `search.py` DistBaseSearchCV /
+  * DistGridSearchCV / DistRandomizedSearchCV / DistMultiModelSearch).
+  *
+  * Pipeline (SURVEY.md §3.1): driver enumerates the candidate lattice →
+  * task fan-out against the broadcast matrix (ModelParallel.run) →
+  * `CvResults.aggregate` (groupBy + window rank, fully distributed) →
+  * best candidate → driver refit on the full matrix.
+  */
+final case class SearchResult(cvResults: DataFrame,
+                              bestParams: Map[String, Double],
+                              bestScore: Double,
+                              bestCandidateId: Int,
+                              bestModel: Model)
+
+class DistGridSearchCV(learner: Learner,
+                       grid: Map[String, Seq[Double]],
+                       cv: Int = 5,
+                       scoring: String = "accuracy",
+                       iid: Boolean = false,
+                       seed: Long = 42,
+                       errorScore: Option[Double] = None) extends Serializable {
+
+  protected def candidates(): Seq[Map[String, Double]] =
+    ParamGrid.expand(grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
+      .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): SearchResult = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
+    fitMatrix(spark, matrix)
+  }
+
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): SearchResult = {
+    val cands = candidates()
+    require(cands.nonEmpty, "empty parameter grid")
+    val bc = spark.sparkContext.broadcast(matrix)
+    val tasks = for {
+      (params, ci) <- cands.zipWithIndex
+      fold <- 0 until cv
+    } yield FitTask(ci * cv + fold, ci, fold, params)
+
+    val scores = ModelParallel.run(spark, tasks, bc, learner, scoring, seed, errorScore)
+    val agg = CvResults.aggregate(scores, Seq("candidate_id"), iid = iid)
+
+    // Attach the param columns (small driver-side frame, broadcast join).
+    val paramNames = cands.head.keys.toSeq.sorted
+    val paramRows = cands.zipWithIndex.map { case (m, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: paramNames.map(m))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("candidate_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        paramNames.map(n => org.apache.spark.sql.types.StructField(
+          s"param_$n", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val paramsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(paramRows, 1), schema)
+    val cvResults = agg.join(broadcast(paramsDf), "candidate_id")
+      .orderBy("candidate_id")
+
+    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
+    val bestId = bestRow.getAs[Int]("candidate_id")
+    val bestScore = bestRow.getAs[Double]("mean_test_score")
+    val bestParams = cands(bestId)
+    // Refit on the FULL matrix (reference `search.py:543-550`).
+    val bestModel = learner.fit(matrix.x, matrix.y, bestParams, seed)
+    // unpersist, not destroy: the returned cvResults DataFrame is lazy and
+    // may re-evaluate against the broadcast after we return.
+    bc.unpersist()
+    SearchResult(cvResults, bestParams, bestScore, bestId, bestModel)
+  }
+}
+
+class DistRandomizedSearchCV(learner: Learner,
+                             grid: Map[String, Seq[Double]],
+                             nIter: Int,
+                             cv: Int = 5,
+                             scoring: String = "accuracy",
+                             iid: Boolean = false,
+                             seed: Long = 42,
+                             errorScore: Option[Double] = None)
+  extends DistGridSearchCV(learner, grid, cv, scoring, iid, seed, errorScore) {
+
+  override protected def candidates(): Seq[Map[String, Double]] =
+    ParamSampler.sample(
+      grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) }, nIter, seed)
+      .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
+}
+
+/** Multi-armed search over heterogeneous (name, learner, grid) triples
+  * (reference `search.py:717-908`): sample `n` candidates per model, fit
+  * models × candidates × folds in ONE fan-out, aggregate per (model,
+  * candidate), report per-model winners and refit the global best.
+  */
+class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]])],
+                           n: Int = 5,
+                           cv: Int = 5,
+                           scoring: String = "accuracy",
+                           seed: Long = 42) extends Serializable {
+
+  final case class MultiResult(cvResults: DataFrame,
+                               bestModelName: String,
+                               bestParams: Map[String, Double],
+                               bestScore: Double,
+                               bestModel: Model)
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): MultiResult = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
+    val bc = spark.sparkContext.broadcast(matrix)
+
+    // Per-model candidate draws; global candidate_id = model offset + draw.
+    val perModel = models.zipWithIndex.map { case ((name, learner, grid), mi) =>
+      val cands = ParamSampler.sample(
+        grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) }, n, seed + mi)
+        .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
+      (name, learner, cands, mi)
+    }
+    val flat = perModel.flatMap { case (name, learner, cands, mi) =>
+      cands.zipWithIndex.map { case (params, pi) => (name, learner, params, mi, pi) }
+    }
+    // One fan-out per model (learners differ), same task-id space.
+    val frames = perModel.map { case (name, learner, cands, mi) =>
+      val tasks = for {
+        (params, pi) <- cands.zipWithIndex
+        fold <- 0 until cv
+      } yield FitTask((mi * 1000 + pi) * cv + fold, mi * 1000 + pi, fold, params)
+      ModelParallel.run(spark, tasks, bc, learner, scoring, seed)
+        .withColumn("model_name", lit(name))
+    }
+    val scores = frames.reduce(_ union _)
+    val agg = CvResults.aggregate(scores, Seq("model_name", "candidate_id"))
+    val bestRow = CvResults.best(agg, Seq("model_name", "candidate_id")).head()
+    val bestKey = bestRow.getAs[Int]("candidate_id")
+    val bestName = bestRow.getAs[String]("model_name")
+    val (_, bestLearner, bestParams, _, _) =
+      flat.find(f => f._4 * 1000 + f._5 == bestKey).get
+    val bestModel = bestLearner.fit(matrix.x, matrix.y, bestParams, seed)
+    bc.unpersist() // cvResults is lazy; destroy would break re-evaluation
+    MultiResult(agg.orderBy("model_name", "candidate_id"), bestName, bestParams,
+      bestRow.getAs[Double]("mean_test_score"), bestModel)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.exec.{CART, ConstantLearner, LogisticRegressionGD, Metrics, ModelParallel}
+import graft.exec.ModelParallel.TrainMatrix
+import graft.search._
+
+class TrainingEngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Tiny separable 3-class blob dataset (the reference's test style:
+    * exact recovery on trivially separable data, fixed seed).
+    */
+  def blobs(n: Int = 90, seed: Int = 7): TrainMatrix = {
+    val rng = new Random(seed)
+    val centers = Array(Array(0.0, 0.0), Array(5.0, 5.0), Array(-5.0, 5.0))
+    val x = Array.tabulate(n) { i =>
+      val c = i % 3
+      Array(centers(c)(0) + rng.nextGaussian() * 0.3,
+        centers(c)(1) + rng.nextGaussian() * 0.3)
+    }
+    val y = Array.tabulate(n)(i => (i % 3).toDouble)
+    TrainMatrix(x, y, ModelParallel.stratifiedFolds(y, 3, seed))
+  }
+
+  test("grid search recovers separable labels and ranks candidates") {
+    val m = blobs()
+    val gs = new DistGridSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(50.0)), cv = 3)
+    val r = gs.fitMatrix(spark, m)
+    val cv = r.cvResults.collect()
+    assert(cv.length == 2)
+    assert(cv.map(_.getAs[Int]("rank_test_score")).min == 1)
+    assert(r.bestScore > 0.95, s"separable blobs should score ~1.0, got ${r.bestScore}")
+    assert(Metrics.accuracy(r.bestModel, m.x, m.y) > 0.95)
+    assert(r.cvResults.columns.toSet
+      .intersect(Set("param_c", "param_max_iter", "mean_test_score",
+        "std_test_score", "rank_test_score")).size == 5)
+  }
+
+  test("randomized search clamps nIter and stays deterministic per seed") {
+    val m = blobs()
+    val rs = new DistRandomizedSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(0.01, 0.1, 1.0)), nIter = 100, cv = 3)
+    val r = rs.fitMatrix(spark, m)
+    assert(r.cvResults.count() == 3, "nIter clamps to grid size")
+    val r2 = new DistRandomizedSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(0.01, 0.1, 1.0)), nIter = 2, cv = 3).fitMatrix(spark, m)
+    assert(r2.cvResults.count() == 2)
+  }
+
+  test("multi-model search picks the stronger family") {
+    val m = blobs()
+    val mm = new DistMultiModelSearch(Seq(
+      ("logreg", LogisticRegressionGD, Map("c" -> Seq(1.0))),
+      ("const", ConstantLearner, Map("c" -> Seq(1.0)))), n = 1, cv = 3)
+    val r = mm.fit(spark, sparkDf(m), "features", "label")
+    assert(r.bestModelName == "logreg")
+    assert(r.bestScore > 0.9)
+  }
+
+  test("OvR recovers classes; norm produces a distribution") {
+    val m = blobs()
+    val ovr = new DistOneVsRest(LogisticRegressionGD, norm = Some("l1"))
+    val model = ovr.fitMatrix(spark, m)
+    assert(model.classes.toSeq == Seq(0.0, 1.0, 2.0))
+    assert(Metrics.accuracy(model, m.x, m.y) > 0.95)
+    val p = model.predictProba(m.x(0))
+    assert(math.abs(p.sum - 1.0) < 1e-9, "l1-normalized probs sum to 1")
+  }
+
+  test("OvO fits all pairs and recovers classes") {
+    val m = blobs()
+    val ovo = new DistOneVsOne(LogisticRegressionGD)
+    val model = ovo.fitMatrix(spark, m)
+    assert(model.pairs.length == 3)
+    assert(Metrics.accuracy(model, m.x, m.y) > 0.95)
+  }
+
+  test("forest is seed-deterministic and fits blobs; regressor works") {
+    val m = blobs()
+    val f1 = new DistForest(10, Map("max_depth" -> 4.0), seed = 5)
+      .fitMatrix(spark, m)
+    val f2 = new DistForest(10, Map("max_depth" -> 4.0), seed = 5)
+      .fitMatrix(spark, m)
+    assert(m.x.forall(x => f1.predict(x) == f2.predict(x)), "same seed, same forest")
+    assert(Metrics.accuracy(f1, m.x, m.y) > 0.95)
+
+    val yReg = m.x.map(r => 2.0 * r(0) + r(1))
+    val mr = TrainMatrix(m.x, yReg, m.folds)
+    val fr = new DistForest(20, Map("max_depth" -> 6.0),
+      classification = false, seed = 5).fitMatrix(spark, mr)
+    assert(Metrics.r2(fr, mr.x, mr.y) > 0.8)
+  }
+
+  test("random trees embedding produces consistent sparse leaf codes") {
+    val m = blobs()
+    val emb = new DistRandomTreesEmbedding(nEstimators = 5, maxDepth = 3, seed = 3)
+      .fitMatrix(spark, m)
+    val code = emb.transform(m.x(0))
+    assert(code.length == 5, "one active leaf per tree")
+    assert(code.forall(i => i >= 0 && i < emb.width))
+    assert(emb.transform(m.x(0)).toSeq == code.toSeq, "deterministic transform")
+  }
+
+  test("out-of-fold probabilities cover every row") {
+    val m = blobs()
+    val oof = OutOfFold.oofProba(spark, m, LogisticRegressionGD, cv = 3, seed = 1)
+    assert(oof.length == m.nRows && oof.forall(_ != null))
+    assert(oof.forall(p => math.abs(p.sum - 1.0) < 1e-6))
+  }
+
+  test("feature eliminator finds the planted informative features") {
+    // 2 informative dims (blobs) + 3 pure-noise dims; ladder must drop noise.
+    val base = blobs(n = 120)
+    val rng = new Random(11)
+    val x = base.x.map(r => r ++ Array(rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian()))
+    val m = TrainMatrix(x, base.y, base.folds)
+    val el = new DistFeatureEliminator(new CART.Classifier(3),
+      minFeaturesToSelect = 2, step = 1, cv = 3)
+    val r = el.fitMatrix(spark, m)
+    assert(r.bestScore > 0.9)
+    assert(r.bestFeatures.toSet.intersect(Set(0, 1)) == Set(0, 1),
+      s"informative dims kept, got ${r.bestFeatures.toSeq}")
+    assert(Metrics.accuracy(r.model, m.x, m.y) > 0.9)
+  }
+
+  test("grid search runs end-to-end on the real embeddings testdata") {
+    // The synthetic embeddings carry no label signal (centroid classifier
+    // scores ~0.07 on 10 classes), so this checks mechanics, not accuracy.
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gs = new DistGridSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(30.0)), cv = 3)
+    val r = gs.fit(spark, df, "embedding", "label")
+    val cv = r.cvResults.collect()
+    assert(cv.length == 2)
+    assert(cv.map(_.getAs[Int]("rank_test_score")).sorted.head == 1)
+    assert(r.bestScore >= 0.0 && r.bestScore <= 1.0)
+    assert(r.bestModel.predictProba(Array.fill(64)(0.0)).length == 10)
+  }
+
+  private def sparkDf(m: TrainMatrix) = {
+    import spark.implicits._
+    m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+  }
+}

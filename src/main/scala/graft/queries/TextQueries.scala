@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+/** Text-analysis / dedup / similarity queries over the documents and
+  * embeddings tables. SQL-expressible semantics get DuckDB oracles;
+  * hash-seeded ops (minhash, simhash, SRP sketches) are registered
+  * rows-only and pinned by ScalaTest instead.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + corpus stats per language bucket.
+    "q31_token_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // Per-document quality scoring (length/word-len/stopword/punct).
+    "q32_quality" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("token_count"),
+        round(TextFunctions.avgWordLen(col("text")), 4).as("avg_word_len"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID by stopword-profile argmax.
+    "q33_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("detected"))
+        .orderBy("doc_id")
+    }),
+
+    // Prefix-fingerprint duplicate groups (truncation near-dups).
+    "q34_fingerprint_groups" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(TextFunctions.prefixFingerprint(col("text"), 5).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fingerprint")
+    }),
+
+    // Dedup survivors by prefix fingerprint, counted per language.
+    "q35_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val survivors = docs
+        .groupBy(TextFunctions.prefixFingerprint(col("text"), 5).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.join(survivors, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+        .orderBy("lang")
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs (shingle inverted-index join).
+    "q36_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash banding near-dups (seeded hash: rows-only check + ScalaTest).
+    "q37_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash LSH candidate pairs (Spark ML; rows-only check + ScalaTest).
+    "q38_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, numHashTables = 8, maxDistance = 0.8)
+        .filter(col("est_jaccard") >= 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-10 against a fixed query vector.
+    "q39_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.topKForVector(emb, "embedding", "vec_id", query, 10)
+    }),
+
+    // Exact kNN (top-5 cosine) for the first 20 vectors: the ANN oracle.
+    "q40_knn_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", 5)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  private val stop = TextFunctions.defaultStopwords
+    .map(w => s"'$w'").mkString(", ")
+
+  private def langHitsSql: String =
+    TextFunctions.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val ws = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS lang, len(list_filter(t, x -> x IN ($ws))) AS hits FROM toks"
+    }.mkString("\n UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "q31_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q32_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS awl,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> x IN ($stop)))
+         |      * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS swr,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+         |           * 1.0 / length(text) END AS pr
+         |  FROM documents)
+         |SELECT doc_id, CAST(n AS INT) AS token_count,
+         | round(awl, 4) AS avg_word_len,
+         | round(swr, 4) AS stopword_ratio,
+         | round(least(n / 20.0, 1.0)
+         |   * (CASE WHEN n > 1000 THEN 0.5 ELSE 1.0 END)
+         |   * (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |   * (CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.7 END)
+         |   * (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.5 END), 6) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q33_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |hits AS (
+         | $langHitsSql),
+         |best AS (
+         |  SELECT doc_id, lang, hits,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+         |  FROM hits)
+         |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS detected
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q34_fingerprint_groups" ->
+      """SELECT md5(lower(array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ')))
+        |   AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY fingerprint""".stripMargin,
+
+    "q35_dedup_survivors" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(lower(array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' '))) AS f
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+        |SELECT lang, count(*) AS n_survivors
+        |FROM fp JOIN keep USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q36_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q39_cosine_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+        |    AS cos
+        |FROM embeddings
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q40_knn_exact" ->
+      """SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  )
+}

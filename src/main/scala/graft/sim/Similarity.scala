@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: exact brute-force cosine top-k — a broadcast join of the
+  * (small) query set against the corpus, O(corpus × queries), the correct
+  * plan when queries are few: the corpus is scanned once, no shuffle.
+  *
+  * Scale path: random-hyperplane sign sketches (SRP-LSH). Each vector gets
+  * a `planes`-bit signature; banding the signature turns candidate
+  * generation into an equi-join on (band, key) exactly like minhash/simhash
+  * banding — sub-quadratic, skew-bounded, then exact cosine reranks. All
+  * arithmetic is codegen'd higher-order functions; no UDFs.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine against one query vector (broadcast as a
+    * literal into codegen — the corpus is scanned once, filtered and
+    * TakeOrdered, no shuffle beyond the final k-row merge).
+    */
+  def topKForVector(df: DataFrame, vecCol: String, idCol: String,
+                    query: Seq[Double], k: Int): DataFrame = {
+    val q = typedlit(query)
+    df.select(col(idCol),
+      round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k neighbors for EVERY query row: broadcast the query set,
+    * one pass over the corpus, per-query window top-k. Use when
+    * |queries| is small enough to broadcast (the common serving shape).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("_cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("_cv"), col("_qv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  /** Seeded random hyperplanes (driver-side, tiny). */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Add an SRP signature column: bit p = sign(v · plane_p). */
+  def withSignature(df: DataFrame, vecCol: String, dim: Int, planes: Int,
+                    seed: Long, sigCol: String = "sig"): DataFrame = {
+    val hp = hyperplanes(dim, planes, seed)
+    val v = col(vecCol).cast("array<double>")
+    val sig = hp.zipWithIndex.map { case (plane, p) =>
+      when(dot(v, typedlit(plane)) >= 0.0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn(sigCol, sig)
+  }
+
+  /** Approximate near-neighbor pairs with exact-cosine rerank: SRP
+    * signatures, banded equi-join candidates, exact cosine >= minCosine.
+    */
+  def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                  minCosine: Double, planes: Int = 16, seed: Long = 42,
+                  bands: Int = 4): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val bits = planes / bands
+    val sigDf = withSignature(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("_v")),
+      "_v", dim, planes, seed)
+    val banded = sigDf.select(col("id"), col("_v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * bits)
+            .bitwiseAND((1L << bits) - 1).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("_v"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a._v").as("_va"), col("b._v").as("_vb"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+}

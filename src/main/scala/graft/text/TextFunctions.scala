@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline: token
+  * counting, n-gram shingling, quality scoring, language ID, document
+  * fingerprinting, simhash. All built from codegen'd built-ins /
+  * higher-order functions — no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly over a 100 TB documents table.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles joined by single spaces. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  /** Character n-gram shingles. */
+  def charNGrams(text: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n)))
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
+
+  def stopwordCount(text: Column, stop: Seq[String] = defaultStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stop: _*)))
+
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(stopwordCount(text, stop) / n.cast("double"))
+  }
+
+  /** Mean token length = non-space chars / token count. */
+  def avgWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")) / n.cast("double"))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise((length(text) -
+        length(regexp_replace(text, "[\\p{Punct}]", ""))) / length(text).cast("double"))
+
+  /** Heuristic quality score in [0,1] for filtering web-scale corpora:
+    * rewards mid-length docs, plausible word lengths, some stopwords, low
+    * punctuation density (the shape of the reference-free quality filters
+    * used in LLM data pipelines).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / 20.0, lit(1.0)) * when(n > 1000, 0.5).otherwise(1.0)
+    val awl = avgWordLen(text)
+    val wordScore = when(awl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.7)
+    val punctScore = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
+    round(lenScore * wordScore * stopScore * punctScore, 6)
+  }
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercased text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(concat_ws(" ", tokens(text))))
+
+  /** Prefix fingerprint (first n tokens) — catches truncation/extension
+    * near-dups cheaply.
+    */
+  def prefixFingerprint(text: Column, n: Int = 5): Column =
+    md5(lower(concat_ws(" ", slice(tokens(text), 1, n))))
+
+  /** Language-ID by stopword-profile hits: argmax over per-language marker
+    * word counts; "und" (undetermined) when nothing matches. N-gram-profile
+    * classification reduced to its codegen-able core.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "ich"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es" -> Seq("el", "de", "que", "la", "los", "es", "una", "por"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit simhash over whitespace tokens, computed via explode +
+    * 64 conditional sums + bit packing — one shuffle on the doc key,
+    * fully codegen'd, no UDF. Returns df with an added `simhashCol`.
+    */
+  def withSimhash(df: DataFrame, textCol: String, idCol: String,
+                  simhashCol: String = "simhash"): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("_h").isNull, 0)
+        .when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"_b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    df.join(
+      hashed.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+        .select(col(idCol), packed.as(simhashCol)),
+      idCol)
+  }
+
+  /** Hamming distance between two simhash longs (codegen'd bit_count). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def corpus = {
+    val rng = new Random(3)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val originals = (0L until 40L).map(i => (i, doc(30)))
+    // plant: 2 exact dups, 1 near-dup (one word changed)
+    val planted = Seq(
+      (100L, originals(0)._2),
+      (101L, originals(1)._2),
+      (102L, originals(2)._2.replaceFirst("\\w+", "omega")))
+    (originals ++ planted).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the smallest id per fingerprint") {
+    val survivors = Dedup.exact(corpus, "text", "doc_id")
+    assert(survivors.count() == 41, "43 docs - 2 exact dups")
+    val ids = survivors.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && !ids.contains(101L))
+    assert(ids.contains(0L) && ids.contains(1L) && ids.contains(102L))
+  }
+
+  test("ngram jaccard finds exact and near dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, minJaccard = 0.5, maxShingleDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 100L)) && keys.contains((1L, 101L)))
+    assert(keys.contains((2L, 102L)), s"near-dup pair missing: ${keys.toSeq.sorted}")
+    assert(pairs.filter(p => p._2 >= 100L).forall(_._3 >= 0.5))
+  }
+
+  test("minhash LSH recalls the planted dups") {
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+      n = 3, numHashTables = 8, maxDistance = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 101L)))
+    assert(pairs.contains((2L, 102L)))
+  }
+
+  test("simhash: identical docs have hamming 0 and band join finds them") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.filter(p => p._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(exact.contains((0L, 100L)) && exact.contains((1L, 101L)))
+  }
+
+  test("shingle document-frequency cap drops viral shingles") {
+    val viral = (0L until 10L).map(i => (i, "same same same unique" + i))
+      .toDF("doc_id", "text")
+    // "same same same" appears in all 10 docs; cap at 5 removes it, so no
+    // pair shares a shingle.
+    val pairs = Dedup.ngramJaccardPairs(viral, "text", "doc_id",
+      n = 3, minJaccard = 0.01, maxShingleDf = 5)
+    assert(pairs.count() == 0)
+  }
+
+  test("brute-force topK matches a hand-computed cosine ordering") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val top = Similarity.topKForVector(vecs, "embedding", "vec_id",
+      Seq(1.0, 0.0), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("SRP cosine pairs find planted near-identical vectors") {
+    val rng = new Random(9)
+    val base = Array.fill(64)(rng.nextGaussian())
+    val near = base.clone(); near(0) += 0.01
+    val noise = (2L until 60L).map(i => (i, Array.fill(64)(rng.nextGaussian()).toSeq))
+    val df = (Seq((0L, base.toSeq), (1L, near.toSeq)) ++ noise)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(df, "embedding", "vec_id",
+      minCosine = 0.95, planes = 16, seed = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"planted pair missing: ${pairs.toSeq}")
+    assert(pairs.length < 5, "random 64-dim vectors should not be near-dups")
+  }
+
+  test("langId spots language by stopword profile") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is the best of all"),
+      (2L, "der hund ist nicht in der stadt und das ist gut"),
+      (3L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("quality score favors normal prose over degenerate text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the hills for a while longer today"),
+      (2L, "a a a"),
+      (3L, "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ !!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@")).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"), TextFunctions.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(2L), s"prose ${q(1L)} should beat degenerate ${q(2L)}")
+    assert(q(1L) > q(3L), s"prose ${q(1L)} should beat punct-spam ${q(3L)}")
+  }
+}

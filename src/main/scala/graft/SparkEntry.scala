@@ -18,11 +18,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.MLRelational.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.EncodeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.MLRelational.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.EncodeQueries.oracles
 }

@@ -1,0 +1,62 @@
+package graft.predict
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.Model
+
+/** Distributed batch prediction (reference `predict.py`
+  * `get_prediction_udf`): a fitted model, broadcast once, applied to a
+  * DataFrame's feature column.
+  *
+  * Return-type rules mirror `predict.py:160-176`: `predict` emits an
+  * int (class index) or string (when labels are provided) scalar;
+  * `predict_proba` emits `array<double>`. The reference needs Arrow +
+  * pandas UDFs to make this fast from Python; in-JVM a plain Scala UDF
+  * over the broadcast model is already batch-free of IPC — the natural
+  * next step (a codegen'd Catalyst Expression) is noted in SURVEY §7.3
+  * and only pays off once model inference itself is the bottleneck.
+  */
+object Predict {
+
+  /** Integer class prediction column. */
+  def predictUdf(spark: SparkSession, model: Model): Column => Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val f = udf((v: Seq[Double]) => bc.value.predict(v.toArray).toInt)
+    (c: Column) => f(c.cast("array<double>"))
+  }
+
+  /** String-label prediction column (classes_ dtype = str branch). */
+  def predictLabelUdf(spark: SparkSession, model: Model,
+                      labels: Seq[String]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val lab = labels.toIndexedSeq
+    val f = udf((v: Seq[Double]) => {
+      val i = bc.value.predict(v.toArray).toInt
+      if (i >= 0 && i < lab.size) lab(i) else null
+    })
+    (c: Column) => f(c.cast("array<double>"))
+  }
+
+  /** Probability-vector column (`predict_proba` → ArrayType(Double)). */
+  def predictProbaUdf(spark: SparkSession, model: Model): Column => Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val f = udf((v: Seq[Double]) => bc.value.predictProba(v.toArray).toSeq)
+    (c: Column) => f(c.cast("array<double>"))
+  }
+
+  def withPredictions(spark: SparkSession, df: DataFrame, model: Model,
+                      featuresCol: String, outCol: String = "preds",
+                      labels: Option[Seq[String]] = None): DataFrame = {
+    val fn = labels match {
+      case Some(l) => predictLabelUdf(spark, model, l)
+      case None    => predictUdf(spark, model)
+    }
+    df.withColumn(outCol, fn(col(featuresCol)))
+  }
+
+  def withProbabilities(spark: SparkSession, df: DataFrame, model: Model,
+                        featuresCol: String,
+                        outCol: String = "scores"): DataFrame =
+    df.withColumn(outCol, predictProbaUdf(spark, model)(col(featuresCol)))
+}

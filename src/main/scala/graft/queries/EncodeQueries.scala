@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.encode.{Encoderizer, Preprocessing}
+import graft.exec.LogRegModel
+import graft.predict.Predict
+import graft.text.TextFunctions
+
+/** Oracle-checked queries over the encoder and prediction surfaces: the
+  * deterministic relational sub-computations of Encoderizer (schema
+  * inference stats, vocab orders, numeric stats, variance selection) and
+  * a fixed-weight model pushed through the Predict projection.
+  */
+object EncodeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema inference: per-column stats + inferred encoder kind.
+    "q41_schema_infer" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val st = Encoderizer.stats(docs, cols)
+      val rows = st.map { cs =>
+        val kind = Encoderizer.inferSpec(docs, cs, 0.10).kind
+        (cs.name, cs.nDistinct, math.rint(cs.pctUnique * 1e6) / 1e6, kind)
+      }
+      s.createDataFrame(rows)
+        .toDF("column_name", "n_distinct", "pct_unique", "kind")
+        .orderBy("column_name")
+    }),
+
+    // Categorical vocabulary order (freq desc, value asc) = StringIndexer.
+    "q42_onehot_vocab" -> ((s, d) => {
+      val stage = Encoderizer.fitStage(Tables.documents(s, d),
+        Encoderizer.ColumnSpec("lang", "categorical"), "small").get
+        .asInstanceOf[Encoderizer.OneHotStage]
+      s.createDataFrame(stage.vocab.zipWithIndex.map { case (v, i) => (v, i) })
+        .toDF("value", "index")
+        .orderBy("index")
+    }),
+
+    // Numeric stage stats: median / mean / population std.
+    "q43_numeric_stats" -> ((s, d) => {
+      val stage = Encoderizer.fitStage(Tables.documents(s, d),
+        Encoderizer.ColumnSpec("n_chars", "numeric"), "small").get
+        .asInstanceOf[Encoderizer.NumericStage]
+      s.createDataFrame(Seq((
+        math.rint(stage.median * 1e6) / 1e6,
+        math.rint(stage.mean * 1e6) / 1e6,
+        math.rint(stage.std * 1e6) / 1e6)))
+        .toDF("median", "mean", "std_pop")
+    }),
+
+    // Multihot vocabulary over the token array column (top 20).
+    "q44_multihot_vocab" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+      val stage = Encoderizer.fitStage(docs,
+        Encoderizer.ColumnSpec("toks", "multihot"), "small", maxVocab = 20).get
+        .asInstanceOf[Encoderizer.MultihotStage]
+      s.createDataFrame(stage.vocab.zipWithIndex.map { case (v, i) => (v, i) })
+        .toDF("token", "index")
+        .orderBy("index")
+    }),
+
+    // Variance-threshold feature selection over an assembled array.
+    "q45_variance_keep" -> ((s, d) => {
+      val df = Tables.documents(s, d)
+        .withColumn("arr", array(col("n_chars").cast("double"), lit(5.0),
+          pmod(col("doc_id"), lit(2)).cast("double")))
+      val keep = Preprocessing.varianceKeepIndices(df, "arr", 0.0)
+      s.createDataFrame(keep.map(Tuple1(_))).toDF("kept_index")
+        .orderBy("kept_index")
+    }),
+
+    // Fixed-weight linear model through the Predict projection.
+    "q46_linear_predict" -> ((s, d) => {
+      val w0 = Array.tabulate(65)(j => if (j < 32) 1.0 else 0.0)
+      val w1 = Array.tabulate(65)(j => if (j >= 32 && j < 64) 1.0 else 0.0)
+      val model = LogRegModel(Array(w0, w1), 2)
+      Predict.withPredictions(s, Tables.embeddings(s, d), model,
+        "embedding", "pred")
+        .select("vec_id", "pred")
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q41_schema_infer" ->
+      """WITH stats AS (
+        |  SELECT 'doc_id' AS column_name, count(doc_id) AS nn,
+        |    count(DISTINCT doc_id) AS nd,
+        |    count(TRY_CAST(doc_id AS DOUBLE)) = count(doc_id) AS num FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(text), count(DISTINCT text),
+        |    count(TRY_CAST(text AS DOUBLE)) = count(text) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(lang), count(DISTINCT lang),
+        |    count(TRY_CAST(lang AS DOUBLE)) = count(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(source), count(DISTINCT source),
+        |    count(TRY_CAST(source AS DOUBLE)) = count(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+        |    count(TRY_CAST(n_chars AS DOUBLE)) = count(n_chars) FROM documents)
+        |SELECT column_name, nd AS n_distinct,
+        |  round(nd * 1.0 / nn, 6) AS pct_unique,
+        |  CASE
+        |    WHEN nn = 0 THEN 'drop'
+        |    WHEN num AND nd * 1.0 / nn >= 0.10 THEN 'numeric'
+        |    WHEN nd * 1.0 / nn < 0.10 THEN 'categorical'
+        |    ELSE 'text' END AS kind
+        |FROM stats ORDER BY column_name""".stripMargin,
+
+    "q42_onehot_vocab" ->
+      """SELECT v AS value, CAST(row_number() OVER (ORDER BY n DESC, v ASC) - 1 AS INT) AS index
+        |FROM (SELECT lang AS v, count(*) AS n FROM documents
+        |      WHERE lang IS NOT NULL GROUP BY lang) t
+        |ORDER BY index""".stripMargin,
+
+    "q43_numeric_stats" ->
+      """SELECT round(quantile_cont(n_chars, 0.5), 6) AS median,
+        | round(avg(n_chars), 6) AS mean,
+        | round(stddev_pop(n_chars), 6) AS std_pop
+        |FROM documents""".stripMargin,
+
+    "q44_multihot_vocab" ->
+      """SELECT v AS token, CAST(row_number() OVER (ORDER BY n DESC, v ASC) - 1 AS INT) AS index
+        |FROM (
+        |  SELECT v, count(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |    FROM documents) u
+        |  GROUP BY v) t
+        |ORDER BY n DESC, v ASC LIMIT 20""".stripMargin,
+
+    "q45_variance_keep" ->
+      """WITH v AS (SELECT var_pop(n_chars) AS v0, var_pop(5.0) AS v1,
+        |  var_pop(doc_id % 2) AS v2 FROM documents)
+        |SELECT CAST(i AS INT) AS kept_index
+        |FROM (VALUES (0), (1), (2)) t(i), v
+        |WHERE (i = 0 AND v0 > 0) OR (i = 1 AND v1 > 0) OR (i = 2 AND v2 > 0)
+        |ORDER BY kept_index""".stripMargin,
+
+    "q46_linear_predict" ->
+      """SELECT vec_id,
+        | CASE WHEN list_sum(CAST(embedding[33:64] AS DOUBLE[]))
+        |        > list_sum(CAST(embedding[1:32] AS DOUBLE[]))
+        |      THEN 1 ELSE 0 END AS pred
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.SimpleVoter
+import graft.encode.{Encoderizer, Preprocessing}
+import graft.exec.{ConstantModel, LogRegModel}
+import graft.predict.Predict
+
+class EncoderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def mixed = Seq(
+    (1L, "red", Some(10.0), Seq("a", "b"), Map("k1" -> 1.0), "the quick brown fox"),
+    (2L, "red", Some(20.0), Seq("b"), Map("k2" -> 2.0), "lazy dogs sleep here"),
+    (3L, "blue", Some(30.0), Seq("a", "c"), Map("k1" -> 3.0, "k2" -> 4.0), "foxes and dogs"),
+    (4L, "red", None, Seq.empty[String], Map.empty[String, Double], "quick quick fox"),
+    (5L, "blue", Some(50.0), Seq("c"), Map("k3" -> 5.0), "dogs dogs dogs")
+  ).toDF("id", "color", "amount", "tags", "props", "text")
+
+  test("inference assigns the reference kinds") {
+    val specs = Encoderizer.inferSpecs(mixed,
+      Seq("color", "amount", "tags", "props", "text"), catThreshold = 0.5)
+    val m = specs.map(s => s.name -> s.kind).toMap
+    assert(m("color") == "categorical")
+    assert(m("amount") == "numeric")
+    assert(m("tags") == "multihot")
+    assert(m("props") == "map")
+    assert(m("text") == "text")
+  }
+
+  test("fit+transform assembles a stable-width feature vector") {
+    val enc = Encoderizer.fit(mixed,
+      Seq("color", "amount", "tags", "props"), catThreshold = 0.5)
+    // widths: color onehot 2 + amount 1 + tags 3 + props keys 3 = 9
+    assert(enc.width == 9)
+    val out = enc.transform(mixed)
+    val vecs = out.select("features").collect().map(_.getAs[Vector](0))
+    assert(vecs.forall(_.size == 9))
+    // row 1: color=red (most frequent -> index 0), tags a,b; k1=1
+    val v1 = vecs(0).toArray
+    assert(v1(0) == 1.0 && v1(1) == 0.0, "red one-hot first")
+    // featureOrigin maps indices back to stages
+    assert(enc.featureOrigin(0) == "color")
+    assert(enc.featureOrigin(2) == "amount")
+    assert(enc.featureOrigin(8) == "props")
+    intercept[IndexOutOfBoundsException](enc.featureOrigin(9))
+  }
+
+  test("median imputation fills the null amount") {
+    val enc = Encoderizer.fit(mixed, Seq("amount"), catThreshold = 0.01)
+    val stage = enc.stages.head.asInstanceOf[Encoderizer.NumericStage]
+    assert(stage.median == 25.0, "interpolated median of 10,20,30,50")
+    val out = enc.transform(mixed)
+    val scaled = out.select("features").collect().map(_.getAs[Vector](0)(0))
+    assert(!scaled.exists(_.isNaN))
+  }
+
+  test("text stage hashes n-grams into a fixed-width vector") {
+    val enc = Encoderizer.fit(mixed, Seq("text"), size = "small",
+      catThreshold = 0.01)
+    val out = enc.transform(mixed)
+    val v = out.select("features").head().getAs[Vector](0)
+    assert(v.size == (1 << 16) * 2, "unigram + bigram blocks")
+    assert(v.numNonzeros > 0)
+  }
+
+  test("extract produces a working sub-encoder") {
+    val enc = Encoderizer.fit(mixed, Seq("color", "amount"), catThreshold = 0.5)
+    val sub = enc.extract(Seq("amount"))
+    assert(sub.width == 1)
+    assert(sub.transform(mixed).select("features").collect()
+      .forall(_.getAs[Vector](0).size == 1))
+  }
+
+  test("predict surface: int, string-label and proba columns") {
+    val w0 = Array(1.0, 0.0, 0.0)
+    val w1 = Array(0.0, 1.0, 0.0)
+    val model = LogRegModel(Array(w0, w1), 2)
+    val df = Seq((1L, Seq(3.0, 1.0)), (2L, Seq(0.0, 2.0))).toDF("id", "f")
+    val preds = Predict.withPredictions(spark, df, model, "f")
+      .select("id", "preds").as[(Long, Int)].collect().toMap
+    assert(preds(1L) == 0 && preds(2L) == 1)
+    val labeled = Predict.withPredictions(spark, df, model, "f", "lab",
+      labels = Some(Seq("neg", "pos")))
+      .select("id", "lab").as[(Long, String)].collect().toMap
+    assert(labeled(1L) == "neg" && labeled(2L) == "pos")
+    val probas = Predict.withProbabilities(spark, df, model, "f")
+      .select("scores").as[Seq[Double]].collect()
+    assert(probas.forall(p => p.length == 2 && math.abs(p.sum - 1.0) < 1e-9))
+  }
+
+  test("SimpleVoter hard and soft semantics") {
+    val m0 = ConstantModel(0.0, 2)
+    val m1 = ConstantModel(1.0, 2)
+    val m1b = ConstantModel(1.0, 2)
+    val x = Array(0.0)
+    assert(SimpleVoter(Seq(m0, m1, m1b), Seq(0.0, 1.0)).predict(x) == 1.0)
+    // weighted: heavy weight on the minority model wins
+    assert(SimpleVoter(Seq(m0, m1, m1b), Seq(0.0, 1.0),
+      weights = Some(Seq(5.0, 1.0, 1.0))).predict(x) == 0.0)
+    // tie -> smallest label
+    assert(SimpleVoter(Seq(m0, m1), Seq(0.0, 1.0)).predict(x) == 0.0)
+    val soft = SimpleVoter(Seq(m0, m1), Seq(0.0, 1.0), voting = "soft")
+    assert(soft.predictProba(x).toSeq == Seq(0.5, 0.5))
+    intercept[IllegalArgumentException](
+      SimpleVoter(Seq(m0), Seq(0.0), voting = "bogus"))
+  }
+
+  test("variance threshold + slice drop constant features") {
+    val df = Seq(Tuple1(Seq(1.0, 7.0, 2.0)), Tuple1(Seq(2.0, 7.0, 4.0)))
+      .toDF("arr")
+    val keep = Preprocessing.varianceKeepIndices(df, "arr")
+    assert(keep == Seq(0, 2))
+    val sliced = df.select(Preprocessing.sliceIndices(col("arr"), keep))
+      .as[Seq[Double]].collect()
+    assert(sliced.toSeq == Seq(Seq(1.0, 2.0), Seq(2.0, 4.0)))
+  }
+}

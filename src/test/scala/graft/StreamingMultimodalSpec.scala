@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("streaming windowed rollup matches the batch rollup on the same files") {
+    // Streaming can't read the nanos timestamps directly; write a
+    // micros-normalized copy once via Tables.load.
+    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001").write
+      .mode("overwrite").parquet(dir)
+
+    // complete mode: append would hold back windows the watermark hasn't
+    // closed by end-of-input, losing the tail vs the batch rollup.
+    val stream = Streams.windowedRollup(Streams.readEvents(spark, dir))
+    val got = Streams.runToMemory(stream, "rollup_test", "complete")
+      .orderBy("window_start", "event_type")
+
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+    val g = got.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val w = want.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(g.nonEmpty && g.toSeq == w.toSeq)
+  }
+
+  test("stateful sessionization splits on inactivity gaps") {
+    import Streams.{Event, Session}
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + offMs), user, "click", v)
+    // user 1: two sessions (gap 10 min); user 2: one session
+    val events = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 60000, 2.0),
+      ev(3, 1, 60000 + 700000, 4.0),
+      ev(4, 2, 0, 8.0)).toDS()
+    val sessions = Streams.sessionize(events, gapMs = 600000)
+      .collect().filter(_.n_events > 0)
+    val u1 = sessions.filter(_.user_id == 1)
+    // Only the gap-CLOSED session is emitted in this batch; the trailing
+    // open session (1 event, 4.0) stays in state awaiting timeout.
+    assert(u1.map(_.n_events).toSeq == Seq(2L), s"got ${u1.toSeq}")
+    assert(u1.map(_.total_value).sum == 3.0)
+    assert(sessions.count(_.user_id == 2) == 0,
+      "user 2's single session never closed, so nothing is emitted yet")
+  }
+
+  test("multimodal feature extraction is deterministic with fixed width") {
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    val out = Multimodal.extractFeatures(media, "media", "media_id", dim = 16)
+    val feats = out.select("media_id", "media_features")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats.values.forall(_.size == 16))
+    val again = Multimodal.extractFeatures(media, "media", "media_id", dim = 16)
+      .select("media_id", "media_features").as[(Long, Seq[Float])].collect().toMap
+    assert(feats == again, "stub decode is deterministic")
+    assert(feats.values.exists(_.exists(_ != 0.0f)), "features are non-trivial")
+  }
+
+  test("resize updates metadata and shrinks payload; frame sampling explodes") {
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, "/root/testdata/sf0.001")).limit(10)
+    val resized = Multimodal.resize(media, "media", 64, 64)
+    val r = resized.select("width", "height").distinct().head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 64)
+    val frames = Multimodal.sampleFrames(media, "media", "media_id",
+      frameBytes = 32, everyN = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
+    assert(frames.count() > 10, "one row per sampled frame")
+  }
+}

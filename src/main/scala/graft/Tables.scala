@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reach the scan.
   */
 object Tables {
-  /** Timestamp columns per table. The driver's parquet stores
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read
-    * nanos as long (legacy conf) and rebuild a proper TimestampType column
-    * with integer division (a double division would lose precision above
-    * 2^53 ns ≈ 1970+104 days).
+  /** Timestamp columns per table. lineitem/orders store TIMESTAMP(MILLIS)
+    * which Spark reads natively (timestamp_ntz). events.ts stores
+    * TIMESTAMP(NANOS), which Spark rejects outright — we read nanos as
+    * long (legacy conf) and rebuild a timestamp with integer division (a
+    * double division would lose precision above 2^53 ns ≈ 1970+104 days).
+    * Filters on the rebuilt column would lose parquet pushdown; the
+    * graft.plans.PushTimestampNanosFilters optimizer rule restores it.
     */
   private val tsCols: Map[String, Seq[String]] = Map(
     "orders"   -> Seq("o_orderdate"),

@@ -1,6 +1,5 @@
 package graft.dedup
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -48,13 +47,18 @@ object Dedup {
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordNGrams(col(textCol), n))).as("s"))
       .filter(length(col("s")) > 0)
-    val filtered =
-      if (maxShingleDf == Int.MaxValue) sh
-      else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df_count"))
-          .filter(col("df_count") > maxShingleDf).select("s")
-        sh.join(hot, Seq("s"), "left_anti")
-      }
+    val filtered = {
+      val base =
+        if (maxShingleDf == Int.MaxValue) sh
+        else {
+          val hot = sh.groupBy("s").agg(count(lit(1)).as("df_count"))
+            .filter(col("df_count") > maxShingleDf).select("s")
+          sh.join(hot, Seq("s"), "left_anti")
+        }
+      // consumed 3x (sizes + both join sides): cache the shingle index so
+      // tokenize/shingle/explode runs once, not three times.
+      base.cache()
+    }
     val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = filtered.as("a")
       .join(filtered.as("b"),
@@ -72,28 +76,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash LSH candidate pairs (Spark ML): shingles → binary HashingTF
-    * vector → MinHashLSH.approxSimilarityJoin. Returns (id_a, id_b,
-    * jaccard_distance <= maxDistance). The LSH OR-amplification over
-    * `numHashTables` keeps the join sub-quadratic at corpus scale.
+  /** MinHash LSH near-dup pairs, engine-native: per-table signature
+    * h_t = min over shingles of xxhash64(shingle, seed_t) (all codegen'd
+    * higher-order functions), candidates from an equi-join on the LONG
+    * (table, signature) key — a real hash join, unlike Spark ML's
+    * approxSimilarityJoin whose VectorUDT key forces a non-codegen join —
+    * then an exact Jaccard rerank (array_intersect on the shingle sets)
+    * keeps only pairs >= minJaccard. OR-amplification over
+    * `numHashTables` gives recall ≈ 1-(1-J)^k; the post-filter gives
+    * precision 1, so the output equals exact Jaccard pairs restricted to
+    * LSH-recalled candidates — sub-quadratic at corpus scale.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, numHashTables: Int = 8,
-                   maxDistance: Double = 0.8, numFeatures: Int = 1 << 18,
+                   minJaccard: Double = 0.2,
                    seed: Long = 42): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
+    val sh = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.wordNGrams(col(textCol), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setBinary(true).setNumFeatures(numFeatures)
-    val vecs = tf.transform(shingled).select("id", "features")
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
-      .filter(col("datasetA.id") < col("datasetB.id"))
-      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-        round(lit(1.0) - col("dist"), 6).as("est_jaccard"))
+      .cache() // reused: signature build + two candidate-rerank joins
+    val sigs = sh.select(col("id"),
+      explode(array((0 until numHashTables).map { t =>
+        struct(lit(t).as("t"),
+          array_min(transform(col("shingles"),
+            s => xxhash64(s, lit(seed + t)))).as("h"))
+      }: _*)).as("sig"))
+      .select(col("id"), col("sig.t").as("t"), col("sig.h").as("h"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("_sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("_sb")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("est_jaccard", round(col("_inter") /
+        (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -116,6 +138,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache() // self-joined: avoid recomputing the simhash aggregation twice
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -82,8 +82,7 @@ object TextQueries {
     // MinHash LSH candidate pairs (Spark ML; rows-only check + ScalaTest).
     "q38_minhash_pairs" -> ((s, d) => {
       Dedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, numHashTables = 8, maxDistance = 0.8)
-        .filter(col("est_jaccard") >= 0.2)
+        n = 3, numHashTables = 8, minJaccard = 0.2)
         .orderBy("id_a", "id_b")
     }),
 

@@ -99,6 +99,7 @@ object Similarity {
             .bitwiseAND((1L << bits) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("_v"), col("bk.band"), col("bk.key"))
+      .cache() // self-joined: signature dot-products computed once
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -52,7 +52,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("minhash LSH recalls the planted dups") {
     val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
-      n = 3, numHashTables = 8, maxDistance = 0.6)
+      n = 3, numHashTables = 8, minJaccard = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 101L)))
     assert(pairs.contains((2L, 102L)))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PlansSpec extends AnyFunSuite {
+
+  /** Dedicated session WITH graft extensions: getOrCreate would silently
+    * reuse another suite's extension-less session, so clear first.
+    */
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    graft.tools.Sessions.build("local[4]", 4)
+  }
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("time filters on the rebuilt nanos column reach the parquet scan") {
+    val filtered = events.filter(
+      col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"expected raw-long pushdown on ts, plan:\n${plan.take(2000)}")
+  }
+
+  test("the rewrite preserves exact filter semantics vs driver-side compare") {
+    val cutoffs = Seq("2024-01-03 00:00:00", "2024-01-05 12:34:56.789")
+    val all = events.select("ts").collect().map(_.getTimestamp(0))
+    cutoffs.foreach { c =>
+      val cutoff = java.sql.Timestamp.valueOf(c)
+      val wantGe = all.count(t => !t.before(cutoff)).toLong
+      val wantLt = all.count(_.before(cutoff)).toLong
+      val gotGe = events.filter(col("ts") >= lit(c).cast("timestamp")).count()
+      val gotLt = events.filter(col("ts") < lit(c).cast("timestamp")).count()
+      val gotGt = events.filter(col("ts") > lit(c).cast("timestamp")).count()
+      val gotLe = events.filter(col("ts") <= lit(c).cast("timestamp")).count()
+      assert(gotGe == wantGe && gotLt == wantLt, s"cutoff $c: ge/lt mismatch")
+      assert(gotGt + gotLe == all.length.toLong, s"cutoff $c: gt/le partition")
+    }
+    // equality on an actual event timestamp
+    val one = all.head
+    val gotEq = events.filter(col("ts") === lit(one)).count()
+    assert(gotEq == all.count(_ == one).toLong && gotEq >= 1)
+  }
+
+  test("dimension joins broadcast; fact scans prune columns") {
+    val q4 = SparkEntry.queries("q04_dim_join")(spark, "/root/testdata/sf0.001")
+    val plan = q4.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part side must broadcast")
+    val q2 = SparkEntry.queries("q02_filter_project")(spark, "/root/testdata/sf0.001")
+    val scan = q2.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "millis-native lineitem filters push down")
+    assert(!scan.contains("l_tax"), "untouched columns pruned from ReadSchema")
+  }
+}

@@ -12,6 +12,7 @@ object SparkEntry {
     val gs = new graft.search.DistGridSearchCV(
       graft.exec.LogisticRegressionGD,
       Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(30.0)), cv = 3)
+      .withExtraScorings(Seq("f1_weighted"))
     gs.fit(spark, df, "embedding", "label").cvResults
   }
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -56,6 +56,28 @@ object CvResults {
       rank().over(Window.orderBy(col("mean_test_score").desc)).cast("int"))
   }
 
+  /** Multi-metric aggregation (reference `_store` over a scorer dict):
+    * input has a `scores` map column; every metric gets
+    * mean_test_<m>/std_test_<m>; the FIRST metric also populates the
+    * standard mean/std/rank columns (the reference's `refit` metric).
+    */
+  def aggregateMulti(scores: DataFrame, candidateCols: Seq[String],
+                     metrics: Seq[String], roundTo: Int = 6): DataFrame = {
+    require(metrics.nonEmpty, "need at least one metric")
+    val keyCols = candidateCols.map(col)
+    val aggs = metrics.flatMap { m =>
+      val s = element_at(col("scores"), m)
+      Seq(round(avg(s), roundTo).as(s"mean_test_$m"),
+        round(stddev_pop(s), roundTo).as(s"std_test_$m"))
+    } :+ count(lit(1)).as("n_folds")
+    val primary = metrics.head
+    scores.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_test_score", col(s"mean_test_$primary"))
+      .withColumn("std_test_score", col(s"std_test_$primary"))
+      .withColumn("rank_test_score",
+        rank().over(Window.orderBy(col("mean_test_score").desc)).cast("int"))
+  }
+
   /** Best candidate: rank 1, deterministic tie-break on the candidate key
     * ascending (the reference's argmin-of-rank keeps the first, i.e.
     * lowest candidate index, `search.py:538-541`).

@@ -17,6 +17,14 @@ object Metrics {
     case other => throw new IllegalArgumentException(s"unknown scoring: $other")
   }
 
+  /** Multi-metric scoring contract (reference `_multimetric_score`,
+    * `utils.py:39-72`): one fitted model scored under several metrics.
+    */
+  def multi(names: Seq[String]): (Model, Array[Array[Double]], Array[Double]) => Map[String, Double] = {
+    val fns = names.map(n => n -> scorer(n))
+    (m, x, y) => fns.map { case (n, f) => n -> f(m, x, y) }.toMap
+  }
+
   def accuracy(m: Model, x: Array[Array[Double]], y: Array[Double]): Double = {
     var ok = 0; var i = 0
     while (i < x.length) { if (m.predict(x(i)) == y(i)) ok += 1; i += 1 }

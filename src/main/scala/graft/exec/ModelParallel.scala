@@ -75,6 +75,10 @@ object ModelParallel {
   final case class TaskResult(candidate_id: Int, fold_id: Int, score: Double,
                               n_test: Long, fit_time_ms: Double, score_time_ms: Double)
 
+  final case class TaskResultMulti(candidate_id: Int, fold_id: Int,
+                                   scores: Map[String, Double], n_test: Long,
+                                   fit_time_ms: Double, score_time_ms: Double)
+
   /** Fan the task lattice out one-task-per-partition (the reference's
     * 'auto' heuristic, `base.py:53-64` — fit tasks are heavy and few, so
     * scheduling granularity IS the task) and fit+score each against the
@@ -108,6 +112,42 @@ object ModelParallel {
           case e: Exception => errorScore match {
             case Some(v) => TaskResult(t.candidateId, t.fold, v, 0L, 0.0, 0.0)
             case None    => throw e
+          }
+        }
+      }
+    results.toDS().toDF()
+  }
+
+  /** Multi-metric variant (`_multimetric_score` contract): each task fits
+    * ONCE and scores under every metric; `scores` is a map column the
+    * aggregation explodes into mean_test_<metric> columns.
+    */
+  def runMulti(spark: SparkSession, tasks: Seq[FitTask], bc: Broadcast[TrainMatrix],
+               learner: Learner, scorings: Seq[String], seed: Long,
+               errorScore: Option[Double] = None): DataFrame = {
+    import spark.implicits._
+    val names = scorings
+    val results = spark.sparkContext
+      .parallelize(tasks, math.max(1, tasks.size))
+      .map { t =>
+        val m = bc.value
+        val scorer = Metrics.multi(names)
+        val (trainX, trainY) = m.trainOf(t.fold)
+        val (testX, testY) = m.testOf(t.fold)
+        val t0 = System.nanoTime()
+        try {
+          val model = learner.fit(trainX, trainY, t.params, seed + t.taskId)
+          val t1 = System.nanoTime()
+          val s = scorer(model, testX, testY)
+          val t2 = System.nanoTime()
+          TaskResultMulti(t.candidateId, t.fold, s, testX.length.toLong,
+            (t1 - t0) / 1e6, (t2 - t1) / 1e6)
+        } catch {
+          case e: Exception => errorScore match {
+            case Some(v) =>
+              TaskResultMulti(t.candidateId, t.fold,
+                names.map(_ -> v).toMap, 0L, 0.0, 0.0)
+            case None => throw e
           }
         }
       }

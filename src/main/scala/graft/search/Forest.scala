@@ -101,6 +101,46 @@ class DistForest(nEstimators: Int = 100,
   }
 }
 
+/** Concrete forest variants mirroring the reference's public surface
+  * (`ensemble.py:365-616`): sklearn-parameter-named factories over
+  * DistForest. `maxDepth <= 0` = unlimited (sklearn None);
+  * `maxFeatures <= 0` = the per-kind default (sqrt(d) for
+  * classification, all for regression).
+  */
+object DistRandomForestClassifier {
+  def apply(nEstimators: Int = 100, maxDepth: Int = 0, maxFeatures: Double = 0.0,
+            seed: Long = 42): DistForest =
+    new DistForest(nEstimators, forestParams(maxDepth, maxFeatures),
+      classification = true, bootstrap = true, extraTrees = false, seed = seed)
+}
+
+object DistExtraTreesClassifier {
+  def apply(nEstimators: Int = 100, maxDepth: Int = 0, maxFeatures: Double = 0.0,
+            seed: Long = 42): DistForest =
+    new DistForest(nEstimators, forestParams(maxDepth, maxFeatures),
+      classification = true, bootstrap = false, extraTrees = true, seed = seed)
+}
+
+object DistRandomForestRegressor {
+  def apply(nEstimators: Int = 100, maxDepth: Int = 0, maxFeatures: Double = 0.0,
+            seed: Long = 42): DistForest =
+    new DistForest(nEstimators, forestParams(maxDepth, maxFeatures),
+      classification = false, bootstrap = true, extraTrees = false, seed = seed)
+}
+
+object DistExtraTreesRegressor {
+  def apply(nEstimators: Int = 100, maxDepth: Int = 0, maxFeatures: Double = 0.0,
+            seed: Long = 42): DistForest =
+    new DistForest(nEstimators, forestParams(maxDepth, maxFeatures),
+      classification = false, bootstrap = false, extraTrees = true, seed = seed)
+}
+
+private object forestParams {
+  def apply(maxDepth: Int, maxFeatures: Double): Map[String, Double] =
+    (if (maxDepth > 0) Map("max_depth" -> maxDepth.toDouble) else Map.empty[String, Double]) ++
+      (if (maxFeatures > 0) Map("max_features" -> maxFeatures) else Map.empty[String, Double])
+}
+
 /** Unsupervised tree embedding (reference `DistRandomTreesEmbedding`,
   * `ensemble.py:619-716`): extra-trees fit on a uniform-random target,
   * rows are encoded one-hot by the leaf each tree routes them to.

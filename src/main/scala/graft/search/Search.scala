@@ -31,6 +31,15 @@ class DistGridSearchCV(learner: Learner,
                        seed: Long = 42,
                        errorScore: Option[Double] = None) extends Serializable {
 
+  /** Secondary metrics (reference scorer-dict): each task still fits once;
+    * cv_results grows mean_test_<m>/std_test_<m> columns per metric while
+    * rank/best stay on the primary `scoring` (the refit metric).
+    */
+  private var extraScorings: Seq[String] = Nil
+  def withExtraScorings(names: Seq[String]): this.type = {
+    extraScorings = names; this
+  }
+
   protected def candidates(): Seq[Map[String, Double]] =
     ParamGrid.expand(grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
       .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
@@ -50,8 +59,16 @@ class DistGridSearchCV(learner: Learner,
       fold <- 0 until cv
     } yield FitTask(ci * cv + fold, ci, fold, params)
 
-    val scores = ModelParallel.run(spark, tasks, bc, learner, scoring, seed, errorScore)
-    val agg = CvResults.aggregate(scores, Seq("candidate_id"), iid = iid)
+    val agg =
+      if (extraScorings.isEmpty)
+        CvResults.aggregate(
+          ModelParallel.run(spark, tasks, bc, learner, scoring, seed, errorScore),
+          Seq("candidate_id"), iid = iid)
+      else
+        CvResults.aggregateMulti(
+          ModelParallel.runMulti(spark, tasks, bc, learner,
+            scoring +: extraScorings, seed, errorScore),
+          Seq("candidate_id"), scoring +: extraScorings)
 
     // Attach the param columns (small driver-side frame, broadcast join).
     val paramNames = cands.head.keys.toSeq.sorted

@@ -64,6 +64,54 @@ object Similarity {
         col("rn").cast("int").as("rank"))
   }
 
+  /** IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+    * `nClusters` cells; each query probes its `nProbe` nearest cells and
+    * exact cosine reranks only those candidates. The classic inverted-file
+    * trade: recall ≈ fraction of true neighbors inside probed cells,
+    * cost ≈ nProbe/nClusters of brute force. At 100 TB the cell id is the
+    * partition key — candidate generation is an equi-join on it, and the
+    * corpus can be written bucketed by cell so probes touch only matching
+    * files.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 3,
+              seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val toVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_vec", array_to_vector(col("_cv")))
+      .cache()
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("_vec").setPredictionCol("_cell")
+    val model = km.fit(toVec)
+    val cells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val assigned = model.transform(toVec).select("neighbor_id", "_cv", "_cell")
+
+    // probe list per query: nProbe nearest centroids (centroids are tiny —
+    // broadcast literal table)
+    val centroidDf = broadcast(
+      corpus.sparkSession.createDataFrame(cells).toDF("_cell", "_centroid"))
+    val w = Window.partitionBy("query_id").orderBy(col("_cdist").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
+      .crossJoin(centroidDf)
+      .withColumn("_cdist", -cosine(col("_qv"), col("_centroid")))
+      .withColumn("_pr", row_number().over(w))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "_qv", "_cell")
+
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(assigned, "_cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wk).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Seeded random hyperplanes (driver-side, tiny). */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new Random(seed)

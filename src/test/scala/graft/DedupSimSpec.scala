@@ -100,6 +100,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.length < 5, "random 64-dim vectors should not be near-dups")
   }
 
+  test("IVF topK recalls most brute-force neighbors on clustered vectors") {
+    val rng = new Random(13)
+    val centers = Seq.fill(4)(Array.fill(16)(rng.nextGaussian() * 3))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(_ + rng.nextGaussian() * 0.2).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 12)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id", 5,
+      nClusters = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall vs brute force")
+    assert(ivf.size == 12 * 5, "k results per query")
+  }
+
   test("langId spots language by stopword profile") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is the best of all"),

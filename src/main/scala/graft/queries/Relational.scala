@@ -187,6 +187,45 @@ object Relational {
       Tables.events(s, d)
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")
+    }),
+
+    // Hierarchical aggregation: ROLLUP with labeled subtotal rows.
+    "q16_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // Set difference: nations with rich customers but no rich suppliers.
+    "q17_except" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // Post-aggregation filter (HAVING).
+    "q18_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"), round(sum(revenue), 2).as("rev"))
+        .filter(col("n_items") > 550)
+        .orderBy("l_suppkey")
+    }),
+
+    // Regex predicate + LIKE.
+    "q19_regexp" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("^(red|blue) (bolt|gear)s?$") ||
+          col("p_type").like("%PROMO%"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
     })
   )
 
@@ -299,6 +338,33 @@ object Relational {
 
     "q15_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q17_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY nationkey""".stripMargin,
+
+    "q18_having" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(*) > 550
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q19_regexp" ->
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)s?$')
+        |   OR p_type LIKE '%PROMO%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

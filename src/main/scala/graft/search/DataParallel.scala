@@ -1,0 +1,79 @@
+package graft.search
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.CvResults
+import graft.plan.{Folds, ParamGrid}
+
+/** Data-parallel grid search — the 100 TB-safe generalization the
+  * broadcast path can't reach (SURVEY.md §7.4): when X exceeds executor
+  * memory, the DATA stays a distributed DataFrame with a fold COLUMN and
+  * each (candidate, fold) task is itself a distributed Spark ML fit. The
+  * task axis is driver-sequenced (each fit already uses the whole
+  * cluster); the relational skeleton — fold predicate, score frame,
+  * CvResults mean/std/rank, best-candidate refit — is byte-identical to
+  * the broadcast path, which is the point: switching regimes changes the
+  * executor, not the semantics.
+  *
+  * Param names map to Spark ML LogisticRegression: `reg_param`,
+  * `elastic_net`, `max_iter`.
+  */
+class DataParallelGridSearch(grid: Map[String, Seq[Double]],
+                             cv: Int = 3,
+                             scoring: String = "accuracy",
+                             seed: Long = 42) extends Serializable {
+
+  final case class DpResult(cvResults: DataFrame,
+                            bestParams: Map[String, Double],
+                            bestScore: Double,
+                            bestModel: org.apache.spark.ml.classification.LogisticRegressionModel)
+
+  private def mkEstimator(params: Map[String, Double]): LogisticRegression =
+    new LogisticRegression()
+      .setFeaturesCol("_features").setLabelCol("_label")
+      .setRegParam(params.getOrElse("reg_param", 0.0))
+      .setElasticNetParam(params.getOrElse("elastic_net", 0.0))
+      .setMaxIter(params.getOrElse("max_iter", 50.0).toInt)
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): DpResult = {
+    val prepared = df.select(
+      array_to_vector(col(featuresCol).cast("array<double>")).as("_features"),
+      col(labelCol).cast("double").as("_label"))
+      // fold by hashed row position, NOT the label (fold-label correlation
+      // would skew CV); stable within a job, which is all CV needs
+      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
+      .cache() // scanned once per (candidate, fold) fit — keep it hot
+    prepared.count()
+
+    val cands = ParamGrid.expand(
+      grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
+      .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
+    val evaluator = new MulticlassClassificationEvaluator()
+      .setLabelCol("_label").setMetricName(scoring)
+
+    val scoreRows = for {
+      (params, ci) <- cands.zipWithIndex
+      fold <- 0 until cv
+    } yield {
+      val train = prepared.filter(col("_fold") =!= fold)
+      val test = prepared.filter(col("_fold") === fold)
+      val model = mkEstimator(params).fit(train)
+      val score = evaluator.evaluate(model.transform(test))
+      (ci, fold, score, test.count())
+    }
+    import spark.implicits._
+    val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
+    val agg = CvResults.aggregate(scores, Seq("candidate_id")).cache()
+    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
+    val bestId = bestRow.getAs[Int]("candidate_id")
+    val best = mkEstimator(cands(bestId)).fit(prepared)
+    prepared.unpersist()
+    DpResult(agg.orderBy("candidate_id"), cands(bestId),
+      bestRow.getAs[Double]("mean_test_score"), best)
+  }
+}

@@ -92,7 +92,9 @@ class DistFeatureEliminator(learner: Learner,
 
     // 4. aggregate, pick best rung (ties -> fewest dropped = lowest id,
     //    matching the reference's argmax-first semantics).
-    val agg = CvResults.aggregate(scores, Seq("candidate_id"))
+    // cached: best() + the returned scores frame both consume it; without
+    // the cache each action re-runs the rungs × folds fit fan-out.
+    val agg = CvResults.aggregate(scores, Seq("candidate_id")).cache()
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
     val bestRung = bestRow.getAs[Int]("candidate_id")
     val keep = rungKeeps(bestRung)

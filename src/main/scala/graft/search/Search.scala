@@ -59,16 +59,22 @@ class DistGridSearchCV(learner: Learner,
       fold <- 0 until cv
     } yield FitTask(ci * cv + fold, ci, fold, params)
 
-    val agg =
-      if (extraScorings.isEmpty)
-        CvResults.aggregate(
-          ModelParallel.run(spark, tasks, bc, learner, scoring, seed, errorScore),
-          Seq("candidate_id"), iid = iid)
-      else
-        CvResults.aggregateMulti(
-          ModelParallel.runMulti(spark, tasks, bc, learner,
-            scoring +: extraScorings, seed, errorScore),
-          Seq("candidate_id"), scoring +: extraScorings)
+    // cached: `best()` below and the returned cvResults both consume this
+    // frame — without the cache every later action re-runs the whole fit
+    // fan-out. One row per candidate, so the cache is tiny.
+    val agg = {
+      val a =
+        if (extraScorings.isEmpty)
+          CvResults.aggregate(
+            ModelParallel.run(spark, tasks, bc, learner, scoring, seed, errorScore),
+            Seq("candidate_id"), iid = iid)
+        else
+          CvResults.aggregateMulti(
+            ModelParallel.runMulti(spark, tasks, bc, learner,
+              scoring +: extraScorings, seed, errorScore),
+            Seq("candidate_id"), scoring +: extraScorings)
+      a.cache()
+    }
 
     // Attach the param columns (small driver-side frame, broadcast join).
     val paramNames = cands.head.keys.toSeq.sorted
@@ -156,7 +162,8 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
         .withColumn("model_name", lit(name))
     }
     val scores = frames.reduce(_ union _)
-    val agg = CvResults.aggregate(scores, Seq("model_name", "candidate_id"))
+    // cached for the same reason as in DistGridSearchCV.fitMatrix
+    val agg = CvResults.aggregate(scores, Seq("model_name", "candidate_id")).cache()
     val bestRow = CvResults.best(agg, Seq("model_name", "candidate_id")).head()
     val bestKey = bestRow.getAs[Int]("candidate_id")
     val bestName = bestRow.getAs[String]("model_name")

@@ -95,6 +95,19 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(counts.length == 5 && counts.forall(c => c > 130 && c < 270))
   }
 
+  test("data-parallel search shares the relational skeleton and recovers blobs") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    val r = new DataParallelGridSearch(
+      Map("reg_param" -> Seq(0.0, 0.1), "max_iter" -> Seq(30.0)), cv = 3)
+      .fit(spark, df, "features", "label")
+    assert(r.cvResults.columns.toSet.contains("rank_test_score"))
+    assert(r.cvResults.count() == 2)
+    assert(r.bestScore > 0.9, s"separable blobs, got ${r.bestScore}")
+  }
+
   test("named forest factories mirror the reference variants") {
     val m = blobs()
     val rf = DistRandomForestClassifier(nEstimators = 8, maxDepth = 4)

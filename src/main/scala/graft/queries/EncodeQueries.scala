@@ -75,6 +75,15 @@ object EncodeQueries {
         .orderBy("kept_index")
     }),
 
+    // Codegen'd LinearScore expression vs DuckDB list_dot_product.
+    "q47_linear_score" -> ((s, d) => {
+      val w = Array.tabulate(64)(j => (j * 37 % 19 - 9) / 10.0)
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(graft.functions.LinearScore(
+          col("embedding").cast("array<double>"), w, bias = 0.5), 4).as("score"))
+        .orderBy("vec_id")
+    }),
+
     // Fixed-weight linear model through the Predict projection.
     "q46_linear_predict" -> ((s, d) => {
       val w0 = Array.tabulate(65)(j => if (j < 32) 1.0 else 0.0)
@@ -87,7 +96,15 @@ object EncodeQueries {
     })
   )
 
+  private val q47Weights: String =
+    (0 until 64).map(j => (j * 37 % 19 - 9) / 10.0).mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "q47_linear_score" ->
+      s"""SELECT vec_id,
+         | round(0.5 + list_dot_product(CAST(embedding AS DOUBLE[]),
+         |   CAST($q47Weights AS DOUBLE[])), 4) AS score
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q41_schema_infer" ->
       """WITH stats AS (
         |  SELECT 'doc_id' AS column_name, count(doc_id) AS nn,

@@ -77,6 +77,35 @@ object ScaleProbe {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     println(f"[scale] IVF recall vs brute force = ${(exact & ivf).size.toDouble / exact.size}%.3f")
+
+    // hot-path scoring: Scala UDF vs codegen'd LinearScore expression on a
+    // frame big enough (1M x 64) that per-row boxing, not job scheduling,
+    // is the cost
+    val bigN = 1000000L
+    val big = spark.range(bigN).select(
+      array((0 until dim).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(1000)) / 500.0 - 1.0)): _*)
+        .as("v")).cache()
+    big.count()
+    val w = Array.tabulate(dim)(j => (j * 37 % 19 - 9) / 10.0)
+    val udfScore = udf((v: Seq[Double]) => {
+      var s = 0.5; var j = 0
+      while (j < v.length && j < w.length) { s += w(j) * v(j); j += 1 }
+      s
+    })
+    def sumOf(c: org.apache.spark.sql.Column): Double =
+      big.select(sum(c)).head().getDouble(0)
+    sumOf(udfScore(col("v"))) // warm
+    sumOf(graft.functions.LinearScore(col("v"), w, 0.5))
+    val reps = 5
+    val tU = System.nanoTime()
+    (1 to reps).foreach(_ => sumOf(udfScore(col("v"))))
+    val udfSec = (System.nanoTime() - tU) / 1e9
+    val tE = System.nanoTime()
+    (1 to reps).foreach(_ => sumOf(graft.functions.LinearScore(col("v"), w, 0.5)))
+    val exprSec = (System.nanoTime() - tE) / 1e9
+    println(f"[scale] score ${bigN} rows x$reps: udf = $udfSec%.2f s, " +
+      f"codegen expr = $exprSec%.2f s (${udfSec / exprSec}%.2fx)")
     spark.stop()
   }
 }

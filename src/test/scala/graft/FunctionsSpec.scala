@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.LinearScore
+
+class FunctionsSpec extends AnyFunSuite {
+
+  /** CODEGEN_ONLY factory mode: interpreter fallback disabled, so a broken
+    * doGenCode fails the test instead of silently degrading.
+    */
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("linear_score matches driver-side dot product under forced codegen") {
+    import spark.implicits._
+    val w = Array.tabulate(8)(j => (j * 37 % 19 - 9) / 10.0)
+    val rows = Seq.tabulate(50)(i => (i.toLong, Seq.tabulate(8)(j => i * 0.1 + j)))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+      LinearScore(col("v"), w, bias = 0.5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      val want = 0.5 + v.zip(w).map { case (a, b) => a * b }.sum
+      assert(math.abs(got(id) - want) < 1e-12, s"row $id")
+    }
+  }
+
+  test("linear_score handles short arrays, null rows, and null elements") {
+    import spark.implicits._
+    val w = Array(1.0, 2.0, 3.0)
+    val df = Seq(
+      (1L, Some(Seq(Some(10.0)))),                      // shorter than weights
+      (2L, None),                                       // null array
+      (3L, Some(Seq(Some(1.0), None, Some(2.0))))       // null element
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+      LinearScore(col("v").cast("array<double>"), w, bias = 0.0).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(10.0), "prefix only")
+    assert(got(2L).isEmpty, "null array -> null score")
+    assert(got(3L).contains(1.0 + 3.0 * 2.0), "null element skipped")
+  }
+
+  test("type check rejects non-array input") {
+    import spark.implicits._
+    val df = Seq(1.0).toDF("x")
+    intercept[Exception] {
+      df.select(LinearScore(col("x"), Array(1.0), 0.0)).collect()
+    }
+  }
+}

@@ -45,6 +45,23 @@ object Predict {
     (c: Column) => f(c.cast("array<double>"))
   }
 
+  /** UDF-free linear-model scoring: one codegen'd LinearScore column per
+    * class, argmax for the prediction (first max wins, matching
+    * LogRegModel.predict). Preferred over the UDF paths when the model is
+    * linear — the whole projection stays in whole-stage codegen.
+    */
+  def withLinearPredictions(df: DataFrame, model: graft.exec.LogRegModel,
+                            featuresCol: String,
+                            outCol: String = "preds"): DataFrame = {
+    val feats = col(featuresCol).cast("array<double>")
+    val scoreCols = model.weights.map { w =>
+      graft.functions.LinearScore(feats, w.init, w.last)
+    }
+    val scores = array(scoreCols.toIndexedSeq: _*)
+    df.withColumn(outCol,
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
+  }
+
   def withPredictions(spark: SparkSession, df: DataFrame, model: Model,
                       featuresCol: String, outCol: String = "preds",
                       labels: Option[Seq[String]] = None): DataFrame = {

@@ -219,6 +219,21 @@ object Relational {
         .orderBy("l_suppkey")
     }),
 
+    // As-of (point-in-time) join: each event gets the user's most recent
+    // order at-or-before the event time (right side pre-deduped to one
+    // row per (key, ts) for determinism).
+    "q48_asof_join" -> ((s, d) => {
+      val events = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val orders = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("last_orderkey"))
+      graft.ops.AsOfJoin.backward(events, orders,
+        keyCol = "user_id", leftTsCol = "ts", rightTsCol = "o_orderdate",
+        payloadCols = Seq("last_orderkey"))
+        .select("event_id", "user_id", "last_orderkey")
+        .orderBy("event_id")
+    }),
+
     // Regex predicate + LIKE.
     "q19_regexp" -> ((s, d) => {
       Tables.part(s, d)
@@ -360,6 +375,16 @@ object Relational {
         |FROM lineitem GROUP BY l_suppkey
         |HAVING count(*) > 550
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q48_asof_join" ->
+      """WITH ro AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, ro.last_orderkey
+        |FROM events e ASOF LEFT JOIN ro
+        |  ON e.user_id = ro.user_id AND e.ts >= ro.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "q19_regexp" ->
       """SELECT p_brand, count(*) AS n FROM part

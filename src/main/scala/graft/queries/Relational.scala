@@ -234,6 +234,48 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Batch sessionization (the batch twin of streaming.Streams
+    // .sessionize): session boundary = inactivity gap > 30 min, session
+    // index = running count of boundaries per user.
+    "q49_sessionize" -> ((s, d) => {
+      val sec = col("ts").cast("long")
+      val wOrd = Window.partitionBy("user_id").orderBy(sec.asc, col("event_id").asc)
+      val sessions = Tables.events(s, d)
+        .withColumn("_sec", sec)
+        .withColumn("_gap", col("_sec") - lag("_sec", 1).over(wOrd))
+        .withColumn("_new", when(col("_gap").isNull || col("_gap") > 1800, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum("_new").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      sessions.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          (max("_sec") - min("_sec")).as("duration_sec"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // Window-function battery: row_number, lag delta, running sum, lead.
+    "q50_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          round(col("l_extendedprice") -
+            coalesce(lag("l_extendedprice", 1).over(w), lit(0.0)), 2).as("price_delta"),
+          // running sum over the integer-valued quantity: DuckDB's
+          // segment-tree window aggregation sums in a different order
+          // than Spark's sequential accumulator, so float running sums
+          // can never hash-match, and double→decimal rounding disagrees
+          // between the engines at representation ties. Integers are
+          // order-independent and tie-free.
+          sum(col("l_quantity").cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("running_qty"),
+          lead("l_quantity", 1).over(w).as("next_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
     // Regex predicate + LIKE.
     "q19_regexp" -> ((s, d) => {
       Tables.part(s, d)
@@ -385,6 +427,41 @@ object Relational {
         |FROM events e ASOF LEFT JOIN ro
         |  ON e.user_id = ro.user_id AND e.ts >= ro.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q49_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+        |sess AS (
+        |  SELECT user_id, sec, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value,
+        | max(sec) - min(sec) AS duration_sec
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q50_window_funcs" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | row_number() OVER w AS rn,
+        | round(l_extendedprice - coalesce(lag(l_extendedprice) OVER w, 0.0), 2) AS price_delta,
+        | CAST(sum(CAST(l_quantity AS BIGINT))
+        |   OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty,
+        | lead(l_quantity) OVER w AS next_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
 
     "q19_regexp" ->
       """SELECT p_brand, count(*) AS n FROM part

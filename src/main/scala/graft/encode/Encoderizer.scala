@@ -138,17 +138,24 @@ object Encoderizer {
   }
 
   /** Hashed text n-grams (reference `HashingVectorizerChunked` + size
-    * grids): tokenize, n-gram, HashingTF(binary=false). Stateless — no
+    * grids): word grams via tokenize + NGram + HashingTF, plus optional
+    * character grams (`_defaults.py` char_wb analyzers of the medium/
+    * large configs) via the TextFunctions shingle HOF. Stateless — no
     * vocabulary — which is exactly why it scales to 100 TB of text.
     */
   final case class TextHashStage(name: String, nGramRange: (Int, Int),
-                                 numFeatures: Int) extends FittedStage {
-    val width: Int = numFeatures * (nGramRange._2 - nGramRange._1 + 1)
+                                 numFeatures: Int,
+                                 charNGramRange: Option[(Int, Int)] = None)
+    extends FittedStage {
+    private def wordSizes = nGramRange._2 - nGramRange._1 + 1
+    private def charSizes = charNGramRange.map(r => r._2 - r._1 + 1).getOrElse(0)
+    val width: Int = numFeatures * (wordSizes + charSizes)
     def transform(df: DataFrame, outCol: String): DataFrame = {
       val tok = new RegexTokenizer().setInputCol(name).setOutputCol(s"_tok_$name")
         .setPattern("\\s+").setToLowercase(true)
       var out = tok.transform(df.withColumn(name, coalesce(col(name), lit(""))))
-      val gramCols = (nGramRange._1 to nGramRange._2).map { g =>
+      var tmpCols = Seq(s"_tok_$name")
+      val wordCols = (nGramRange._1 to nGramRange._2).map { g =>
         val gcol = s"_g${g}_$name"
         val hcol = s"_h${g}_$name"
         out =
@@ -157,27 +164,38 @@ object Encoderizer {
             .transform(out)
         out = new HashingTF().setInputCol(gcol).setOutputCol(hcol)
           .setNumFeatures(numFeatures).transform(out)
+        tmpCols ++= Seq(gcol, hcol)
         hcol
       }
-      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(gramCols.toArray).setOutputCol(outCol)
+      val charCols = charNGramRange.toSeq.flatMap { case (lo, hi) =>
+        (lo to hi).map { g =>
+          val gcol = s"_cg${g}_$name"
+          val hcol = s"_ch${g}_$name"
+          out = out.withColumn(gcol,
+            graft.text.TextFunctions.charNGrams(lower(col(name)), g))
+          out = new HashingTF().setInputCol(gcol).setOutputCol(hcol)
+            .setNumFeatures(numFeatures).transform(out)
+          tmpCols ++= Seq(gcol, hcol)
+          hcol
+        }
+      }
+      new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols((wordCols ++ charCols).toArray).setOutputCol(outCol)
         .transform(out)
-      assembled.drop((Seq(s"_tok_$name") ++
-        (nGramRange._1 to nGramRange._2).flatMap(g =>
-          Seq(s"_g${g}_$name", s"_h${g}_$name"))): _*)
+        .drop(tmpCols: _*)
     }
   }
 
   // ---- fit ----------------------------------------------------------
 
-  /** Size grids (reference `_defaults.py:89-204`, word-gram part; char_wb
-    * grams of 'medium'/'large' are folded into wider word grams + more
-    * hash bits — same capacity intent without the quadratic char blowup).
+  /** Size grids (reference `_defaults.py:89-204`): 'small' = word 1-2
+    * grams; 'medium' adds char 3-4 grams; 'large' = word 1-3 + char 2-5
+    * grams (the char_wb analyzers of the reference, hashed).
     */
-  def textParams(size: String): ((Int, Int), Int) = size match {
-    case "small"  => ((1, 2), 1 << 16)
-    case "medium" => ((1, 3), 1 << 18)
-    case "large"  => ((1, 3), 1 << 20)
+  def textParams(size: String): ((Int, Int), Int, Option[(Int, Int)]) = size match {
+    case "small"  => ((1, 2), 1 << 16, None)
+    case "medium" => ((1, 2), 1 << 18, Some((3, 4)))
+    case "large"  => ((1, 3), 1 << 20, Some((2, 5)))
     case other    => throw new IllegalArgumentException(s"unknown size: $other")
   }
 
@@ -218,8 +236,8 @@ object Encoderizer {
         .collect().map(_.getString(0)).toSeq
       Some(MapStage(spec.name, keys))
     case "text" =>
-      val (range, feats) = textParams(size)
-      Some(TextHashStage(spec.name, range, feats))
+      val (range, feats, charRange) = textParams(size)
+      Some(TextHashStage(spec.name, range, feats, charRange))
     case other => throw new IllegalArgumentException(s"unknown kind: $other")
   }
 

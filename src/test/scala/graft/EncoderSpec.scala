@@ -73,6 +73,18 @@ class EncoderSpec extends AnyFunSuite {
     assert(v.numNonzeros > 0)
   }
 
+  test("medium size adds char n-gram blocks (reference char_wb analyzers)") {
+    val enc = Encoderizer.fit(mixed, Seq("text"), size = "medium",
+      catThreshold = 0.01)
+    val stage = enc.stages.head.asInstanceOf[Encoderizer.TextHashStage]
+    assert(stage.charNGramRange.contains((3, 4)))
+    // word 1-2 grams + char 3-4 grams = 4 blocks of 2^18
+    assert(enc.width == (1 << 18) * 4)
+    val v = enc.transform(mixed).select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == (1 << 18) * 4 && v.numNonzeros > 0)
+  }
+
   test("extract produces a working sub-encoder") {
     val enc = Encoderizer.fit(mixed, Seq("color", "amount"), catThreshold = 0.5)
     val sub = enc.extract(Seq("amount"))

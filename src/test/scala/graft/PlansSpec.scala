@@ -45,6 +45,28 @@ class PlansSpec extends AnyFunSuite {
     assert(gotEq == all.count(_ == one).toLong && gotEq >= 1)
   }
 
+  test("bucketed tables join without a shuffle") {
+    // disable broadcast so the join strategy would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      graft.sources.Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(lineitem, "lineitem_b", "o_orderkey", 8)
+      val joined = graft.sources.Bucketing
+        .bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, plan:\n${plan.take(1500)}")
+      assert(joined.count() == lineitem.count(), "inner join keeps all lineitems")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+  }
+
   test("dimension joins broadcast; fact scans prune columns") {
     val q4 = SparkEntry.queries("q04_dim_join")(spark, "/root/testdata/sf0.001")
     val plan = q4.queryExecution.executedPlan.toString

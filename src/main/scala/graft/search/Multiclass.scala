@@ -99,22 +99,29 @@ class DistOneVsRest(learner: Learner,
   }
 }
 
-/** OvO: majority vote over all n(n-1)/2 pairwise binary problems, ties to
-  * the smallest class (`multiclass.py:365-475`).
+/** OvO: majority vote over all n(n-1)/2 pairwise binary problems; vote
+  * ties broken by accumulated pairwise confidence margins, then by the
+  * smallest class — sklearn's `_ovr_decision_function` semantics, which
+  * the reference inherits (`multiclass.py:365-475`): confidences are
+  * squashed small enough that they can only reorder within a vote tie.
   */
 final case class OvOModel(classes: Array[Double],
                           pairs: Array[(Double, Double)],
                           models: Array[Model]) extends Model {
   def predict(x: Array[Double]): Double = {
     val votes = scala.collection.mutable.Map.empty[Double, Int].withDefaultValue(0)
+    val conf = scala.collection.mutable.Map.empty[Double, Double].withDefaultValue(0.0)
     var i = 0
     while (i < pairs.length) {
       val (a, b) = pairs(i)
-      val winner = if (models(i).predict(x) == 0.0) a else b
-      votes(winner) += 1
+      val p = models(i).predictProba(x)
+      val margin = (if (p.length > 1) p(1) else p(0)) * 2 - 1 // >0 favors b
+      if (margin <= 0) votes(a) += 1 else votes(b) += 1
+      conf(a) -= margin
+      conf(b) += margin
       i += 1
     }
-    classes.minBy(c => (-votes(c), c))
+    classes.minBy(c => (-votes(c), -conf(c), c))
   }
   def predictProba(x: Array[Double]): Array[Double] = {
     // Normalized vote shares (sklearn OvO has no predict_proba; the

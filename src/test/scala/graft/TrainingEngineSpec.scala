@@ -85,6 +85,27 @@ class TrainingEngineSpec extends AnyFunSuite {
     assert(Metrics.accuracy(model, m.x, m.y) > 0.95)
   }
 
+  test("OvO vote ties break by confidence, then smallest class") {
+    import graft.exec.Model
+    // 3-class voting cycle: 0 beats 1, 1 beats 2, 2 beats 0 -> one vote
+    // each; confidences decide. Pair order is ((0,1),(0,2),(1,2)).
+    final case class Fixed(pPos: Double) extends Model {
+      def predict(x: Array[Double]): Double = if (pPos > 0.5) 1.0 else 0.0
+      def predictProba(x: Array[Double]): Array[Double] = Array(1 - pPos, pPos)
+    }
+    val classes = Array(0.0, 1.0, 2.0)
+    val pairs = Array((0.0, 1.0), (0.0, 2.0), (1.0, 2.0))
+    // (0,1): 0 wins weakly; (0,2): 2 wins strongly; (1,2): 1 wins weakly
+    val cyc = OvOModel(classes, pairs,
+      Array(Fixed(0.45), Fixed(0.95), Fixed(0.45)))
+    assert(cyc.predict(Array(0.0)) == 2.0,
+      "all tied on votes; class 2's strong margin must win")
+    // exactly symmetric margins -> confidence ties too -> smallest class
+    val sym = OvOModel(classes, pairs,
+      Array(Fixed(0.5), Fixed(0.5), Fixed(0.5)))
+    assert(sym.predict(Array(0.0)) == 0.0)
+  }
+
   test("forest is seed-deterministic and fits blobs; regressor works") {
     val m = blobs()
     val f1 = new DistForest(10, Map("max_depth" -> 4.0), seed = 5)

@@ -276,6 +276,42 @@ object Relational {
         .orderBy("l_suppkey", "rn")
     }),
 
+    // CUBE: all grouping-set combinations with labeled subtotal rows.
+    "q51_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("avg_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // Exact interpolated quantiles per group.
+    "q52_quantiles" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.25)"), 6).as("p25"),
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
+          round(expr("percentile(c_acctbal, 0.75)"), 6).as("p75"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Correlated-subquery shape: orders priced above their customer's
+    // average (expressed as a window in Spark, a correlated subquery in
+    // the oracle — same semantics, each engine's idiom).
+    "q53_above_customer_avg" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .withColumn("_avg", avg("o_totalprice").over(w))
+        .filter(col("o_totalprice") > col("_avg") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Regex predicate + LIKE.
     "q19_regexp" -> ((s, d) => {
       Tables.part(s, d)
@@ -462,6 +498,28 @@ object Relational {
         |FROM lineitem WHERE l_suppkey <= 5
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q51_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q52_quantiles" ->
+      """SELECT c_mktsegment,
+        | round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+        | round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        | round(quantile_cont(c_acctbal, 0.75), 6) AS p75
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q53_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q19_regexp" ->
       """SELECT p_brand, count(*) AS n FROM part

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink helpers beyond plain parquet: hive-style partitioned
+  * layout (the 100 TB must-have — a predicate on the partition column
+  * prunes whole directories before any IO), plus CSV/JSON ingestion with
+  * explicit schemas (schema inference costs a full extra pass at scale;
+  * never rely on it in production paths).
+  */
+object Sources {
+
+  /** Write hive-partitioned parquet: one directory per distinct value of
+    * `partitionCols`. Readers filtering on those columns scan only
+    * matching directories (PartitionFilters in the plan, not data IO).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

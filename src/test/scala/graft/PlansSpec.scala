@@ -67,6 +67,27 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout prunes directories; csv/json round-trip schemas") {
+    val base = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    graft.sources.Sources.writePartitioned(events, s"$base/events_p", Seq("event_type"))
+    val pruned = graft.sources.Sources.readPartitioned(spark, s"$base/events_p")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition pruning must reach the scan:\n${plan.take(1200)}")
+    assert(pruned.count() ==
+      events.filter(org.apache.spark.sql.functions.col("event_type") === "click").count())
+
+    val slim = events.select("event_id", "event_type", "value")
+    graft.sources.Sources.writeCsv(slim, s"$base/ev_csv")
+    graft.sources.Sources.writeJsonLines(slim, s"$base/ev_json")
+    val backCsv = graft.sources.Sources.readCsv(spark, s"$base/ev_csv", slim.schema)
+    val backJson = graft.sources.Sources.readJsonLines(spark, s"$base/ev_json", slim.schema)
+    assert(backCsv.count() == slim.count() && backJson.count() == slim.count())
+    assert(backCsv.schema == slim.schema)
+  }
+
   test("dimension joins broadcast; fact scans prune columns") {
     val q4 = SparkEntry.queries("q04_dim_join")(spark, "/root/testdata/sf0.001")
     val plan = q4.queryExecution.executedPlan.toString

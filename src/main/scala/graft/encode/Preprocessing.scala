@@ -74,6 +74,44 @@ object Preprocessing {
   def sliceIndices(c: Column, keep: Seq[Int]): Column =
     array(keep.map(i => element_at(c, i + 1)): _*)
 
+  /** `SelectorMem` univariate mode (f_classif): per-feature ANOVA F-score
+    * against a class label, computed distributed — posexplode the feature
+    * array, one groupBy (feature, label) for the sufficient statistics
+    * (n, Σx, Σx²), then F = (SSB/(k-1)) / (SSW/(N-k)) per feature. One
+    * shuffle keyed by (feature, label); scales to any row count.
+    */
+  def fScores(df: DataFrame, arrCol: String, labelCol: String): DataFrame = {
+    val exploded = df.select(col(labelCol).as("_y"),
+      posexplode(col(arrCol).cast("array<double>")).as(Seq("feature_idx", "_x")))
+    val perGroup = exploded.groupBy("feature_idx", "_y")
+      .agg(count(lit(1)).as("_n"), sum("_x").as("_s"), sum(col("_x") * col("_x")).as("_ss"))
+    perGroup.groupBy("feature_idx")
+      .agg(
+        sum("_n").as("_nt"),
+        sum("_s").as("_st"),
+        count(lit(1)).as("_k"),
+        // SSW = Σ_g (ss_g - s_g²/n_g)
+        sum(col("_ss") - col("_s") * col("_s") / col("_n")).as("_ssw"),
+        // Σ_g s_g²/n_g, for SSB = that - st²/nt
+        sum(col("_s") * col("_s") / col("_n")).as("_sb"))
+      .select(col("feature_idx"),
+        when(col("_k") > 1 && col("_ssw") > 0,
+          ((col("_sb") - col("_st") * col("_st") / col("_nt")) / (col("_k") - 1)) /
+            (col("_ssw") / (col("_nt") - col("_k"))))
+          .otherwise(0.0).as("f_score"))
+  }
+
+  /** Keep the k best features by F-score (ties → lowest index), the
+    * `SelectKBest(f_classif)` analog; percentile mode = k derived from
+    * the feature count.
+    */
+  def fTestKeepIndices(df: DataFrame, arrCol: String, labelCol: String,
+                       k: Int): Seq[Int] =
+    fScores(df, arrCol, labelCol)
+      .orderBy(col("f_score").desc, col("feature_idx").asc)
+      .limit(k)
+      .collect().map(_.getInt(0)).toSeq.sorted
+
   /** `SimpleVoter` as DataFrame columns (reference `postprocessing.py`):
     * hard vote over per-model prediction columns / soft vote over
     * per-model probability-array columns.

@@ -75,6 +75,15 @@ object EncodeQueries {
         .orderBy("kept_index")
     }),
 
+    // Univariate ANOVA F-scores per embedding dimension vs the label
+    // (SelectKBest(f_classif) sufficient statistics), top 5.
+    "q54_ftest_topk" -> ((s, d) => {
+      Preprocessing.fScores(Tables.embeddings(s, d), "embedding", "label")
+        .select(col("feature_idx"), round(col("f_score"), 6).as("f_score"))
+        .orderBy(col("f_score").desc, col("feature_idx").asc)
+        .limit(5)
+    }),
+
     // Codegen'd LinearScore expression vs DuckDB list_dot_product.
     "q47_linear_score" -> ((s, d) => {
       val w = Array.tabulate(64)(j => (j * 37 % 19 - 9) / 10.0)
@@ -101,6 +110,27 @@ object EncodeQueries {
     (0 until 64).map(j => (j * 37 % 19 - 9) / 10.0).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q54_ftest_topk" ->
+      """WITH x AS (
+        |  SELECT label AS y, CAST(i AS INT) - 1 AS feature_idx,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |       LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |g AS (
+        |  SELECT feature_idx, y, count(*) AS n, sum(v) AS s, sum(v*v) AS ss
+        |  FROM x GROUP BY feature_idx, y),
+        |f AS (
+        |  SELECT feature_idx,
+        |    sum(n) AS nt, sum(s) AS st, count(*) AS k,
+        |    sum(ss - s*s/n) AS ssw, sum(s*s/n) AS sb
+        |  FROM g GROUP BY feature_idx)
+        |SELECT feature_idx,
+        |  round(CASE WHEN k > 1 AND ssw > 0
+        |    THEN ((sb - st*st/nt) / (k - 1)) / (ssw / (nt - k))
+        |    ELSE 0.0 END, 6) AS f_score
+        |FROM f
+        |ORDER BY f_score DESC, feature_idx ASC LIMIT 5""".stripMargin,
+
     "q47_linear_score" ->
       s"""SELECT vec_id,
          | round(0.5 + list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -127,6 +127,23 @@ class EncoderSpec extends AnyFunSuite {
       SimpleVoter(Seq(m0), Seq(0.0), voting = "bogus"))
   }
 
+  test("f_classif selection finds the label-dependent features") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4)
+    // features 1 and 3 shift with the label; 0 and 2 are pure noise
+    val rows = (0 until 300).map { i =>
+      val y = i % 3
+      (y, Seq(rng.nextGaussian(), y * 2.0 + rng.nextGaussian() * 0.2,
+        rng.nextGaussian(), -y * 1.5 + rng.nextGaussian() * 0.3))
+    }
+    val df = rows.toDF("label", "arr")
+    val keep = Preprocessing.fTestKeepIndices(df, "arr", "label", k = 2)
+    assert(keep == Seq(1, 3), s"informative dims, got $keep")
+    val scores = Preprocessing.fScores(df, "arr", "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scores(1) > scores(0) * 10 && scores(3) > scores(2) * 10)
+  }
+
   test("variance threshold + slice drop constant features") {
     val df = Seq(Tuple1(Seq(1.0, 7.0, 2.0)), Tuple1(Seq(2.0, 7.0, 4.0)))
       .toDF("arr")

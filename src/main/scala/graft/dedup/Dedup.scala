@@ -9,6 +9,13 @@ import graft.text.TextFunctions
   * exact n-gram Jaccard (shingle inverted-index join), MinHash LSH
   * (Spark ML), SimHash banding, and embedding-cosine near-dup.
   *
+  * Cache lifetime: the self-join intermediates below are `.cache()`d and
+  * intentionally NOT unpersisted — the returned DataFrames are lazy and
+  * may re-evaluate after return, so eager unpersist would break them.
+  * Long-lived sessions calling these repeatedly rely on Spark's LRU
+  * storage eviction; callers wanting deterministic release should
+  * materialize the result and `spark.catalog.clearCache()`.
+  *
   * Scale design: every pairwise method avoids the O(n²) cross join —
   * candidate pairs come from an equi-join on a shared key (shingle, LSH
   * bucket, simhash band), which Spark executes as a shuffled hash join on

@@ -151,10 +151,13 @@ object Encoderizer {
     private def charSizes = charNGramRange.map(r => r._2 - r._1 + 1).getOrElse(0)
     val width: Int = numFeatures * (wordSizes + charSizes)
     def transform(df: DataFrame, outCol: String): DataFrame = {
-      val tok = new RegexTokenizer().setInputCol(name).setOutputCol(s"_tok_$name")
+      // null-coalesce into a TEMP column: overwriting the user's column
+      // would leak the mutation into the returned frame
+      val txt = s"_txt_$name"
+      val tok = new RegexTokenizer().setInputCol(txt).setOutputCol(s"_tok_$name")
         .setPattern("\\s+").setToLowercase(true)
-      var out = tok.transform(df.withColumn(name, coalesce(col(name), lit(""))))
-      var tmpCols = Seq(s"_tok_$name")
+      var out = tok.transform(df.withColumn(txt, coalesce(col(name), lit(""))))
+      var tmpCols = Seq(txt, s"_tok_$name")
       val wordCols = (nGramRange._1 to nGramRange._2).map { g =>
         val gcol = s"_g${g}_$name"
         val hcol = s"_h${g}_$name"
@@ -172,7 +175,7 @@ object Encoderizer {
           val gcol = s"_cg${g}_$name"
           val hcol = s"_ch${g}_$name"
           out = out.withColumn(gcol,
-            graft.text.TextFunctions.charNGrams(lower(col(name)), g))
+            graft.text.TextFunctions.charNGrams(lower(col(txt)), g))
           out = new HashingTF().setInputCol(gcol).setOutputCol(hcol)
             .setNumFeatures(numFeatures).transform(out)
           tmpCols ++= Seq(gcol, hcol)

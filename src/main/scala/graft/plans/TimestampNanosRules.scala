@@ -35,10 +35,15 @@ object PushTimestampNanosFilters extends Rule[LogicalPlan] {
     }
   }
 
+  /** Only positive-micros literals (after 1970-01-01T00:00:00.000001):
+    * SQL DIV truncates toward zero, not floor, so the t↔c equivalences
+    * below hold for ALL c (including negative nanos) only when T > 0.
+    * Pre-epoch literals simply don't rewrite — correct, just unpruned.
+    */
   private object TsLit {
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampType) => Some(v)
-      case Cast(Literal(v: Long, TimestampType), TimestampType, _, _) => Some(v)
+      case Literal(v: Long, TimestampType) if v > 0 => Some(v)
+      case Cast(Literal(v: Long, TimestampType), TimestampType, _, _) if v > 0 => Some(v)
       case _ => None
     }
   }

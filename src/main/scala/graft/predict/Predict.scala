@@ -58,8 +58,7 @@ object Predict {
       graft.functions.LinearScore(feats, w.init, w.last)
     }
     val scores = array(scoreCols.toIndexedSeq: _*)
-    df.withColumn(outCol,
-      (array_position(scores, array_max(scores)) - 1).cast("int"))
+    df.withColumn(outCol, graft.agg.Voting.argmax(scores))
   }
 
   def withPredictions(spark: SparkSession, df: DataFrame, model: Model,

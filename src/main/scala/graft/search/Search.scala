@@ -142,33 +142,35 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
     val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
     val bc = spark.sparkContext.broadcast(matrix)
 
-    // Per-model candidate draws; global candidate_id = model offset + draw.
+    // Per-model candidate draws; rows are keyed by (model_name,
+    // per-model candidate index) — names, not arithmetic id packing, so
+    // candidate counts can never collide across models. Task ids (used
+    // only for per-task seeds) get a running offset to stay globally
+    // unique.
     val perModel = models.zipWithIndex.map { case ((name, learner, grid), mi) =>
       val cands = ParamSampler.sample(
         grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) }, n, seed + mi)
         .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
-      (name, learner, cands, mi)
+      (name, learner, cands)
     }
-    val flat = perModel.flatMap { case (name, learner, cands, mi) =>
-      cands.zipWithIndex.map { case (params, pi) => (name, learner, params, mi, pi) }
-    }
-    // One fan-out per model (learners differ), same task-id space.
-    val frames = perModel.map { case (name, learner, cands, mi) =>
-      val tasks = for {
-        (params, pi) <- cands.zipWithIndex
-        fold <- 0 until cv
-      } yield FitTask((mi * 1000 + pi) * cv + fold, mi * 1000 + pi, fold, params)
-      ModelParallel.run(spark, tasks, bc, learner, scoring, seed)
-        .withColumn("model_name", lit(name))
+    val taskOffsets = perModel.scanLeft(0)(_ + _._3.size * cv).init
+    val frames = perModel.zip(taskOffsets).map {
+      case ((name, learner, cands), off) =>
+        val tasks = for {
+          (params, pi) <- cands.zipWithIndex
+          fold <- 0 until cv
+        } yield FitTask(off + pi * cv + fold, pi, fold, params)
+        ModelParallel.run(spark, tasks, bc, learner, scoring, seed)
+          .withColumn("model_name", lit(name))
     }
     val scores = frames.reduce(_ union _)
     // cached for the same reason as in DistGridSearchCV.fitMatrix
     val agg = CvResults.aggregate(scores, Seq("model_name", "candidate_id")).cache()
     val bestRow = CvResults.best(agg, Seq("model_name", "candidate_id")).head()
-    val bestKey = bestRow.getAs[Int]("candidate_id")
+    val bestPi = bestRow.getAs[Int]("candidate_id")
     val bestName = bestRow.getAs[String]("model_name")
-    val (_, bestLearner, bestParams, _, _) =
-      flat.find(f => f._4 * 1000 + f._5 == bestKey).get
+    val (_, bestLearner, bestCands) = perModel.find(_._1 == bestName).get
+    val bestParams = bestCands(bestPi)
     val bestModel = bestLearner.fit(matrix.x, matrix.y, bestParams, seed)
     bc.unpersist() // cvResults is lazy; destroy would break re-evaluation
     MultiResult(agg.orderBy("model_name", "candidate_id"), bestName, bestParams,

@@ -42,7 +42,8 @@ object Streams {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionState(nEvents: Long, total: Double,
+                                startTs: Long, lastTs: Long)
   final case class Session(user_id: Long, n_events: Long, total_value: Double,
                            duration_ms: Long)
 
@@ -59,18 +60,21 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.nEvents, s.total, 0L))
+            Iterator(Session(userId, s.nEvents, s.total, s.lastTs - s.startTs))
           } else {
             val evs = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption.getOrElse(SessionState(0, 0.0, Long.MinValue))
+            var cur = state.getOption.getOrElse(
+              SessionState(0, 0.0, Long.MinValue, Long.MinValue))
             val out = Seq.newBuilder[Session]
             evs.foreach { e =>
               val t = e.ts.getTime
               if (cur.nEvents > 0 && t - cur.lastTs > gapMs) {
-                out += Session(userId, cur.nEvents, cur.total, 0L)
-                cur = SessionState(0, 0.0, Long.MinValue)
+                out += Session(userId, cur.nEvents, cur.total,
+                  cur.lastTs - cur.startTs)
+                cur = SessionState(0, 0.0, Long.MinValue, Long.MinValue)
               }
-              cur = SessionState(cur.nEvents + 1, cur.total + e.value, t)
+              cur = SessionState(cur.nEvents + 1, cur.total + e.value,
+                if (cur.nEvents == 0) t else cur.startTs, t)
             }
             state.update(cur)
             state.setTimeoutDuration(gapMs)

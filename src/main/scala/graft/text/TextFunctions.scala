@@ -18,17 +18,25 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles joined by single spaces. */
+  /** Word n-gram shingles joined by single spaces. Texts with fewer than
+    * n tokens yield an empty array — without the guard, sequence(1, 0)
+    * produces the DESCENDING array [1, 0] and slice(_, 0, _) throws at
+    * runtime.
+    */
   def wordNGrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(t, i, lit(n))))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
-  /** Character n-gram shingles. */
+  /** Character n-gram shingles; same short-input guard as wordNGrams
+    * (substr(0, n) silently aliases substr(1, n), duplicating grams).
+    */
   def charNGrams(text: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n)))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
 
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "for")

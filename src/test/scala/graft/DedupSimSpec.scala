@@ -118,6 +118,23 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ivf.size == 12 * 5, "k results per query")
   }
 
+  test("n-gram shingles are empty (not crashing/duplicated) on short text") {
+    import graft.text.TextFunctions
+    val df = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val grams = df.select(col("doc_id"),
+      TextFunctions.wordNGrams(col("text"), 3).as("w"),
+      TextFunctions.charNGrams(col("text"), 3).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    assert(grams(1L)._1.isEmpty && grams(1L)._2.isEmpty)
+    assert(grams(2L)._1.isEmpty, "1 token < n=3 -> no word grams")
+    assert(grams(2L)._2 == Seq("one"), "3 chars -> exactly one char gram")
+    assert(grams(3L)._1.isEmpty && grams(4L)._1 == Seq("a b c", "b c d"))
+    // the whole dedup pipeline must survive a corpus with short docs
+    assert(Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.1).count() == 0)
+    assert(Dedup.minhashPairs(df, "text", "doc_id", 3, 8, 0.1).count() == 0)
+  }
+
   test("langId spots language by stopword profile") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is the best of all"),

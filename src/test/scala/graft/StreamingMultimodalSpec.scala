@@ -56,6 +56,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // open session (1 event, 4.0) stays in state awaiting timeout.
     assert(u1.map(_.n_events).toSeq == Seq(2L), s"got ${u1.toSeq}")
     assert(u1.map(_.total_value).sum == 3.0)
+    assert(u1.head.duration_ms == 60000L,
+      "session duration = last event - first event of the closed session")
     assert(sessions.count(_.user_id == 2) == 0,
       "user 2's single session never closed, so nothing is emitted yet")
   }

@@ -57,6 +57,10 @@ object LogisticRegressionGD extends Learner {
     val lambda = if (c <= 0) 0.0 else 1.0 / (c * n)
     val maxIter = params.getOrElse("max_iter", 100.0).toInt
     val lr = params.getOrElse("lr", 0.5)
+    // early stop when the mean gradient magnitude falls below tol —
+    // large max_iter stops costing fit time once converged (sklearn's
+    // tol contract); tol <= 0 disables.
+    val tol = params.getOrElse("tol", 1e-6)
 
     val w = Array.fill(k)(new Array[Double](d + 1))
     val grad = Array.fill(k)(new Array[Double](d + 1))
@@ -80,18 +84,23 @@ object LogisticRegressionGD extends Learner {
         }
         i += 1
       }
+      var gradMax = 0.0
       cc = 0
       while (cc < k) {
         val g = grad(cc); val wc = w(cc)
         var j = 0
         while (j <= d) {
           val reg = if (j < d) lambda * wc(j) else 0.0 // bias unregularized
-          wc(j) -= lr * (g(j) / n + reg)
+          val step = g(j) / n + reg
+          val a = math.abs(step)
+          if (a > gradMax) gradMax = a
+          wc(j) -= lr * step
           j += 1
         }
         cc += 1
       }
       it += 1
+      if (tol > 0 && gradMax < tol) it = maxIter // converged
     }
     model
   }

@@ -312,6 +312,42 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // Date-part extraction battery over order dates.
+    "q55_date_parts" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(month(col("o_orderdate"))).as("n_months"),
+          countDistinct(dayofweek(col("o_orderdate"))).as("n_dows"))
+        .orderBy("y", "q")
+    }),
+
+    // String-function battery: pad/trim/replace/reverse/position.
+    "q56_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("brand_pad"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels"),
+        reverse(col("p_type")).as("type_rev"),
+        instr(col("p_name"), " ").cast("long").as("space_pos"),
+        substring_index(col("p_name"), " ", 1).as("first_word"))
+        .orderBy("p_partkey")
+    }),
+
+    // Array-function battery over embeddings: slice/sort/contains-style.
+    "q57_array_funcs" -> ((s, d) => {
+      val e = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(element_at(e, 1), 6).as("first_dim"),
+        round(array_max(e), 6).as("max_dim"),
+        round(array_min(e), 6).as("min_dim"),
+        round(element_at(array_sort(e), 32), 6).as("median_low"),
+        size(filter(e, x => x > 0.0)).as("n_positive"))
+        .orderBy("vec_id")
+    }),
+
     // Regex predicate + LIKE.
     "q19_regexp" -> ((s, d) => {
       Tables.part(s, d)
@@ -520,6 +556,33 @@ object Relational {
         |WHERE o_totalprice > 1.5 * (
         |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q55_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | count(*) AS n,
+        | count(DISTINCT month(o_orderdate)) AS n_months,
+        | count(DISTINCT dayofweek(o_orderdate) + 1) AS n_dows
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q56_string_funcs" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '_') AS brand_pad,
+        | translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+        | reverse(p_type) AS type_rev,
+        | CAST(instr(p_name, ' ') AS BIGINT) AS space_pos,
+        | split_part(p_name, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q57_array_funcs" ->
+      """SELECT vec_id,
+        | round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+        | round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_dim,
+        | round(list_min(CAST(embedding AS DOUBLE[])), 6) AS min_dim,
+        | round(list_sort(CAST(embedding AS DOUBLE[]))[32], 6) AS median_low,
+        | CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0)) AS INT)
+        |   AS n_positive
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q19_regexp" ->
       """SELECT p_brand, count(*) AS n FROM part

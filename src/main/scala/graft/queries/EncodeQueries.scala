@@ -84,6 +84,20 @@ object EncodeQueries {
         .limit(5)
     }),
 
+    // Whole Encoderizer end-to-end: infer + fit + transform documents
+    // (lang/source one-hots + standardized n_chars), checked via the
+    // assembled vector's element sum = 2 + scaled(n_chars).
+    "q58_encoder_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = Encoderizer.fit(docs, Seq("lang", "source", "n_chars"))
+      val out = enc.transform(docs)
+      out.select(col("doc_id"),
+        round(aggregate(
+          org.apache.spark.ml.functions.vector_to_array(col("features")),
+          lit(0.0), (a, x) => a + x), 6).as("feat_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Codegen'd LinearScore expression vs DuckDB list_dot_product.
     "q47_linear_score" -> ((s, d) => {
       val w = Array.tabulate(64)(j => (j * 37 % 19 - 9) / 10.0)
@@ -110,6 +124,13 @@ object EncodeQueries {
     (0 until 64).map(j => (j * 37 % 19 - 9) / 10.0).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q58_encoder_e2e" ->
+      """WITH stats AS (
+        |  SELECT avg(n_chars) AS m, stddev_pop(n_chars) AS s FROM documents)
+        |SELECT doc_id,
+        |  round(2.0 + (n_chars - m) / s, 6) AS feat_sum
+        |FROM documents, stats ORDER BY doc_id""".stripMargin,
+
     "q54_ftest_topk" ->
       """WITH x AS (
         |  SELECT label AS y, CAST(i AS INT) - 1 AS feature_idx,

@@ -3,18 +3,19 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Par
 import graft.text.TextFunctions
 
 /** Deduplication operators for web-scale corpora: exact (hash-groupBy),
   * exact n-gram Jaccard (shingle inverted-index join), MinHash LSH
   * (Spark ML), SimHash banding, and embedding-cosine near-dup.
   *
-  * Cache lifetime: the self-join intermediates below are `.cache()`d and
-  * intentionally NOT unpersisted — the returned DataFrames are lazy and
-  * may re-evaluate after return, so eager unpersist would break them.
-  * Long-lived sessions calling these repeatedly rely on Spark's LRU
-  * storage eviction; callers wanting deterministic release should
-  * materialize the result and `spark.catalog.clearCache()`.
+  * Persistence: intermediates consumed twice as self-join sides share one
+  * canonical plan, so AQE's exchange reuse materializes them once — no
+  * cache needed there. The one exception is minhash's (id, shingles)
+  * frame, consumed by three divergent plans; it is persisted
+  * (MEMORY_AND_DISK, spills rather than evicts) and left to Spark's LRU —
+  * eager unpersist would break the lazily-returned result.
   *
   * Scale design: every pairwise method avoids the O(n²) cross join —
   * candidate pairs come from an equi-join on a shared key (shingle, LSH
@@ -50,38 +51,78 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double,
                         maxShingleDf: Int = 1000): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.wordNGrams(col(textCol), n))).as("s"))
-      .filter(length(col("s")) > 0)
-    val filtered = {
-      val base =
-        if (maxShingleDf == Int.MaxValue) sh
-        else {
-          val hot = sh.groupBy("s").agg(count(lit(1)).as("df_count"))
-            .filter(col("df_count") > maxShingleDf).select("s")
-          sh.join(hot, Seq("s"), "left_anti")
-        }
-      // consumed 3x (sizes + both join sides): cache the shingle index so
-      // tokenize/shingle/explode runs once, not three times.
-      base.cache()
+    val base = Par.fanOut(df.select(col(idCol).as("doc"), col(textCol).as("text")))
+    val arr = array_filter_nonempty(
+      TextFunctions.distinctWordNGrams(col("text"), n))
+    if (maxShingleDf == Int.MaxValue) {
+      // Carry each doc's shingle-set size THROUGH the explode so no
+      // separate sizes aggregation (and no join-back) is needed: |A| and
+      // |B| ride along with every inverted-index row and fall out of the
+      // pair groupBy for free (functionally dependent on the doc ids).
+      // The self-join's two sides share one canonical plan, so Spark
+      // computes the exchange once (ReusedExchange) — no cache pin needed.
+      // Net: 2 shuffles (s for the join, pair for the groupBy) vs 5 naive.
+      // explode_outer, not explode: InferFiltersFromGenerate turns a plain
+      // explode into an inferred `size(arr)>0 AND isnotnull(arr)` filter
+      // that predicate pushdown substitutes (full shingle expression, twice)
+      // below the fan-out exchange — re-serializing the whole shingle
+      // computation onto the single pre-shuffle task. The rule skips outer
+      // generates; the explicit isnotnull(s) keeps the row semantics.
+      val sh = base.select(col("doc"), arr.as("_arr"))
+        .select(col("doc"), size(col("_arr")).as("n_sh"),
+          explode_outer(col("_arr")).as("s"))
+        .filter(col("s").isNotNull)
+      selfJoinOnShingle(sh)
+        .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jaccard",
+          round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      // Document-frequency cap: the hot-shingle list (df > cap) comes from
+      // a map-side-combined groupBy — its OUTPUT is tiny (only viral keys)
+      // even though its input is the full index — and is broadcast into a
+      // left_anti join, so the index itself is never shuffled for the cap.
+      // Post-cap per-doc sizes need their own small aggregate, joined back
+      // onto the (already tiny) pair aggregate, not onto the index.
+      val exploded = base.select(col("doc"), explode_outer(arr).as("s"))
+        .filter(col("s").isNotNull) // see no-cap branch: dodge InferFiltersFromGenerate
+      val hot = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxShingleDf).select("s")
+      val filtered = exploded.join(broadcast(hot), Seq("s"), "left_anti")
+      val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+      selfJoinOnShingle(filtered)
+        .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .withColumn("jaccard",
+          round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
     }
-    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
   }
+
+  /** Inverted-index self-join on the shingle, shuffle_hash and never
+    * broadcast: Catalyst sizes the join sides from the parquet scan (a few
+    * MB) and would broadcast — but the exploded index is |docs|×|shingles|
+    * rows and the join output is sum(df(s)^2), both far larger than the
+    * scan. A shuffled hash join partitions by s (both sides share one
+    * canonical exchange → computed once) and spreads the pair explosion
+    * across all cores; no SMJ sort, no driver-side broadcast build.
+    */
+  private def selfJoinOnShingle(sh: DataFrame): DataFrame =
+    sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+
+  /** filter(arr, x -> length(x) > 0) — drops empty shingles BEFORE sizing
+    * so |A| matches the exploded row count exactly.
+    */
+  private def array_filter_nonempty(arr: Column): Column =
+    filter(arr, s => length(s) > 0)
 
   /** MinHash LSH near-dup pairs, engine-native: per-table signature
     * h_t = min over shingles of xxhash64(shingle, seed_t) (all codegen'd
@@ -98,23 +139,46 @@ object Dedup {
                    n: Int = 3, numHashTables: Int = 8,
                    minJaccard: Double = 0.2,
                    seed: Long = 42): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.wordNGrams(col(textCol), n)).as("shingles"))
+    // The (id, shingles) frame is consumed three times with divergent
+    // downstream plans (signature build + two rerank joins), so exchange
+    // reuse cannot dedup it — persist it. MEMORY_AND_DISK (the default)
+    // spills rather than evicts at corpus scale; this is a deliberate
+    // recompute-vs-storage trade, measured ~2x end-to-end.
+    val sh = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .cache() // reused: signature build + two candidate-rerank joins
+      .persist()
+    // explode_outer: the inferred not-null/size filter of a plain explode
+    // would evaluate ALL k signatures a second time (see ngramJaccardPairs);
+    // the array literal is never empty so the rows are identical.
     val sigs = sh.select(col("id"),
-      explode(array((0 until numHashTables).map { t =>
+      explode_outer(array((0 until numHashTables).map { t =>
         struct(lit(t).as("t"),
           array_min(transform(col("shingles"),
             s => xxhash64(s, lit(seed + t)))).as("h"))
       }: _*)).as("sig"))
       .select(col("id"), col("sig.t").as("t"), col("sig.h").as("h"))
-    val cand = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // Candidates by bucket-collect, not self-join: one shuffle groups each
+    // (table, signature) bucket, then in-bucket i<j pairs are generated
+    // with codegen'd array lambdas — half the shuffles of a self-join and
+    // no quadratic per-bucket join probes. The pair groupBy both dedups
+    // across tables (a pair can collide in several) and is the only other
+    // shuffle before rerank.
+    // Explicit repartition on the bucket key: the groupBy reuses it (no
+    // second exchange), and AQE leaves user repartitions alone — otherwise
+    // it coalesces this small-bytes/heavy-compute shuffle to ONE task and
+    // serializes the in-bucket pair generation.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val cand = sigs.repartition(p, col("t"), col("h"))
+      .groupBy("t", "h").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // explode_outer: a plain explode's inferred filter re-evaluates the
+      // whole interpreted pairsWithin lambda chain twice per bucket.
+      .select(explode_outer(pairsWithin(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).agg(lit(1))
+      .select("id_a", "id_b")
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("_sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("_sb")), "id_b")
@@ -123,6 +187,20 @@ object Dedup {
         (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** All i<j pairs within one LSH bucket's id list, as structs
+    * (id_a < id_b): sort, then for each element pair it with every later
+    * element. Codegen'd array lambdas — no join, no UDF. Bucket sizes are
+    * bounded in practice by the signature width; a genuinely viral bucket
+    * (thousands of identical docs) is quadratic in ANY pairwise dedup and
+    * should be cut upstream by exact dedup first.
+    */
+  private def pairsWithin(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -135,25 +213,47 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(bands > maxHamming, "need bands > maxHamming for pigeonhole recall")
     val bits = 64 / bands
-    val withHash = TextFunctions.withSimhash(df, textCol, idCol, "simhash")
+    val fanned = Par.fanOut(df.select(col(idCol), col(textCol)))
+    val withHash = TextFunctions.withSimhash(fanned, textCol, idCol, "simhash")
       .select(col(idCol).as("id"), col("simhash"))
     val banded = withHash.select(col("id"), col("simhash"),
-      explode(array((0 until bands).map { b =>
+      explode_outer(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * bits)
             .bitwiseAND(if (bits == 64) -1L else (1L << bits) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache() // self-joined: avoid recomputing the simhash aggregation twice
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        TextFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+    // Bucket-collect candidates (see minhashPairs): one shuffle to group
+    // each (band, key) bucket, in-bucket pairs via array lambdas, then a
+    // pair groupBy that dedups across bands. The hamming distance is
+    // computed from the struct payloads before the dedup groupBy — it is
+    // functionally dependent on the pair, so grouping by it adds nothing
+    // to the key's cardinality.
+    banded
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("key")) // keep AQE from coalescing to one task
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode_outer(keyedPairsWithin(col("xs"))).as("p"))
+      .filter(col("p").isNotNull) // see minhashPairs: dodge inferred-filter recompute
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        TextFunctions.hamming(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
+      .groupBy("id_a", "id_b", "hamming").agg(lit(1))
+      .select("id_a", "id_b", "hamming")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** In-bucket i<j pairs over struct payloads whose FIRST field is the id:
+    * array_sort orders structs field-by-field, so sorting yields id order
+    * and every emitted pair has a.id < b.id.
+    */
+  private[graft] def keyedPairsWithin(xs: Column): Column = {
+    val sorted = array_sort(xs)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        b => struct(a.as("a"), b.as("b")))))
   }
 
   /** Embedding-cosine near-dup pairs above `minCosine`, via the ANN

@@ -25,10 +25,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity via the custom codegen'd expression — one fused
+    * loop; the HOF composition (three aggregate/zip_with chains) runs
+    * interpreted with per-element boxing and dominates kNN/rerank cost.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal into codegen — the corpus is scanned once, filtered and
@@ -51,8 +53,9 @@ object Similarity {
                      idCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("_cv"))
+    val scored = graft.ops.Par.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv")))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("_cv"), col("_qv")), 6))
@@ -123,8 +126,11 @@ object Similarity {
                     seed: Long, sigCol: String = "sig"): DataFrame = {
     val hp = hyperplanes(dim, planes, seed)
     val v = col(vecCol).cast("array<double>")
+    // Constant plane → LinearScore (codegen'd dot with the plane held as a
+    // referenced double[]), not the interpreted HOF dot.
     val sig = hp.zipWithIndex.map { case (plane, p) =>
-      when(dot(v, typedlit(plane)) >= 0.0, lit(1L << p)).otherwise(0L)
+      when(graft.functions.LinearScore(v, plane.toArray, 0.0) >= 0.0,
+        lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
     df.withColumn(sigCol, sig)
   }
@@ -138,25 +144,35 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val bits = planes / bands
     val sigDf = withSignature(
-      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("_v")),
+      graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("_v"))),
       "_v", dim, planes, seed)
+    // explode_outer: a plain explode's inferred not-null filter would
+    // recompute the full `planes`-dot-product signature below the fan-out
+    // exchange (see Dedup.ngramJaccardPairs); the band array is never empty.
     val banded = sigDf.select(col("id"), col("_v"),
-      explode(array((0 until bands).map { b =>
+      explode_outer(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("_v"), col("bk.band"), col("bk.key"))
-      .cache() // self-joined: signature dot-products computed once
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a._v").as("_va"), col("b._v").as("_vb"))
-      .distinct()
-      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
-      .filter(col("cos") >= minCosine)
+    // Bucket-collect candidates (see Dedup.minhashPairs): one shuffle
+    // groups each band bucket, in-bucket pairs come from array lambdas,
+    // and the cross-band dedup groups by ids only — never by the vector
+    // payloads (the old distinct() compared full arrays in the shuffle).
+    banded
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("key")) // keep AQE from coalescing to one task
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("id"), col("_v"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode_outer(graft.dedup.Dedup.keyedPairsWithin(col("xs"))).as("p"))
+      .filter(col("p").isNotNull) // dodge inferred-filter recompute (see Dedup)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        round(cosine(col("p.a._v"), col("p.b._v")), 6).as("cos"))
+      .groupBy("id_a", "id_b", "cos").agg(lit(1))
       .select("id_a", "id_b", "cos")
+      .filter(col("cos") >= minCosine)
   }
 }

@@ -30,6 +30,14 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
+  /** Distinct word n-gram shingles in first-occurrence order — the fused
+    * codegen'd form of `array_distinct(wordNGrams(text, n))` (see
+    * [[graft.functions.NGramShingles]]); the shingle-build hot path for
+    * Jaccard / MinHash dedup.
+    */
+  def distinctWordNGrams(text: Column, n: Int): Column =
+    graft.functions.NGramShingles(tokens(text), n)
+
   /** Character n-gram shingles; same short-input guard as wordNGrams
     * (substr(0, n) silently aliases substr(1, n), duplicating grams).
     */
@@ -106,28 +114,19 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** 64-bit simhash over whitespace tokens, computed via explode +
-    * 64 conditional sums + bit packing — one shuffle on the doc key,
-    * fully codegen'd, no UDF. Returns df with an added `simhashCol`.
+  /** 64-bit simhash over whitespace tokens as ONE scalar expression: hash
+    * each token (built-in codegen'd xxhash64), fold the hashes with the
+    * custom codegen'd [[graft.functions.Simhash64]] expression. No explode,
+    * no 64-column aggregation, no join-back — zero shuffles,
+    * embarrassingly parallel over the corpus.
     */
+  def simhash(text: Column): Column =
+    graft.functions.Simhash64(transform(tokens(text), t => xxhash64(t)))
+
+  /** Returns df with an added `simhashCol` (see [[simhash]]). */
   def withSimhash(df: DataFrame, textCol: String, idCol: String,
-                  simhashCol: String = "simhash"): DataFrame = {
-    val hashed = df
-      .select(col(idCol), explode_outer(tokens(col(textCol))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("_h").isNull, 0)
-        .when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"_b$b")
-    }
-    val packed = (0 until 64).map { b =>
-      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    df.join(
-      hashed.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-        .select(col(idCol), packed.as(simhashCol)),
-      idCol)
-  }
+                  simhashCol: String = "simhash"): DataFrame =
+    df.withColumn(simhashCol, simhash(col(textCol)))
 
   /** Hamming distance between two simhash longs (codegen'd bit_count). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

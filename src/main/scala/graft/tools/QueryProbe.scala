@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.SparkEntry
+
+/** Micro-bench a subset of registered queries: args = sfDir then query
+  * names; prints per-query min-of-2 seconds. For plan iteration without
+  * paying the full Bench sweep.
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.lineitem(spark, sfDir).count()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"PROBE $name%-24s ${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+}

@@ -73,4 +73,68 @@ class FunctionsSpec extends AnyFunSuite {
       df.select(LinearScore(col("x"), Array(1.0), 0.0)).collect()
     }
   }
+
+  test("ngram_shingles matches array_distinct(wordNGrams) under forced codegen") {
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                     // heavy duplicates
+      "one two",                       // fewer than n tokens
+      "  leading  and   trailing  ",   // ragged whitespace
+      "", "solo",
+      "x y z x y z x y z"              // repeated grams, order matters
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.distinctWordNGrams(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = df.select(col("id"),
+      array_distinct(TextFunctions.wordNGrams(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { case (_, _) => () }
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"row $id: got ${got(id)} want $w")
+    }
+  }
+
+  test("simhash64 matches an independent driver-side fold under forced codegen") {
+    import graft.functions.Simhash64
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(rng.nextInt(20))(rng.nextLong())))
+    val df = rows.toDF("id", "hs")
+    val got = df.select(col("id"), Simhash64(col("hs")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, hs) =>
+      var want = 0L
+      (0 until 64).foreach { b =>
+        val c = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (c > 0) want |= 1L << b
+      }
+      assert(got(id) == want, s"row $id")
+    }
+  }
+
+  test("cosine_sim matches driver-side cosine under forced codegen") {
+    import graft.functions.CosineSim
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian()), Seq.fill(16)(rng.nextGaussian())))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), CosineSim(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum)
+      val want = if (d == 0.0) 0.0 else dot / d
+      assert(math.abs(got(id) - want) < 1e-12, s"row $id")
+    }
+    // zero-norm side → 0.0, not NaN
+    val z = Seq((0L, Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+      .select(CosineSim(col("a"), col("b"))).head().getDouble(0)
+    assert(z == 0.0)
+  }
 }

@@ -46,6 +46,34 @@ class TrainingEngineSpec extends AnyFunSuite {
         "std_test_score", "rank_test_score")).size == 5)
   }
 
+  test("L-BFGS solver: faster convergence than GD, plugs into grid search") {
+    import graft.exec.LogisticRegressionLBFGS
+    val m = blobs()
+    // At a tight iteration budget, L-BFGS already separates the blobs
+    // while fixed-step GD has barely moved.
+    val budget = Map("c" -> 1.0, "max_iter" -> 15.0)
+    val lb = LogisticRegressionLBFGS.fit(m.x, m.y, budget, 0L)
+    assert(Metrics.accuracy(lb, m.x, m.y) > 0.99,
+      "L-BFGS should recover separable blobs in 15 iters")
+    def meanNll(model: graft.exec.Model): Double = {
+      val ps = m.x.zip(m.y).map { case (x, yi) =>
+        -math.log(math.max(model.predictProba(x)(yi.toInt), 1e-15)) }
+      ps.sum / ps.length
+    }
+    val gd = LogisticRegressionGD.fit(m.x, m.y, budget ++ Map("lr" -> 0.5), 0L)
+    assert(meanNll(lb) < meanNll(gd),
+      s"L-BFGS loss ${meanNll(lb)} should beat GD ${meanNll(gd)} at equal budget")
+    // Deterministic: same inputs, same weights.
+    val lb2 = LogisticRegressionLBFGS.fit(m.x, m.y, budget, 99L)
+    assert(lb.asInstanceOf[graft.exec.LogRegModel].weights.flatten.toSeq ==
+      lb2.asInstanceOf[graft.exec.LogRegModel].weights.flatten.toSeq)
+    // Drop-in Learner for the search meta-estimators.
+    val gs = new DistGridSearchCV(LogisticRegressionLBFGS,
+      Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(30.0)), cv = 3)
+    val r = gs.fitMatrix(spark, m)
+    assert(r.bestScore > 0.95, s"got ${r.bestScore}")
+  }
+
   test("randomized search clamps nIter and stays deterministic per seed") {
     val m = blobs()
     val rs = new DistRandomizedSearchCV(LogisticRegressionGD,

@@ -28,6 +28,28 @@ object Streams {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Raw-layout event schema: `ts` as it sits in the driver's parquet —
+    * TIMESTAMP(NANOS), which Spark surfaces as long under the legacy
+    * nanosAsLong conf (see graft.Tables.load).
+    */
+  val rawEventSchema: StructType = StructType(
+    eventSchema.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** Stream straight over the RAW nanos events parquet — no pre-normalized
+    * copy. The streaming parquet source shares the batch reader, so the
+    * legacy nanosAsLong conf applies; the long column is rebuilt to a
+    * micros timestamp with integer division (a double division would lose
+    * precision above 2^53 ns), mirroring the batch-side Tables.load.
+    */
+  def readEventsRaw(spark: SparkSession, dir: String,
+                    glob: String = "*.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", glob) // streaming sources need a DIRECTORY
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** Windowed rollup (shared shape with batch q11): tumbling window +
     * per-type counts/sums, 10-minute watermark bounds state.
     */

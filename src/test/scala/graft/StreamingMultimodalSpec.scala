@@ -17,15 +17,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("streaming windowed rollup matches the batch rollup on the same files") {
-    // Streaming can't read the nanos timestamps directly; write a
-    // micros-normalized copy once via Tables.load.
-    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
-    Tables.events(spark, "/root/testdata/sf0.001").write
-      .mode("overwrite").parquet(dir)
-
+    // Streams DIRECTLY off the driver's raw nanos parquet — no normalized
+    // copy (readEventsRaw rebuilds the timestamp in-stream).
     // complete mode: append would hold back windows the watermark hasn't
     // closed by end-of-input, losing the tail vs the batch rollup.
-    val stream = Streams.windowedRollup(Streams.readEvents(spark, dir))
+    val stream = Streams.windowedRollup(Streams.readEventsRaw(
+      spark, "/root/testdata/sf0.001", glob = "events.parquet"))
     val got = Streams.runToMemory(stream, "rollup_test", "complete")
       .orderBy("window_start", "event_type")
 

@@ -149,16 +149,16 @@ object Dedup {
         TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
-    // explode_outer: the inferred not-null/size filter of a plain explode
-    // would evaluate ALL k signatures a second time (see ngramJaccardPairs);
-    // the array literal is never empty so the rows are identical.
+    // Codegen'd signature build (bit-identical to the array_min/transform/
+    // xxhash64 composition — see MinHashSig): one bytes-hash per shingle,
+    // k long-folds, no interpreted lambdas. posexplode_outer (not plain):
+    // the inferred not-null filter of a non-outer generate would evaluate
+    // the whole signature a second time.
     val sigs = sh.select(col("id"),
-      explode_outer(array((0 until numHashTables).map { t =>
-        struct(lit(t).as("t"),
-          array_min(transform(col("shingles"),
-            s => xxhash64(s, lit(seed + t)))).as("h"))
-      }: _*)).as("sig"))
-      .select(col("id"), col("sig.t").as("t"), col("sig.h").as("h"))
+      posexplode_outer(graft.functions.MinHashSig(
+        col("shingles"), numHashTables, seed)))
+      .select(col("id"), col("pos").as("t"), col("col").as("h"))
+      .filter(col("h").isNotNull)
     // Candidates by bucket-collect, not self-join: one shuffle groups each
     // (table, signature) bucket, then in-bucket i<j pairs are generated
     // with codegen'd array lambdas — half the shuffles of a self-join and

@@ -98,6 +98,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig is bit-identical to the xxhash64/array_min composition") {
+    import graft.functions.MinHashSig
+    import graft.text.TextFunctions
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps over the dog",
+      "pack my box with five dozen liquor jugs",
+      "one two three four five six", "tiny")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+      .select(col("id"), TextFunctions.distinctWordNGrams(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val k = 8; val seed = 42L
+    val got = df.select(col("id"), MinHashSig(col("sh"), k, seed).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = df.select(col("id"), array((0 until k).map { t =>
+      array_min(transform(col("sh"), s => xxhash64(s, lit(seed + t))))
+    }: _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    want.foreach { case (id, w) => assert(got(id) == w, s"row $id") }
+  }
+
   test("simhash64 matches an independent driver-side fold under forced codegen") {
     import graft.functions.Simhash64
     import spark.implicits._

@@ -101,6 +101,20 @@ object TextQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
         "embedding", "vec_id", 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Sequence packing: concat-and-chunk offsets per language stream.
+    "q59_pack_offsets" -> ((s, d) => {
+      graft.text.Corpus.packOffsets(Tables.documents(s, d),
+        "text", "doc_id", "lang", budget = 512)
+        .orderBy("doc_id")
+    }),
+
+    // Repetition / boilerplate detection per document.
+    "q60_repetition" -> ((s, d) => {
+      graft.text.Corpus.repetitionStats(Tables.documents(s, d),
+        "text", "doc_id", topTokenThreshold = 0.1)
+        .orderBy("doc_id")
     })
   )
 
@@ -193,6 +207,36 @@ object TextQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q59_pack_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |         - n_tokens AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS pack_id,
+        |  CAST(start_off % 512 AS BIGINT) AS pack_off,
+        |  (start_off % 512) + n_tokens > 512 AS crosses
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q60_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(max(c) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(mx AS DOUBLE) / n_tokens, 4) AS top_tok_ratio,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+        |  CAST(mx AS DOUBLE) / n_tokens > 0.1 AS repetitive
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q39_cosine_topk" ->
       """SELECT vec_id,

@@ -58,6 +58,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("sequence packing assigns contiguous offsets and flags pack crossings") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, "a", ("w " * 300).trim),  // 300 tokens: pack 0, off 0
+      (2L, "a", ("w " * 300).trim),  // starts 300: crosses 512 boundary
+      (3L, "a", ("w " * 100).trim),  // starts 600: pack 1, off 88
+      (4L, "b", ("w " * 10).trim)    // own stream: pack 0, off 0
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.packOffsets(docs, "text", "doc_id", "lang", budget = 512)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    assert(got(0) == ((1L, 0L, 0L, 0L, false)))
+    assert(got(1) == ((2L, 300L, 0L, 300L, true)), s"got ${got(1)}")
+    assert(got(2) == ((3L, 600L, 1L, 88L, false)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, false)))
+  }
+
+  test("repetition stats flag degenerate text and pass normal prose") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),              // top ratio 0.8
+      (2L, "all tokens here are completely unique") // top ratio 1/6
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(docs, "text", "doc_id", 0.5)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("repetitive"))
+    assert(got(0).getAs[Double]("top_tok_ratio") == 0.8)
+    assert(!got(1).getAs[Boolean]("repetitive"))
+    assert(got(1).getAs[Double]("distinct_ratio") == 1.0)
+  }
+
   test("simhash: identical docs have hamming 0 and band join finds them") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 3, bands = 4)

@@ -115,6 +115,17 @@ object TextQueries {
       graft.text.Corpus.repetitionStats(Tables.documents(s, d),
         "text", "doc_id", topTokenThreshold = 0.1)
         .orderBy("doc_id")
+    }),
+
+    // BPE-ish piece counting vs whitespace tokens (token-budget estimator).
+    "q61_bpe_pieces" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws"),
+        TextFunctions.bpePieceCount(col("text")).as("n_bpe"))
+        .withColumn("pieces_per_word",
+          round(col("n_bpe") / col("n_ws").cast("double"), 4))
+        .orderBy("doc_id")
     })
   )
 
@@ -237,6 +248,18 @@ object TextQueries {
         |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
         |  CAST(mx AS DOUBLE) / n_tokens > 0.1 AS repetitive
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q61_bpe_pieces" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+        |    AS INT) AS n_bpe,
+        |  round(CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+        |    AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS pieces_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q39_cosine_topk" ->
       """SELECT vec_id,

@@ -18,6 +18,21 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer pieces: GPT-2's pre-tokenization pattern
+    * reduced to constructs Java regex and RE2 treat identically —
+    * contraction suffixes, letter runs, digit runs, and punctuation runs,
+    * each with an optional leading space. This is the piece count a BPE
+    * vocabulary would train over (the subsequent merges only split within
+    * pieces), so it is the standard cheap token-budget estimator.
+    */
+  val bpePiecePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(bpePiecePattern), lit(0))
+
+  def bpePieceCount(text: Column): Column = size(bpePieces(text))
+
   /** Word n-gram shingles joined by single spaces. Texts with fewer than
     * n tokens yield an empty array — without the guard, sequence(1, 0)
     * produces the DESCENDING array [1, 0] and slice(_, 0, _) throws at

@@ -24,17 +24,28 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events"   -> Seq("ts"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    tsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
-      acc.schema.find(_.name == c) match {
-        case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-          acc.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c DIV 1000)"))
-        case _ => acc
+  /** Table-handle cache (the engine's catalog): `spark.read.parquet`
+    * re-lists files and re-reads footers on every call, which a session
+    * running many queries over the same tables pays hundreds of times.
+    * The cached DataFrame is just the analyzed scan plan — each query
+    * still gets its own pruning/pushdown on top. Keyed per session so
+    * tests with their own sessions never share plans.
+    */
+  private val handles =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    handles.getOrElseUpdate((spark, dir, name), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      tsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+        acc.schema.find(_.name == c) match {
+          case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+            acc.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c DIV 1000)"))
+          case _ => acc
+        }
       }
-    }
-  }
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -15,5 +15,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local[k] only: shuffles never cross a network, so lz4 on every
+      // shuffle block is pure CPU overhead. A real cluster deploy would
+      // leave compression on (bandwidth >> CPU there).
+      .config("spark.shuffle.compress", (!master.startsWith("local")).toString)
+      .config("spark.shuffle.spill.compress", (!master.startsWith("local")).toString)
       .getOrCreate()
 }

@@ -34,6 +34,15 @@ object Tables {
   private val handles =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Drop cached handles (all, or one session's) — required after
+    * rewriting table files in place, since a cached handle's file index
+    * would otherwise point at deleted/stale parquet parts.
+    */
+  def invalidate(session: Option[SparkSession] = None): Unit = session match {
+    case Some(s) => handles.keys.filter(_._1 eq s).foreach(handles.remove)
+    case None => handles.clear()
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     handles.getOrElseUpdate((spark, dir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -87,8 +87,13 @@ object Dedup {
       // left_anti join, so the index itself is never shuffled for the cap.
       // Post-cap per-doc sizes need their own small aggregate, joined back
       // onto the (already tiny) pair aggregate, not onto the index.
+      // Persisted: the exploded index feeds three divergent plans (the
+      // hot-shingle aggregate, the post-cap sizes aggregate, and the
+      // self-join) — exchange reuse only dedups the identical join sides,
+      // so without persistence the shingle build would run ~3x.
       val exploded = base.select(col("doc"), explode_outer(arr).as("s"))
         .filter(col("s").isNotNull) // see no-cap branch: dodge InferFiltersFromGenerate
+        .persist()
       val hot = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxShingleDf).select("s")
       val filtered = exploded.join(broadcast(hot), Seq("s"), "left_anti")
@@ -159,25 +164,23 @@ object Dedup {
         col("shingles"), numHashTables, seed)))
       .select(col("id"), col("pos").as("t"), col("col").as("h"))
       .filter(col("h").isNotNull)
-    // Candidates by bucket-collect, not self-join: one shuffle groups each
-    // (table, signature) bucket, then in-bucket i<j pairs are generated
-    // with codegen'd array lambdas — half the shuffles of a self-join and
-    // no quadratic per-bucket join probes. The pair groupBy both dedups
-    // across tables (a pair can collide in several) and is the only other
-    // shuffle before rerank.
-    // Explicit repartition on the bucket key: the groupBy reuses it (no
-    // second exchange), and AQE leaves user repartitions alone — otherwise
-    // it coalesces this small-bytes/heavy-compute shuffle to ONE task and
-    // serializes the in-bucket pair generation.
+    // Candidates by STREAMING self-join on the (table, signature) key —
+    // never bucket-collect: collecting a bucket's ids into one row and
+    // expanding m(m-1)/2 pairs as a single array value crashes on a hot
+    // bucket (near-identical boilerplate docs share a min-hash), while a
+    // join streams the same pairs as rows. The join rows carry only
+    // (id, t, h); both sides share one canonical plan so the exchange is
+    // computed once (ReusedExchange). The explicit repartition pins the
+    // join key's partition count — AQE would otherwise coalesce this
+    // small-bytes/pair-exploding shuffle to one task — and the pair
+    // groupBy dedups collisions across tables.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val cand = sigs.repartition(p, col("t"), col("h"))
-      .groupBy("t", "h").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // explode_outer: a plain explode's inferred filter re-evaluates the
-      // whole interpreted pairsWithin lambda chain twice per bucket.
-      .select(explode_outer(pairsWithin(col("ids"))).as("p"))
-      .filter(col("p").isNotNull)
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).agg(lit(1))
+    val sigsP = sigs.repartition(p, col("t"), col("h"))
+    val cand = sigsP.as("a").hint("shuffle_hash")
+      .join(sigsP.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
       .select("id_a", "id_b")
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("_sa")), "id_a")
@@ -187,20 +190,6 @@ object Dedup {
         (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
-  }
-
-  /** All i<j pairs within one LSH bucket's id list, as structs
-    * (id_a < id_b): sort, then for each element pair it with every later
-    * element. Codegen'd array lambdas — no join, no UDF. Bucket sizes are
-    * bounded in practice by the signature width; a genuinely viral bucket
-    * (thousands of identical docs) is quadratic in ANY pairwise dedup and
-    * should be cut upstream by exact dedup first.
-    */
-  private def pairsWithin(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)),
-        b => struct(a.as("id_a"), b.as("id_b")))))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -224,36 +213,22 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    // Bucket-collect candidates (see minhashPairs): one shuffle to group
-    // each (band, key) bucket, in-bucket pairs via array lambdas, then a
-    // pair groupBy that dedups across bands. The hamming distance is
-    // computed from the struct payloads before the dedup groupBy — it is
-    // functionally dependent on the pair, so grouping by it adds nothing
-    // to the key's cardinality.
-    banded
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("band"), col("key")) // keep AQE from coalescing to one task
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode_outer(keyedPairsWithin(col("xs"))).as("p"))
-      .filter(col("p").isNotNull) // see minhashPairs: dodge inferred-filter recompute
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        TextFunctions.hamming(col("p.a.simhash"), col("p.b.simhash")).as("hamming"))
+    // Streaming self-join on (band, key) — see minhashPairs for why a
+    // bucket-collect is a hot-bucket crash. The 8-byte simhash rides along
+    // so the hamming filter runs BEFORE the dedup groupBy, shrinking that
+    // shuffle to true near-dups; grouping then includes hamming, which is
+    // functionally dependent on the pair and adds nothing to the key.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bandedP = banded.repartition(p, col("band"), col("key"))
+    bandedP.as("a").hint("shuffle_hash")
+      .join(bandedP.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        TextFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b", "hamming").agg(lit(1))
       .select("id_a", "id_b", "hamming")
-      .filter(col("hamming") <= maxHamming)
-  }
-
-  /** In-bucket i<j pairs over struct payloads whose FIRST field is the id:
-    * array_sort orders structs field-by-field, so sorting yields id order
-    * and every emitted pair has a.id < b.id.
-    */
-  private[graft] def keyedPairsWithin(xs: Column): Column = {
-    val sorted = array_sort(xs)
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)),
-        b => struct(a.as("a"), b.as("b")))))
   }
 
   /** Embedding-cosine near-dup pairs above `minCosine`, via the ANN

@@ -28,9 +28,11 @@ object Similarity {
   /** Cosine similarity via the custom codegen'd expression — one fused
     * loop; the HOF composition (three aggregate/zip_with chains) runs
     * interpreted with per-element boxing and dominates kNN/rerank cost.
+    * Inputs are cast to array<double> (a no-op when already double) so the
+    * module's native array<float> embeddings keep working.
     */
   def cosine(a: Column, b: Column): Column =
-    graft.functions.CosineSim(a, b)
+    graft.functions.CosineSim(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal into codegen — the corpus is scanned once, filtered and
@@ -143,36 +145,37 @@ object Similarity {
                   bands: Int = 4): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val bits = planes / bands
-    val sigDf = withSignature(
-      graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("_v"))),
-      "_v", dim, planes, seed)
+    // Consumed three times with divergent plans (signature build + the two
+    // rerank joins) — persist; eager unpersist would break the lazy result.
+    val vecs = graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("_v"))).persist()
+    val sigDf = withSignature(vecs, "_v", dim, planes, seed)
     // explode_outer: a plain explode's inferred not-null filter would
     // recompute the full `planes`-dot-product signature below the fan-out
     // exchange (see Dedup.ngramJaccardPairs); the band array is never empty.
-    val banded = sigDf.select(col("id"), col("_v"),
+    // The banded frame carries IDS ONLY — vectors never enter the
+    // candidate shuffle; they are joined back for the rerank.
+    val banded = sigDf.select(col("id"),
       explode_outer(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("_v"), col("bk.band"), col("bk.key"))
-    // Bucket-collect candidates (see Dedup.minhashPairs): one shuffle
-    // groups each band bucket, in-bucket pairs come from array lambdas,
-    // and the cross-band dedup groups by ids only — never by the vector
-    // payloads (the old distinct() compared full arrays in the shuffle).
-    banded
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("band"), col("key")) // keep AQE from coalescing to one task
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("id"), col("_v"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode_outer(graft.dedup.Dedup.keyedPairsWithin(col("xs"))).as("p"))
-      .filter(col("p").isNotNull) // dodge inferred-filter recompute (see Dedup)
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        round(cosine(col("p.a._v"), col("p.b._v")), 6).as("cos"))
-      .groupBy("id_a", "id_b", "cos").agg(lit(1))
-      .select("id_a", "id_b", "cos")
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    // Streaming self-join on (band, key) — a bucket-collect would build a
+    // hot bucket's m(m-1)/2 pairs as ONE array value in ONE row and crash
+    // (see Dedup.minhashPairs); the join streams the same pairs as rows.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bandedP = banded.repartition(p, col("band"), col("key"))
+    bandedP.as("a").hint("shuffle_hash")
+      .join(bandedP.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
+      .join(vecs.select(col("id").as("id_a"), col("_v").as("_va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("_v").as("_vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_va"), col("_vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

@@ -92,7 +92,6 @@ class FunctionsSpec extends AnyFunSuite {
     val want = df.select(col("id"),
       array_distinct(TextFunctions.wordNGrams(col("text"), 3)).as("s"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    texts.foreach { case (_, _) => () }
     want.foreach { case (id, w) =>
       assert(got(id) == w, s"row $id: got ${got(id)} want $w")
     }

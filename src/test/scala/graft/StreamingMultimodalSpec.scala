@@ -74,6 +74,53 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(feats.values.exists(_.exists(_ != 0.0f)), "features are non-trivial")
   }
 
+  test("real image kernels: decode, resize, luminance features on PNG bytes") {
+    // Generate real PNGs in-test: left half dark, right half bright.
+    def png(w: Int, h: Int, split: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y,
+          if (split && x >= w / 2) 0xffffff else if (split) 0x000000 else 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(40, 20, split = true), "image/png", 40, 20),
+      (2L, png(8, 8, split = false), "image/png", 8, 8),
+      (3L, "not an image".getBytes("UTF-8"), "fake/raw", 0, 0))
+    val media = rows.toDF("media_id", "media", "format", "width", "height")
+
+    // decoded metadata reflects actual pixels; non-images are null
+    val meta = Multimodal.imageMeta(media, "media")
+      .select("media_id", "decoded_width", "decoded_height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(meta(1L).contains((40, 20)) && meta(2L).contains((8, 8)))
+    assert(meta(3L).isEmpty, "undecodable bytes -> null dims")
+
+    // resize re-encodes decodable images to the target pixel dims
+    val resized = Multimodal.resize(media, "media", 16, 16)
+    val rm = Multimodal.imageMeta(resized, "media")
+      .select("media_id", "decoded_width")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(rm(1L).contains(16) && rm(2L).contains(16))
+    assert(rm(3L).isEmpty, "fallback subsample stays undecodable")
+
+    // features: split image has dark lanes then bright lanes per grid row;
+    // uniform gray is flat; real luminance in [0,1]
+    val feats = Multimodal.extractFeatures(media, "media", "media_id", dim = 16)
+      .select("media_id", "media_features")
+      .as[(Long, Seq[Float])].collect().toMap
+    val split = feats(1L); val flat = feats(2L)
+    assert(split.size == 16 && split.forall(v => v >= 0f && v <= 1f))
+    assert(split.grouped(4).forall(row => row.head < 0.4f && row.last > 0.6f),
+      s"left dark, right bright per grid row: $split")
+    assert(flat.max - flat.min < 0.05f, s"uniform image -> flat features: $flat")
+  }
+
   test("resize updates metadata and shrinks payload; frame sampling explodes") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001")).limit(10)

@@ -10,7 +10,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val gs = new graft.search.DistGridSearchCV(
-      graft.exec.LogisticRegressionGD,
+      graft.exec.LogisticRegressionLBFGS, // second-order: converges in tens of iters
       Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(30.0)), cv = 3)
       .withExtraScorings(Seq("f1_weighted"))
     gs.fit(spark, df, "embedding", "label").cvResults

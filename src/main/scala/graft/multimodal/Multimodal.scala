@@ -179,6 +179,129 @@ object Multimodal {
     df.select(col(idCol), posexplode(chunks(col(mediaCol))).as(Seq("frame_idx", "frame")))
   }
 
+  /** Decoded PCM audio: sample rate, channel count, and samples mixed to
+    * mono floats in [-1, 1].
+    */
+  final case class WavData(sampleRate: Int, channels: Int, samples: Array[Float])
+
+  /** Minimal RIFF/WAVE PCM parser — pure JVM, no codecs (WAV is
+    * uncompressed; 8/16-bit integer PCM). Returns null for anything that
+    * is not a well-formed PCM WAV, so callers branch to byte fallbacks.
+    */
+  private[multimodal] def decodeWav(bytes: Array[Byte]): WavData = {
+    if (bytes == null || bytes.length < 44) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var pos = 12
+    var fmt: (Int, Int, Int) = null // (channels, sampleRate, bitsPerSample)
+    var data: (Int, Int) = null     // (offset, length)
+    while (pos + 8 <= bytes.length && (fmt == null || data == null)) {
+      val id = tag(pos)
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return null
+      if (id == "fmt ") {
+        if (len < 16 || bb.getShort(pos + 8) != 1) return null // PCM only
+        fmt = (bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
+          bb.getShort(pos + 22).toInt)
+      } else if (id == "data") data = (pos + 8, len)
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmt == null || data == null) return null
+    val (channels, rate, bits) = fmt
+    if (channels < 1 || (bits != 8 && bits != 16)) return null
+    val bytesPerFrame = channels * bits / 8
+    val n = data._2 / bytesPerFrame
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0f
+      var c = 0
+      while (c < channels) {
+        val off = data._1 + i * bytesPerFrame + c * bits / 8
+        acc += (if (bits == 16) bb.getShort(off) / 32768.0f
+                else ((bytes(off) & 0xff) - 128) / 128.0f)
+        c += 1
+      }
+      out(i) = acc / channels
+      i += 1
+    }
+    WavData(rate, channels, out)
+  }
+
+  /** REAL audio feature kernel: dim/2 equal windows over the mono signal,
+    * each contributing (RMS energy, zero-crossing rate) — the classic
+    * cheap audio descriptor pair. Output layout: [rms..., zcr...].
+    */
+  private[multimodal] def audioFeatureVec(wav: WavData, dim: Int): Array[Float] = {
+    val k = math.max(1, dim / 2)
+    val out = new Array[Float](dim)
+    val s = wav.samples
+    if (s.isEmpty) return out
+    val win = math.max(1, s.length / k)
+    var w = 0
+    while (w < k) {
+      val start = w * win
+      val end = if (w == k - 1) s.length else math.min(s.length, start + win)
+      var sumSq = 0.0; var zc = 0
+      var i = start
+      while (i < end) {
+        sumSq += s(i) * s(i)
+        if (i > start && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      val len = math.max(1, end - start)
+      out(w) = math.sqrt(sumSq / len).toFloat
+      if (k + w < dim) out(k + w) = zc.toFloat / len
+      w += 1
+    }
+    out
+  }
+
+  /** Audio decode + feature-extract: PCM WAV payloads get REAL per-window
+    * RMS/zero-crossing features; other payloads get the deterministic
+    * byte-hash fallback (same totality contract as extractFeatures).
+    */
+  def extractAudioFeatures(df: DataFrame, mediaCol: String, idCol: String,
+                           dim: Int = 32,
+                           outCol: String = "audio_features"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, ArrayType(FloatType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(mediaIdx)) null
+          else r.getAs[Array[Byte]](mediaIdx)
+        val wav = decodeWav(bytes)
+        val feats =
+          if (wav != null) audioFeatureVec(wav, dim) else fakeDecode(bytes, dim)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Decoded-audio metadata (null columns when not a PCM WAV). */
+  def audioMeta(df: DataFrame, mediaCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("n_samples", IntegerType))
+      .add(StructField("duration_ms", IntegerType))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val wav = decodeWav(
+          if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
+        val extra: Seq[Any] =
+          if (wav == null) Seq(null, null, null)
+          else Seq(wav.sampleRate, wav.samples.length,
+            (wav.samples.length * 1000L / math.max(1, wav.sampleRate)).toInt)
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Text → synthetic media table for testing the plumbing end-to-end on
     * the documents testdata (binary = utf-8 bytes of the text).
     */

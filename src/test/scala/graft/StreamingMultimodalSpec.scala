@@ -121,6 +121,42 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(flat.max - flat.min < 0.05f, s"uniform image -> flat features: $flat")
   }
 
+  test("real audio kernels: WAV parse, RMS/ZCR features on PCM bytes") {
+    // Hand-rolled 16-bit mono PCM WAV: `freq` Hz sine at `amp`, 8 kHz.
+    def wav(freq: Double, amp: Double, n: Int = 800, rate: Int = 8000): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(n * 2)
+      (0 until n).foreach(i => bb.putShort(
+        (amp * 32767 * math.sin(2 * math.Pi * freq * i / rate)).toShort))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, wav(440.0, 0.5), "audio/wav", 0, 0),
+      (2L, wav(2000.0, 0.5), "audio/wav", 0, 0),  // higher freq -> more ZCR
+      (3L, "not audio".getBytes("UTF-8"), "fake/raw", 0, 0))
+    val media = rows.toDF("media_id", "media", "format", "width", "height")
+
+    val meta = Multimodal.audioMeta(media, "media")
+      .select("media_id", "sample_rate", "n_samples", "duration_ms")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(meta(1L).contains((8000, 800, 100)), s"got ${meta(1L)}")
+    assert(meta(3L).isEmpty, "non-WAV -> null audio meta")
+
+    val feats = Multimodal.extractAudioFeatures(media, "media", "media_id", dim = 8)
+      .select("media_id", "audio_features").as[(Long, Seq[Float])].collect().toMap
+    val low = feats(1L); val high = feats(2L)
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.354 in every window
+    assert(low.take(4).forall(v => math.abs(v - 0.354f) < 0.02f), s"rms: $low")
+    // zero-crossing rate scales with frequency: 2000 Hz >> 440 Hz
+    assert(high.drop(4).head > low.drop(4).head * 2,
+      s"zcr 2kHz ${high.drop(4).head} vs 440Hz ${low.drop(4).head}")
+  }
+
   test("resize updates metadata and shrinks payload; frame sampling explodes") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001")).limit(10)

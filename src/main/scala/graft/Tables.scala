@@ -43,7 +43,10 @@ object Tables {
     case None => handles.clear()
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // lazy sweep: entries of stopped sessions are unusable garbage that
+    // would otherwise pin the session object for the JVM's lifetime
+    handles.keys.filter(_._1.sparkContext.isStopped).foreach(handles.remove)
     handles.getOrElseUpdate((spark, dir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -55,6 +58,7 @@ object Tables {
         }
       }
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

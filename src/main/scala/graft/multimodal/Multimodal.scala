@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // Per-JVM (driver and each executor classload): ImageIO's default
+  // file-backed stream cache would create/delete a temp file for EVERY
+  // per-row decode/encode of data that is already fully in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("media", BinaryType),
@@ -148,21 +153,38 @@ object Multimodal {
     */
   def resize(df: DataFrame, mediaCol: String, targetW: Int, targetH: Int): DataFrame = {
     val targetLen = math.max(1, targetW * targetH / 64)
+    def subsample(b: Array[Byte]): Array[Byte] = {
+      val step = math.max(1, b.length / targetLen)
+      b.indices.collect { case i if i % step == 0 => b(i) }.toArray
+    }
+    // (bytes, wasImage): the flag drives the format-metadata update below.
+    // Encode guarded like decode — a PNG-writer failure falls back to the
+    // byte path instead of killing the job on one row.
     val resample = udf((b: Array[Byte]) => {
-      val img = decodeImage(b)
-      if (img != null) {
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(scaleImage(img, targetW, targetH), "png", bos)
-        bos.toByteArray
-      } else if (b == null) null
+      if (b == null) null
       else {
-        val step = math.max(1, b.length / targetLen)
-        b.indices.collect { case i if i % step == 0 => b(i) }.toArray
+        val img = decodeImage(b)
+        val encoded =
+          if (img == null) null
+          else try {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaleImage(img, targetW, targetH), "png", bos)
+            bos.toByteArray
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (encoded != null) (encoded, true) else (subsample(b), false)
       }
     })
-    df.withColumn(mediaCol, resample(col(mediaCol)))
+    val out = df.withColumn("_rs", resample(col(mediaCol)))
+      .withColumn(mediaCol, col("_rs._1"))
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
+    // resampled images are re-encoded as PNG — keep the format column true
+    val withFormat =
+      if (df.columns.contains("format"))
+        out.withColumn("format",
+          when(col("_rs._2"), lit("image/png")).otherwise(col("format")))
+      else out
+    withFormat.drop("_rs")
   }
 
   /** STUB frame sampling for video: emits every `everyN`-th fixed-size
@@ -188,7 +210,7 @@ object Multimodal {
     * uncompressed; 8/16-bit integer PCM). Returns null for anything that
     * is not a well-formed PCM WAV, so callers branch to byte fallbacks.
     */
-  private[multimodal] def decodeWav(bytes: Array[Byte]): WavData = {
+  private[multimodal] def decodeWav(bytes: Array[Byte]): WavData = try {
     if (bytes == null || bytes.length < 44) return null
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -199,7 +221,9 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (fmt == null || data == null)) {
       val id = tag(pos)
       val len = bb.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length) return null
+      // long arithmetic: a crafted len near Int.MaxValue must fail the
+      // bounds check, not overflow past it into an OOM-sized allocation
+      if (len < 0 || pos.toLong + 8L + len > bytes.length) return null
       if (id == "fmt ") {
         if (len < 16 || bb.getShort(pos + 8) != 1) return null // PCM only
         fmt = (bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
@@ -227,7 +251,7 @@ object Multimodal {
       i += 1
     }
     WavData(rate, channels, out)
-  }
+  } catch { case scala.util.control.NonFatal(_) => null } // totality: bad bytes -> null
 
   /** REAL audio feature kernel: dim/2 equal windows over the mono signal,
     * each contributing (RMS energy, zero-crossing rate) — the classic

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism plumbing for compute-heavy per-row derivations. */
 object Par {
@@ -17,23 +17,25 @@ object Par {
     * a real cluster where the scan already has >= defaultParallelism
     * splits — there the extra shuffle would be pure waste.
     *
-    * Only plans that are pure scan pipelines (leaf + project/filter/alias)
-    * are probed: the probe reads the physical partition count via
-    * `df.rdd`, and under AQE that call on a plan CONTAINING EXCHANGES
-    * would synchronously materialize every upstream shuffle stage — work
-    * that then re-runs on the real action. A derived frame has already
-    * been through a shuffle (so it is already spread across cores), and a
-    * streaming frame cannot be probed at all; both pass through untouched.
+    * Plans whose lineage would PLAN AN EXCHANGE are not probed: the probe
+    * reads the physical partition count via `df.rdd`, and under AQE that
+    * call on a plan containing exchanges synchronously materializes every
+    * upstream shuffle stage — work that then re-runs on the real action.
+    * Such frames have also already been spread across cores by their
+    * shuffle. Exchange-free derived plans (map/explode/union/local limit
+    * over a scan) are still probed — they inherit the scan's partition
+    * count and need the fan-out just as much as a bare scan. Streaming
+    * frames cannot be probed at all and pass through untouched.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    def scanOnly(plan: LogicalPlan): Boolean = plan match {
-      case _: LeafNode => true
-      case p: Project => scanOnly(p.child)
-      case f: Filter => scanOnly(f.child)
-      case a: SubqueryAlias => scanOnly(a.child)
+    val plansExchange = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
+           _: Distinct | _: Deduplicate | _: Except | _: Intersect |
+           _: RepartitionOperation | _: CoGroup => true
+      case _: FlatMapGroupsWithState | _: MapGroups => true
       case _ => false
     }
-    if (df.isStreaming || !scanOnly(df.queryExecution.optimizedPlan)) df
+    if (df.isStreaming || plansExchange) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df

@@ -7,6 +7,9 @@ import org.apache.spark.sql.SparkSession
   * partitions (cores, never the 200 default).
   */
 object Sessions {
+  private def singleJvm(master: String): Boolean =
+    master == "local" || master.startsWith("local[")
+
   def build(master: String, shufflePartitions: Int): SparkSession =
     SparkSession.builder()
       .master(master)
@@ -15,10 +18,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // local[k] only: shuffles never cross a network, so lz4 on every
-      // shuffle block is pure CPU overhead. A real cluster deploy would
-      // leave compression on (bandwidth >> CPU there).
-      .config("spark.shuffle.compress", (!master.startsWith("local")).toString)
-      .config("spark.shuffle.spill.compress", (!master.startsWith("local")).toString)
+      // single-JVM local[k] only: shuffles never cross a network there, so
+      // lz4 on every shuffle block is pure CPU overhead. local-cluster[...]
+      // (separate executor JVMs) and real clusters keep compression.
+      .config("spark.shuffle.compress", (!singleJvm(master)).toString)
+      .config("spark.shuffle.spill.compress", (!singleJvm(master)).toString)
       .getOrCreate()
 }

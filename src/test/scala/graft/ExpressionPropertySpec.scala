@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{CosineSim, MinHashSig, NGramShingles, Simhash64}
+
+/** Property tests for the custom codegen'd expressions' kernels against
+  * independent driver-side references (random inputs incl. duplicates,
+  * empties, unicode, zero vectors). The CODEGEN_ONLY parity specs in
+  * FunctionsSpec cover the generated-Java path; these pin the semantics.
+  */
+object ExpressionProperties extends Properties("expressions") {
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(8).mkString),
+    Gen.oneOf("a", "b", "naïve", "東京", ""))
+  private val tokensGen: Gen[List[String]] = Gen.listOfN(25, tokenGen).map(_.take(25))
+
+  private def utf8Array(ts: Seq[String]): GenericArrayData =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t): AnyRef).toArray)
+
+  property("ngram shingles = sliding-window concat, distinct, in order") =
+    forAll(tokensGen, Gen.choose(1, 4)) { (toks, n) =>
+      val got = NGramShingles.build(utf8Array(toks), n)
+        .array.map(_.asInstanceOf[UTF8String].toString).toSeq
+      val want = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.distinct
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  property("minhash sig = per-table min of chained xxhash64; empty -> nulls") =
+    forAll(tokensGen, Gen.choose(1, 8), Gen.choose(0L, 999L)) { (toks, k, seed) =>
+      val arr = utf8Array(toks)
+      val got = MinHashSig.build(arr, k, seed).array.toSeq
+      if (toks.isEmpty) Prop(got == Seq.fill(k)(null))
+      else {
+        val want = (0 until k).map { t =>
+          toks.map(s => XXH64.hashLong(seed + t,
+            XXH64.hashUTF8String(UTF8String.fromString(s), 42L))).min
+        }
+        Prop(got == want)
+      }
+    }
+
+  property("simhash64 = sign of per-bit +/-1 sums") =
+    forAll(Gen.listOf(Gen.long).map(_.take(30))) { hs =>
+      val expr = Simhash64(Literal.create(hs, ArrayType(LongType)))
+      val got = expr.eval(null).asInstanceOf[Long]
+      var want = 0L
+      (0 until 64).foreach { b =>
+        val c = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (c > 0) want |= 1L << b
+      }
+      Prop(got == want)
+    }
+
+  property("cosine_sim = dot/(|a||b|), zero-norm -> 0.0, prefix on mismatch") =
+    forAll(Gen.choose(0, 12).flatMap(d => Gen.zip(
+      Gen.listOfN(d, Gen.choose(-5.0, 5.0)),
+      Gen.listOfN(d, Gen.oneOf(Gen.const(0.0), Gen.choose(-5.0, 5.0)))))) {
+      case (a, b) =>
+        val expr = CosineSim(
+          Literal.create(a, ArrayType(DoubleType)),
+          Literal.create(b, ArrayType(DoubleType)))
+        val got = expr.eval(null).asInstanceOf[Double]
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum)
+        val want = if (d == 0.0) 0.0 else dot / d
+        Prop(got == want) :| s"got=$got want=$want"
+    }
+}

@@ -22,6 +22,43 @@ import graft.plan.{Folds, ParamGrid}
   * Param names map to Spark ML LogisticRegression: `reg_param`,
   * `elastic_net`, `max_iter`.
   */
+/** Data-parallel forest — the same broadcast-overflow fallback for the
+  * tree-ensemble family: when X outgrows executor memory, train ONE
+  * distributed Spark ML forest (data-parallel tree induction over the
+  * full DataFrame) instead of `DistForest`'s per-seed task fan-out over
+  * broadcast data. Same trade the reference documents
+  * (`examples/search/spark_ml.py:31-40`): task-parallel wins while data
+  * fits — each tree sees all rows with zero coordination — and this path
+  * takes over when it doesn't.
+  */
+class DataParallelForest(nEstimators: Int = 100,
+                         maxDepth: Int = 5,
+                         seed: Long = 42) extends Serializable {
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String):
+      org.apache.spark.ml.classification.RandomForestClassificationModel = {
+    val prepared = df.select(
+      array_to_vector(col(featuresCol).cast("array<double>")).as("_features"),
+      col(labelCol).cast("double").as("_label"))
+    new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setFeaturesCol("_features").setLabelCol("_label")
+      .setNumTrees(nEstimators).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(prepared)
+  }
+
+  /** Predictions joined back as a column (probability as array<double>). */
+  def transform(model: org.apache.spark.ml.classification.RandomForestClassificationModel,
+                df: DataFrame, featuresCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val prepared = df.withColumn("_features",
+      array_to_vector(col(featuresCol).cast("array<double>")))
+    model.transform(prepared)
+      .withColumn("probs", vector_to_array(col("probability")))
+      .withColumn("preds", col("prediction").cast("int"))
+      .drop("_features", "rawPrediction", "probability", "prediction")
+  }
+}
+
 class DataParallelGridSearch(grid: Map[String, Seq[Double]],
                              cv: Int = 3,
                              scoring: String = "accuracy",

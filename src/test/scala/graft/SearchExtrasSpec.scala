@@ -108,6 +108,22 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(r.bestScore > 0.9, s"separable blobs, got ${r.bestScore}")
   }
 
+  test("data-parallel forest fallback recovers blobs with proba columns") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    val fr = new DataParallelForest(nEstimators = 10, maxDepth = 4)
+    val model = fr.fit(spark, df, "features", "label")
+    val out = fr.transform(model, df, "features")
+    assert(out.columns.contains("preds") && out.columns.contains("probs"))
+    val acc = out.filter(col("preds") === col("label").cast("int")).count()
+      .toDouble / 120
+    assert(acc > 0.9, s"separable blobs, got $acc")
+    assert(out.select("probs").head().getSeq[Double](0).size == 2,
+      "binary blobs -> 2-class probability vector")
+  }
+
   test("named forest factories mirror the reference variants") {
     val m = blobs()
     val rf = DistRandomForestClassifier(nEstimators = 8, maxDepth = 4)

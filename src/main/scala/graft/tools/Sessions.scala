@@ -15,7 +15,11 @@ object Sessions {
       .master(master)
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE on by default (the scale-correct choice: runtime coalescing,
+      // skew splitting, plan re-optimization). SPARK_GRAFT_AQE=false is an
+      // experimentation hook for measuring its per-query planning cost.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // single-JVM local[k] only: shuffles never cross a network there, so

@@ -103,6 +103,23 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: seeded coarse quantizer + probed-cell exact rerank
+    // (seeded KMeans: rows-only check; recall pinned vs q40 in ScalaTest).
+    "q62_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // SRP-LSH cosine near-dup pairs with exact rerank (seeded hyperplanes:
+    // rows-only check; planted-pair recall pinned in ScalaTest).
+    "q63_srp_pairs" -> ((s, d) => {
+      Similarity.cosinePairs(Tables.embeddings(s, d), "embedding", "vec_id",
+        minCosine = 0.5, planes = 24)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Sequence packing: concat-and-chunk offsets per language stream.
     "q59_pack_offsets" -> ((s, d) => {
       graft.text.Corpus.packOffsets(Tables.documents(s, d),

@@ -105,6 +105,22 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: ONE survivor per normalized-text fingerprint
+    * (first arrival — within a microbatch that is processing order, not
+    * event order), with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts fingerprint state once the
+    * event time passes the horizon, so a continuous crawl can dedup
+    * forever without unbounded state (the streaming twin of
+    * `Dedup.exact`'s batch hash-groupBy).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.text.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Run a streaming frame to completion against static files via the
     * memory sink (the local test harness; on a cluster this would be a
     * kafka/delta sink).

@@ -74,6 +74,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(feats.values.exists(_.exists(_ != 0.0f)), "features are non-trivial")
   }
 
+  test("streaming dedup keeps first occurrence per fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      (1L, "the same document text", ts(0)),
+      (2L, "a different document", ts(1)),
+      (3L, "  THE SAME   document TEXT ", ts(2)), // normalized dup of 1
+      (4L, "the same document text", ts(3))       // exact dup of 1
+    ).toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id long, text string, ts timestamp").parquet(dir)
+    val out = Streams.runToMemory(
+      Streams.dedupStream(stream, "text", "ts"), "dedup_test")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // arrival order within a microbatch is not event-ordered, so WHICH
+    // duplicate survives is arbitrary — the invariant is one per group
+    assert(ids.size == 2 && ids.contains(2L) &&
+      ids.exists(Set(1L, 3L, 4L)), s"one survivor per fingerprint, got $ids")
+  }
+
   test("real image kernels: decode, resize, luminance features on PNG bytes") {
     // Generate real PNGs in-test: left half dark, right half bright.
     def png(w: Int, h: Int, split: Boolean): Array[Byte] = {

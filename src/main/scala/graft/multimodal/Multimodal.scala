@@ -168,8 +168,11 @@ object Multimodal {
           if (img == null) null
           else try {
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(scaleImage(img, targetW, targetH), "png", bos)
-            bos.toByteArray
+            // write() returns false (writing NOTHING) when no PNG writer
+            // SPI is registered — that must fall back, not emit 0 bytes
+            val ok = javax.imageio.ImageIO.write(
+              scaleImage(img, targetW, targetH), "png", bos)
+            if (ok && bos.size() > 0) bos.toByteArray else null
           } catch { case scala.util.control.NonFatal(_) => null }
         if (encoded != null) (encoded, true) else (subsample(b), false)
       }
@@ -178,11 +181,14 @@ object Multimodal {
       .withColumn(mediaCol, col("_rs._1"))
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
-    // resampled images are re-encoded as PNG — keep the format column true
+    // keep the format column TRUE: re-encodes are PNG; byte-subsampled
+    // fallbacks are no longer any codec's format; null payloads keep theirs
     val withFormat =
       if (df.columns.contains("format"))
         out.withColumn("format",
-          when(col("_rs._2"), lit("image/png")).otherwise(col("format")))
+          when(col("_rs._2") === true, lit("image/png"))
+            .when(col("_rs._2") === false, lit("application/octet-stream"))
+            .otherwise(col("format")))
       else out
     withFormat.drop("_rs")
   }

@@ -31,7 +31,8 @@ object Par {
     val plansExchange = df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
            _: Distinct | _: Deduplicate | _: Except | _: Intersect |
-           _: RepartitionOperation | _: CoGroup => true
+           _: RepartitionOperation | _: RebalancePartitions | _: CoGroup |
+           _: Offset | _: Tail => true
       case _: FlatMapGroupsWithState | _: MapGroups => true
       case _ => false
     }

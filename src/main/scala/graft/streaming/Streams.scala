@@ -120,6 +120,7 @@ object Streams {
         graft.text.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+      .drop("fingerprint") // batch/stream parity: Dedup.exact returns the original schema
 
   /** Run a streaming frame to completion against static files via the
     * memory sink (the local test harness; on a cluster this would be a

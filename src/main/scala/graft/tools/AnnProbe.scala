@@ -8,7 +8,8 @@ import graft.sim.Similarity
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = Sessions.build("local[32]", 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val emb = graft.Tables.embeddings(spark, sfDir)
     println(s"embeddings rows = ${emb.count()}")

@@ -19,7 +19,8 @@ object Sessions {
       // skew splitting, plan re-optimization). SPARK_GRAFT_AQE=false is an
       // experimentation hook for measuring its per-query planning cost.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        (!Set("false", "0", "off").contains(
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // single-JVM local[k] only: shuffles never cross a network there, so

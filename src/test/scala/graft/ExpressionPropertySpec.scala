@@ -19,7 +19,8 @@ object ExpressionProperties extends Properties("expressions") {
   private val tokenGen: Gen[String] = Gen.oneOf(
     Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(8).mkString),
     Gen.oneOf("a", "b", "naïve", "東京", ""))
-  private val tokensGen: Gen[List[String]] = Gen.listOfN(25, tokenGen).map(_.take(25))
+  private val tokensGen: Gen[List[String]] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, tokenGen))
 
   private def utf8Array(ts: Seq[String]): GenericArrayData =
     new GenericArrayData(ts.map(t => UTF8String.fromString(t): AnyRef).toArray)

@@ -58,6 +58,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("dedup plans keep their scale shape: SHJ index join, no cartesian") {
+    // The physical properties the 100 TB design depends on, pinned so a
+    // refactor can't silently regress them: the inverted-index self-join
+    // must be a shuffled hash join (never a broadcast of the exploded
+    // index, never a cartesian/BNL), and the identical join sides must
+    // share one exchange (ReusedExchange under AQE).
+    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue)
+    jac.collect()
+    val plan = jac.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"want SHJ in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "no quadratic join")
+    assert(plan.contains("ReusedExchange"),
+      "self-join sides must share one materialized exchange")
+
+    val mh = Dedup.minhashPairs(corpus, "text", "doc_id", 3, 8, 0.2)
+    mh.collect()
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(mhPlan.contains("ShuffledHashJoin"), s"want SHJ in:\n$mhPlan")
+    assert(!mhPlan.contains("CartesianProduct") &&
+      !mhPlan.contains("BroadcastNestedLoopJoin"), "no quadratic join")
+  }
+
   test("sequence packing assigns contiguous offsets and flags pack crossings") {
     import graft.text.Corpus
     val docs = Seq(

@@ -108,7 +108,7 @@ object TextQueries {
     "q62_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
-        "embedding", "vec_id", 5)
+        "embedding", "vec_id", 5, maxIter = 5)
         .orderBy("query_id", "rank")
     }),
 

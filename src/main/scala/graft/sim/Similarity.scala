@@ -80,14 +80,16 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 3,
-              seed: Long = 42): DataFrame = {
+              seed: Long = 42, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val toVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_vec", array_to_vector(col("_cv")))
       .cache()
-    val km = new KMeans().setK(nClusters).setSeed(seed)
+    // maxIter trades quantizer quality for fit time; recall comes from
+    // nProbe overlap, so even a coarse quantizer keeps recall high
+    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_vec").setPredictionCol("_cell")
     val model = km.fit(toVec)
     val cells = model.clusterCenters.zipWithIndex

@@ -7,9 +7,6 @@ import org.apache.spark.sql.SparkSession
   * partitions (cores, never the 200 default).
   */
 object Sessions {
-  private def singleJvm(master: String): Boolean =
-    master == "local" || master.startsWith("local[")
-
   def build(master: String, shufflePartitions: Int): SparkSession =
     SparkSession.builder()
       .master(master)
@@ -23,10 +20,9 @@ object Sessions {
           sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // single-JVM local[k] only: shuffles never cross a network there, so
-      // lz4 on every shuffle block is pure CPU overhead. local-cluster[...]
-      // (separate executor JVMs) and real clusters keep compression.
-      .config("spark.shuffle.compress", (!singleJvm(master)).toString)
-      .config("spark.shuffle.spill.compress", (!singleJvm(master)).toString)
+      // shuffle compression stays ON even in local mode: the CPU saving
+      // measured at bench scale was noise, while a pair-heavy shuffle
+      // (LSH candidate joins at probe scale) ran local disk out of space
+      // uncompressed. Disk, not CPU, is the binding constraint.
       .getOrCreate()
 }

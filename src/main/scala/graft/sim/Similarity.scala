@@ -119,6 +119,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Plane count for a target LSH bucket density: candidate volume is
+    * Σ bucket², and buckets hold ~n / 2^(planes/bands) vectors, so planes
+    * must GROW with the corpus — planes = bands × ceil(log2(n/target)).
+    * (6-bit bands at 100k vectors produced ~320M candidate pairs; 8-bit
+    * bands keep buckets ~n/256.) Recall per band falls as bits rise —
+    * the standard LSH trade; raise `bands` to buy recall back.
+    */
+  def autoPlanes(n: Long, bands: Int = 4, targetBucket: Int = 1024): Int = {
+    val bits = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    bands * math.min(16, bits) // 16 bits/band caps sig at 64 planes
+  }
+
   /** Seeded random hyperplanes (driver-side, tiny). */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new Random(seed)

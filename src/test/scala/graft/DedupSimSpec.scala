@@ -58,6 +58,19 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("autoPlanes scales bits with corpus at fixed bucket density") {
+    import graft.sim.Similarity.autoPlanes
+    assert(autoPlanes(1000) == 16, "small corpus floors at 4-bit bands")
+    assert(autoPlanes(100000) == 28, "100k -> 7-bit bands")
+    assert(autoPlanes(10000000) == 56, "10M -> 14-bit bands")
+    assert(autoPlanes(1L << 40) == 64, "bits per band capped at 16")
+    // bucket density holds: n / 2^(planes/bands) <= target (above floor)
+    Seq(10000L, 1000000L, 50000000L).foreach { n =>
+      val bits = autoPlanes(n) / 4
+      assert(n.toDouble / math.pow(2, bits) <= 1024.0, s"n=$n bits=$bits")
+    }
+  }
+
   test("dedup plans keep their scale shape: SHJ index join, no cartesian") {
     // The physical properties the 100 TB design depends on, pinned so a
     // refactor can't silently regress them: the inverted-index self-join

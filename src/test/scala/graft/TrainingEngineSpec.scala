@@ -105,6 +105,25 @@ class TrainingEngineSpec extends AnyFunSuite {
     assert(math.abs(p.sum - 1.0) < 1e-9, "l1-normalized probs sum to 1")
   }
 
+  test("L-BFGS plugs into OvR and the feature eliminator unchanged") {
+    import graft.exec.LogisticRegressionLBFGS
+    val m = blobs()
+    val ovr = new DistOneVsRest(LogisticRegressionLBFGS, norm = Some("l1"))
+    val model = ovr.fitMatrix(spark, m)
+    assert(model.classes.toSeq == Seq(0.0, 1.0, 2.0))
+    assert(Metrics.accuracy(model, m.x, m.y) > 0.95)
+
+    val rng = new Random(13)
+    val x = m.x.map(r => r ++ Array(rng.nextGaussian(), rng.nextGaussian()))
+    val noisy = TrainMatrix(x, m.y, m.folds)
+    val el = new DistFeatureEliminator(LogisticRegressionLBFGS,
+      minFeaturesToSelect = 2, step = 1, cv = 3)
+    val r = el.fitMatrix(spark, noisy)
+    assert(r.bestScore > 0.9)
+    assert(r.bestFeatures.toSet.intersect(Set(0, 1)) == Set(0, 1),
+      s"informative dims kept, got ${r.bestFeatures.toSeq}")
+  }
+
   test("OvO fits all pairs and recovers classes") {
     val m = blobs()
     val ovo = new DistOneVsOne(LogisticRegressionGD)

@@ -21,7 +21,8 @@ object QueryProbe {
         val n = fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      println(f"PROBE $name%-24s ${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+      println(f"PROBE $name%-24s ${times.map(_._1).min}%8.3f s  rows=${times.head._2}" +
+        s"  iters=${times.map(t => f"${t._1}%.2f").mkString(",")}")
     }
     spark.stop()
   }

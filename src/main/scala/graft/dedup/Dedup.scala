@@ -175,17 +175,23 @@ object Dedup {
     // small-bytes/pair-exploding shuffle to one task — and the pair
     // groupBy dedups collisions across tables.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val sigsP = sigs.repartition(p, col("t"), col("h"))
+    val sigsP = sigs
     val cand = sigsP.as("a").hint("shuffle_hash")
       .join(sigsP.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
       .select("id_a", "id_b")
-    cand
+    // Rerank: candidates are numerous PRE-filter (LSH collisions among
+    // unrelated docs), so (a) pin the rerank's parallelism — its shuffle
+    // bytes are small enough that AQE would coalesce the intersect-heavy
+    // stage to one task — and (b) count the overlap with the codegen'd
+    // IntersectCount instead of interpreted size(array_intersect(...)).
+    cand.repartition(p, col("id_a"))
       .join(sh.select(col("id").as("id_a"), col("shingles").as("_sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("_sb")), "id_b")
-      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("_inter",
+        graft.functions.IntersectCount(col("_sa"), col("_sb")))
       .withColumn("est_jaccard", round(col("_inter") /
         (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
       .filter(col("est_jaccard") >= minJaccard)

@@ -118,6 +118,22 @@ class FunctionsSpec extends AnyFunSuite {
     want.foreach { case (id, w) => assert(got(id) == w, s"row $id") }
   }
 
+  test("intersect_count matches size(array_intersect) under forced codegen") {
+    import graft.functions.IntersectCount
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    def arr() = Seq.fill(rng.nextInt(30))(s"w${rng.nextInt(20)}")
+    val rows = Seq.tabulate(80)(i => (i.toLong, arr(), arr())) ++
+      Seq((900L, Seq.empty[String], Seq("a")), (901L, Seq("a", "a", "b"), Seq("a")))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), IntersectCount(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = df.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    want.foreach { case (id, w) => assert(got(id) == w, s"row $id") }
+  }
+
   test("simhash64 matches an independent driver-side fold under forced codegen") {
     import graft.functions.Simhash64
     import spark.implicits._

@@ -237,6 +237,55 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * id reachable from it, in O(graph diameter) rounds (near-dup
+    * components are shallow — typically 2-5 rounds). Each round is one
+    * join + one aggregation, all data-parallel; the driver only sequences
+    * rounds and checks convergence. Returns (id, comp) for every id that
+    * appears in `pairs`.
+    */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("_ncomp"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("_old")), "id")
+        .filter(col("comp") =!= col("_old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup survivors: one document per connected component of the pair
+    * graph (the smallest id), plus every document in no pair at all — the
+    * end-to-end dedup a training pipeline actually applies after any of
+    * the pairwise methods above.
+    */
+  def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val removed = components(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs above `minCosine`, via the ANN
     * machinery (sign-sketch banding) in graft.sim.Similarity.
     */

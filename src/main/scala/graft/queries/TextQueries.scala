@@ -103,6 +103,17 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // End-to-end near-dup dedup: Jaccard pairs -> connected components ->
+    // one survivor per component; survivors counted per language.
+    "q64_neardup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue)
+      Dedup.survivors(docs, pairs, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+        .orderBy("lang")
+    }),
+
     // IVF ANN: seeded coarse quantizer + probed-cell exact rerank
     // (seeded KMeans: rows-only check; recall pinned vs q40 in ScalaTest).
     "q62_ivf_ann" -> ((s, d) => {
@@ -235,6 +246,37 @@ object TextQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q64_neardup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+        |labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        |removed AS (SELECT id AS doc_id FROM labels WHERE id <> comp)
+        |SELECT lang, count(*) AS n_survivors
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q59_pack_offsets" ->
       """WITH t AS (

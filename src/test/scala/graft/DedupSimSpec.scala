@@ -58,6 +58,19 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("components chain transitively; survivors keep one doc per group") {
+    // 1-2, 2-3 chain (3 never pairs with 1 directly) + separate 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"got $comp")
+    val docs = Seq(1L, 2L, 3L, 7L, 10L, 11L).toDF("doc_id")
+    val surv = Dedup.survivors(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 7L, 10L), "min per component + unpaired docs")
+  }
+
   test("autoPlanes scales bits with corpus at fixed bucket density") {
     import graft.sim.Similarity.autoPlanes
     assert(autoPlanes(1000) == 16, "small corpus floors at 4-bit bands")

@@ -103,6 +103,19 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Structured Streaming on the gate: the windowed rollup runs as a
+    // real stream over the raw nanos parquet into a memory sink; complete
+    // mode makes it equal the batch rollup, so it gets a full oracle.
+    "q65_stream_rollup" -> ((s, d) => {
+      val stream = graft.streaming.Streams.windowedRollup(
+        graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet"))
+      graft.streaming.Streams.runToMemory(
+        stream, s"q65_rollup_${System.nanoTime}", "complete")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // End-to-end near-dup dedup: Jaccard pairs -> connected components ->
     // one survivor per component; survivors counted per language.
     "q64_neardup_survivors" -> ((s, d) => {
@@ -246,6 +259,11 @@ object TextQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q65_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q64_neardup_survivors" ->
       """WITH RECURSIVE toks AS (

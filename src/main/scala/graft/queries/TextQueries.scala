@@ -107,13 +107,21 @@ object TextQueries {
     // real stream over the raw nanos parquet into a memory sink; complete
     // mode makes it equal the batch rollup, so it gets a full oracle.
     "q65_stream_rollup" -> ((s, d) => {
-      val stream = graft.streaming.Streams.windowedRollup(
-        graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet"))
-      graft.streaming.Streams.runToMemory(
-        stream, s"q65_rollup_${System.nanoTime}", "complete")
-        .select(col("window_start"), col("event_type"), col("n_events"),
-          round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("window_start", "event_type")
+      // Streaming state stores cost per shuffle partition per microbatch;
+      // a single-file batch-equivalent run doesn't need 32 of them. The
+      // conf applies at stream START and is restored after the (fully
+      // synchronous) run, so surrounding batch queries are unaffected.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = graft.streaming.Streams.windowedRollup(
+          graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet"))
+        graft.streaming.Streams.runToMemory(
+          stream, s"q65_rollup_${System.nanoTime}", "complete")
+          .select(col("window_start"), col("event_type"), col("n_events"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy("window_start", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     // End-to-end near-dup dedup: Jaccard pairs -> connected components ->

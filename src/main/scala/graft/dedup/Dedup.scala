@@ -244,6 +244,12 @@ object Dedup {
     * join + one aggregation, all data-parallel; the driver only sequences
     * rounds and checks convergence. Returns (id, comp) for every id that
     * appears in `pairs`.
+    *
+    * Min-label propagation needs O(diameter) rounds, so a pathological
+    * duplicate CHAIN longer than `maxIter` would not converge — that
+    * raises (wrong dedup is worse than a failed job); raise `maxIter`
+    * or pre-collapse exact duplicates, which is what produces deep
+    * chains in practice.
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                  maxIter: Int = 20): DataFrame = {
@@ -271,6 +277,10 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"components did not converge in $maxIter rounds — the pair graph " +
+        "has a component with diameter > maxIter; raise maxIter or " +
+        "pre-collapse exact duplicates")
     labels
   }
 

@@ -20,18 +20,29 @@ object Bench {
     // Two iterations, report the best: first-touch codegen/classloading
     // noise dwarfs tiny-table queries; min-of-2 is steady-state latency.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // A crashing query must be visible in the output, not silently timed:
+    // record per-query failure markers and a top-level errors map.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            err = Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(120))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => (k, e) }
+    val errs = failed.map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,7 +175,7 @@ object Dedup {
     // small-bytes/pair-exploding shuffle to one task — and the pair
     // groupBy dedups collisions across tables.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val sigsP = sigs
+    val sigsP = sigs.repartition(p, col("t"), col("h"))
     val cand = sigsP.as("a").hint("shuffle_hash")
       .join(sigsP.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&

@@ -206,10 +206,14 @@ object Encoderizer {
                maxVocab: Int = 1 << 16): Option[FittedStage] = spec.kind match {
     case "drop" => None
     case "numeric" =>
+      // Backtick-quote the name (it may need quoting) and try_cast (an
+      // overrides-forced numeric string column must yield null under ANSI,
+      // not throw) — matching the stats() probe above.
+      val numC = expr(s"try_cast(`${spec.name}` as double)")
       val r = df.agg(
-        expr(s"percentile(cast(${spec.name} as double), 0.5)").as("med"),
-        avg(col(spec.name).cast("double")).as("mean"),
-        stddev_pop(col(spec.name).cast("double")).as("std")).head()
+        expr(s"percentile(try_cast(`${spec.name}` as double), 0.5)").as("med"),
+        avg(numC).as("mean"),
+        stddev_pop(numC).as("std")).head()
       val med = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       Some(NumericStage(spec.name, med,
         if (r.isNullAt(1)) 0.0 else r.getDouble(1),

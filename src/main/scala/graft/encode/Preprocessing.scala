@@ -64,11 +64,14 @@ object Preprocessing {
     */
   def varianceKeepIndices(df: DataFrame, arrCol: String,
                           threshold: Double = 0.0): Seq[Int] = {
-    val width = df.select(size(col(arrCol))).head().getInt(0)
+    val widthRow = df.select(size(col(arrCol))).limit(1).collect()
+    if (widthRow.isEmpty || widthRow(0).isNullAt(0)) return Seq.empty
+    val width = widthRow(0).getInt(0)
     val agg = df.select(
       (0 until width).map(i =>
         var_pop(element_at(col(arrCol), i + 1)).as(s"v$i")): _*).head()
-    (0 until width).filter(i => agg.getDouble(i) > threshold)
+    // var_pop of an all-null slot is NULL — treat as no variance, drop.
+    (0 until width).filter(i => !agg.isNullAt(i) && agg.getDouble(i) > threshold)
   }
 
   def sliceIndices(c: Column, keep: Seq[Int]): Column =

@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * larger — no intermediate array, whole-stage codegen.
   *
   * Matches array_intersect's set semantics: duplicates count once
-  * (both sides are deduped by the set/seen logic); null elements are
-  * ignored.
+  * (both sides are deduped by the set/seen logic), and a null element
+  * present in BOTH arrays counts as one common element — exactly what
+  * `size(array_intersect(a, b))` returns.
   */
 case class IntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -52,15 +53,19 @@ object IntersectCount {
     val (small, big) =
       if (l.numElements() <= r.numElements()) (l, r) else (r, l)
     val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var smallHasNull = false
     var i = 0
     while (i < small.numElements()) {
-      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
       i += 1
     }
     var c = 0
+    var nullPending = smallHasNull // null-in-both counts once
     i = 0
-    while (i < big.numElements() && !set.isEmpty) {
-      if (!big.isNullAt(i) && set.remove(big.getUTF8String(i))) c += 1
+    while (i < big.numElements() && (!set.isEmpty || nullPending)) {
+      if (big.isNullAt(i)) { if (nullPending) { c += 1; nullPending = false } }
+      else if (set.remove(big.getUTF8String(i))) c += 1
       i += 1
     }
     c

@@ -177,10 +177,17 @@ object Multimodal {
         if (encoded != null) (encoded, true) else (subsample(b), false)
       }
     })
-    val out = df.withColumn("_rs", resample(col(mediaCol)))
-      .withColumn(mediaCol, col("_rs._1"))
-      .withColumn("width", lit(targetW))
-      .withColumn("height", lit(targetH))
+    // metadata truth: only rows actually re-encoded as images assert the
+    // target pixel dimensions; byte-subsampled fallbacks and null payloads
+    // keep their original (or absent) dims — same gating as format below.
+    def gatedDim(c: String, target: Int)(d: DataFrame): DataFrame =
+      if (d.columns.contains(c))
+        d.withColumn(c, when(col("_rs._2") === true, lit(target)).otherwise(col(c)))
+      else
+        d.withColumn(c, when(col("_rs._2") === true, lit(target)))
+    val out = gatedDim("height", targetH)(gatedDim("width", targetW)(
+      df.withColumn("_rs", resample(col(mediaCol)))
+        .withColumn(mediaCol, col("_rs._1"))))
     // keep the format column TRUE: re-encodes are PNG; byte-subsampled
     // fallbacks are no longer any codec's format; null payloads keep theirs
     val withFormat =

@@ -124,6 +124,51 @@ object TextQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // Event-time streaming sessionization (batch twin: q49). A REAL
+    // Structured Streaming run on session_window in APPEND mode: a copy of
+    // events plus one far-future sentinel row feeds the file source, so
+    // the post-batch watermark passes every real session's end and the
+    // no-data microbatch flushes them all — emission driven purely by
+    // event time, identical on live run and replay.
+    "q66_stream_sessionize" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("q66_sessions").toString
+        // floor ts to seconds; session_window merges boundary-inclusively
+        // (an event exactly gapDuration after the last one EXTENDS the
+        // session), so gap=1800s reproduces the batch rule "new session
+        // when gap > 1800s" exactly
+        val ev = Tables.events(s, d)
+          .select(col("event_id"),
+            col("ts").cast("long").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val sentinel = s.range(1)
+          .select(lit(-1L).as("event_id"),
+            lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"))
+        ev.unionByName(sentinel).coalesce(4)
+          .write.mode("overwrite").parquet(dir)
+        val stream = s.readStream
+          .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+          .parquet(dir)
+        val sessions = graft.streaming.Streams.sessionWindows(
+          stream, gap = "1800 seconds", watermark = "0 seconds")
+        val out = graft.streaming.Streams.runToMemory(
+          sessions, s"q66_sessions_${System.nanoTime}", "append")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_start")
+        out.filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            row_number().over(w).cast("int").as("session_idx"),
+            col("n_events"),
+            round(col("sum_value"), 2).as("sum_value"),
+            col("duration_sec"))
+          .orderBy("user_id", "session_idx")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // End-to-end near-dup dedup: Jaccard pairs -> connected components ->
     // one survivor per component; survivors counted per language.
     "q64_neardup_survivors" -> ((s, d) => {
@@ -272,6 +317,30 @@ object TextQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same truth as the q49 batch sessionization — the streaming run must
+    // reproduce it exactly (event-time semantics make that possible).
+    "q66_stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+        |sess AS (
+        |  SELECT user_id, sec, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value,
+        | max(sec) - min(sec) AS duration_sec
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q64_neardup_survivors" ->
       """WITH RECURSIVE toks AS (

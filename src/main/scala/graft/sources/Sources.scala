@@ -16,8 +16,12 @@ object Sources {
     * matching directories (PartitionFilters in the plan, not data IO).
     */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String]): Unit =
+                       partitionCols: Seq[String]): Unit = {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    // the write may target a directory Tables.load has memoized a handle
+    // for; drop the session's handles so the next load re-lists files
+    graft.Tables.invalidate(Some(df.sparkSession))
+  }
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -33,9 +37,13 @@ object Sources {
                     schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  def writeCsv(df: DataFrame, path: String): Unit =
+  def writeCsv(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").option("header", "true").csv(path)
+    graft.Tables.invalidate(Some(df.sparkSession))
+  }
 
-  def writeJsonLines(df: DataFrame, path: String): Unit =
+  def writeJsonLines(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").json(path)
+    graft.Tables.invalidate(Some(df.sparkSession))
+  }
 }

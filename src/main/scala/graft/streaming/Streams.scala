@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events stream. The reference is batch-only
@@ -62,48 +61,38 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-                         event_type: String, value: Double)
-  final case class SessionState(nEvents: Long, total: Double,
-                                startTs: Long, lastTs: Long)
-  final case class Session(user_id: Long, n_events: Long, total_value: Double,
-                           duration_ms: Long)
-
-  /** Stateful sessionization: per-user running session closed after
-    * `gapMs` of inactivity (processing-time timeout), emitted on close —
-    * the `flatMapGroupsWithState` pattern for custom streaming state.
+  /** Event-time sessionization on the built-in `session_window`: per-key
+    * sessions that merge events less than `gap` apart. Two properties the
+    * earlier flatMapGroupsWithState version lacked:
+    *
+    *   - sessions close by WATERMARK (event time), so replay/backfill of
+    *     historical data yields exactly the same sessions as a live run —
+    *     a processing-time timeout closes sessions by wall clock, which is
+    *     wrong the moment input isn't real-time;
+    *   - per-key state lives in the session-window state store (sorted
+    *     merge, incremental) — no per-group `toSeq.sortBy` buffering, so a
+    *     hot key cannot OOM an executor within a batch.
+    *
+    * Append mode emits each session once the watermark passes its end
+    * (gap past the last event). `session_window` merges boundary-
+    * inclusively — an event exactly `gap` after the last one EXTENDS the
+    * session; a new session starts only when the inter-event gap exceeds
+    * `gap` — which matches the batch twin's (q49) "new session when
+    * gap > 30 min" rule at gap = 30 min over second-floored timestamps.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        case (userId, rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, s.nEvents, s.total, s.lastTs - s.startTs))
-          } else {
-            val evs = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption.getOrElse(
-              SessionState(0, 0.0, Long.MinValue, Long.MinValue))
-            val out = Seq.newBuilder[Session]
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              if (cur.nEvents > 0 && t - cur.lastTs > gapMs) {
-                out += Session(userId, cur.nEvents, cur.total,
-                  cur.lastTs - cur.startTs)
-                cur = SessionState(0, 0.0, Long.MinValue, Long.MinValue)
-              }
-              cur = SessionState(cur.nEvents + 1, cur.total + e.value,
-                if (cur.nEvents == 0) t else cur.startTs, t)
-            }
-            state.update(cur)
-            state.setTimeoutDuration(gapMs)
-            out.result().iterator
-          }
-      }
-  }
+  def sessionWindows(events: DataFrame, tsCol: String = "ts",
+                     keyCol: String = "user_id", valueCol: String = "value",
+                     gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCol).as("sum_value"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("duration_sec"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"), col("duration_sec"))
 
   /** Streaming exact dedup: ONE survivor per normalized-text fingerprint
     * (first arrival — within a microbatch that is processing order, not

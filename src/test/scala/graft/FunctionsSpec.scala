@@ -124,7 +124,12 @@ class FunctionsSpec extends AnyFunSuite {
     val rng = new scala.util.Random(17)
     def arr() = Seq.fill(rng.nextInt(30))(s"w${rng.nextInt(20)}")
     val rows = Seq.tabulate(80)(i => (i.toLong, arr(), arr())) ++
-      Seq((900L, Seq.empty[String], Seq("a")), (901L, Seq("a", "a", "b"), Seq("a")))
+      Seq((900L, Seq.empty[String], Seq("a")), (901L, Seq("a", "a", "b"), Seq("a")),
+        // null-element semantics: null-in-both counts once (like
+        // array_intersect); null on one side only does not
+        (902L, Seq("a", null, null), Seq(null, "b", "a")),
+        (903L, Seq("a", null), Seq("a", "b")),
+        (904L, Seq[String](null, null), Seq[String](null)))
     val df = rows.toDF("id", "a", "b")
     val got = df.select(col("id"), IntersectCount(col("a"), col("b")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

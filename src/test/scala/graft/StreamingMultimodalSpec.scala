@@ -36,27 +36,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(g.nonEmpty && g.toSeq == w.toSeq)
   }
 
-  test("stateful sessionization splits on inactivity gaps") {
-    import Streams.{Event, Session}
+  test("event-time sessionization splits on inactivity gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("session_stream").toString
     val t0 = 1700000000000L
     def ev(id: Long, user: Long, offMs: Long, v: Double) =
-      Event(id, new java.sql.Timestamp(t0 + offMs), user, "click", v)
-    // user 1: two sessions (gap 10 min); user 2: one session
-    val events = Seq(
+      (id, new java.sql.Timestamp(t0 + offMs), user, "click", v)
+    // user 1: two sessions (gap 700s > 600s); user 2: one session. The
+    // sentinel (user -1, far future) pushes the WATERMARK past every real
+    // session's end so append mode emits them all — on a finite file the
+    // watermark otherwise stops at max(ts) - delay and holds back the tail.
+    Seq(
       ev(1, 1, 0, 1.0), ev(2, 1, 60000, 2.0),
       ev(3, 1, 60000 + 700000, 4.0),
-      ev(4, 2, 0, 8.0)).toDS()
-    val sessions = Streams.sessionize(events, gapMs = 600000)
-      .collect().filter(_.n_events > 0)
-    val u1 = sessions.filter(_.user_id == 1)
-    // Only the gap-CLOSED session is emitted in this batch; the trailing
-    // open session (1 event, 4.0) stays in state awaiting timeout.
-    assert(u1.map(_.n_events).toSeq == Seq(2L), s"got ${u1.toSeq}")
-    assert(u1.map(_.total_value).sum == 3.0)
-    assert(u1.head.duration_ms == 60000L,
-      "session duration = last event - first event of the closed session")
-    assert(sessions.count(_.user_id == 2) == 0,
-      "user 2's single session never closed, so nothing is emitted yet")
+      ev(4, 2, 0, 8.0),
+      ev(99, -1, 86400000L * 365, 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+      .parquet(dir)
+    val out = Streams.runToMemory(
+      Streams.sessionWindows(stream, gap = "600 seconds", watermark = "0 seconds"),
+      "session_test", "append")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+
+    // (user, n_events, sum_value, duration_sec): event-time semantics —
+    // identical on live run and replay.
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3.0, 60L),   // events at +0s, +60s
+      (1L, 1L, 4.0, 0L),    // event at +760s, beyond the 600s gap
+      (2L, 1L, 8.0, 0L)), s"got ${out.toSeq}")
   }
 
   test("multimodal feature extraction is deterministic with fixed width") {
@@ -183,8 +195,14 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001")).limit(10)
     val resized = Multimodal.resize(media, "media", 64, 64)
-    val r = resized.select("width", "height").distinct().head()
-    assert(r.getInt(0) == 64 && r.getInt(1) == 64)
+    // synthetic payloads are text bytes -> every row takes the byte-
+    // subsample fallback, so width/height keep their ORIGINAL values
+    // (metadata stays truthful: no pixel dims asserted for non-images)
+    val dims = resized.select("media_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val orig = media.select("media_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(dims == orig, "fallback rows keep original dims")
     val frames = Multimodal.sampleFrames(media, "media", "media_id",
       frameBytes = 32, everyN = 2)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))

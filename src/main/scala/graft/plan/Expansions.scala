@@ -28,6 +28,26 @@ object Expansions {
       .orderBy("label")
   }
 
+  /** Multilabel binarization stats (`MultiLabelBinarizer.fit` over a
+    * label-SET column, `multiclass.py:267-274`): classes_ = sorted
+    * distinct labels; per class, positives = rows whose set contains it,
+    * negatives = the rest, prevalence = positives / rows. One explode +
+    * groupBy — the distributed equivalent of the binarizer's column sums.
+    */
+  def multilabelStats(df: DataFrame, labelCol: String): DataFrame = {
+    val total = df.count()
+    // array_distinct first: y is a SET — a duplicated label in one row
+    // must not double-count that row as two positives
+    df.select(explode_outer(array_distinct(col(labelCol).cast("array<string>")))
+        .as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pos"))
+      .withColumn("n_neg", lit(total) - col("n_pos"))
+      .withColumn("prevalence", round(col("n_pos") / lit(total.toDouble), 6))
+      .orderBy("label")
+  }
+
   /** OvO pair lattice: all (i, j), i < j, with the row count of the
     * restricted binary problem (n_i + n_j).
     */

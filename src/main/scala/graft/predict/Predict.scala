@@ -75,4 +75,16 @@ object Predict {
                         featuresCol: String,
                         outCol: String = "scores"): DataFrame =
     df.withColumn(outCol, predictProbaUdf(spark, model)(col(featuresCol)))
+
+  /** Multilabel prediction column: SORTED `array<string>` label set (the
+    * MultiLabelBinarizer inverse_transform of the per-class votes).
+    */
+  def withMultilabelPredictions(spark: SparkSession, df: DataFrame,
+                                model: graft.search.MultilabelOvRModel,
+                                featuresCol: String,
+                                outCol: String = "pred_labels"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(model)
+    val f = udf((v: Seq[Double]) => bc.value.predictLabels(v.toArray).toSeq)
+    df.withColumn(outCol, f(col(featuresCol).cast("array<double>")))
+  }
 }

@@ -97,6 +97,17 @@ object MLRelational {
     "q27_ovo_pairs" -> ((s, d) =>
       Expansions.ovoPairs(Tables.embeddings(s, d), "label")),
 
+    // Multilabel binarization stats (MultiLabelBinarizer.fit over a
+    // label-SET column): documents tagged with a derived label set
+    // {lang, source, length-bucket}; per class -> positives/negatives/
+    // prevalence. The fit surface of DistMultilabelOvR.
+    "q67_multilabel_stats" -> ((s, d) => {
+      val tagged = Tables.documents(s, d).withColumn("labels",
+        array(col("lang"), col("source"),
+          when(col("n_chars") > 400, lit("long")).otherwise(lit("short"))))
+      Expansions.multilabelStats(tagged, "labels")
+    }),
+
     // Hard vote: modal prediction of 3 pseudo-models, ties -> smallest.
     "q28_vote_hard" -> ((s, d) => {
       Tables.embeddings(s, d)
@@ -199,6 +210,21 @@ object MLRelational {
         |SELECT a.label AS label_i, b.label AS label_j, a.n + b.n AS n_rows
         |FROM c a JOIN c b ON a.label < b.label
         |ORDER BY label_i, label_j""".stripMargin,
+
+    // Same derived label set as the Spark side; a row is one positive per
+    // DISTINCT label in its set (lang/source can collide with the bucket
+    // names only if testdata grew such values — list_distinct guards the
+    // set semantics either way).
+    "q67_multilabel_stats" ->
+      """WITH tagged AS (
+        |  SELECT unnest(list_distinct([lang, source,
+        |    CASE WHEN n_chars > 400 THEN 'long' ELSE 'short' END])) AS label
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents)
+        |SELECT label, count(*) AS n_pos,
+        | (SELECT n FROM tot) - count(*) AS n_neg,
+        | round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS prevalence
+        |FROM tagged GROUP BY label ORDER BY label""".stripMargin,
 
     "q28_vote_hard" ->
       """SELECT vec_id, p AS vote FROM (

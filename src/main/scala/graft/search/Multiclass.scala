@@ -12,17 +12,10 @@ import graft.exec.ModelParallel.TrainMatrix
   * (classLabel, model) pairs and are reassembled by sorting the key
   * (replacing `multiclass.py:332-334`'s argsort reorder).
   */
-final case class OvRModel(classes: Array[Double], models: Array[Model],
-                          norm: Option[String]) extends Model {
-
-  /** Stacked per-class positive probabilities, optionally row-normalized
-    * (`multiclass.py:337-362`).
-    */
-  def predictProba(x: Array[Double]): Array[Double] = {
-    val raw = models.map { m =>
-      val p = m.predictProba(x)
-      if (p.length > 1) p(1) else p(0)
-    }
+object Multiclass {
+  /** predict_proba row normalization (`multiclass.py:337-362`). */
+  private[search] def normalize(raw: Array[Double],
+                                norm: Option[String]): Array[Double] =
     norm match {
       case Some("l1") =>
         val s = raw.map(math.abs).sum
@@ -35,7 +28,22 @@ final case class OvRModel(classes: Array[Double], models: Array[Model],
         if (s == 0) raw else raw.map(_ / s)
       case _ => raw
     }
+
+  /** Per-class positive probability from a fitted binary model. */
+  private[search] def positiveProba(m: Model, x: Array[Double]): Double = {
+    val p = m.predictProba(x)
+    if (p.length > 1) p(1) else p(0)
   }
+}
+
+final case class OvRModel(classes: Array[Double], models: Array[Model],
+                          norm: Option[String]) extends Model {
+
+  /** Stacked per-class positive probabilities, optionally row-normalized
+    * (`multiclass.py:337-362`).
+    */
+  def predictProba(x: Array[Double]): Array[Double] =
+    Multiclass.normalize(models.map(Multiclass.positiveProba(_, x)), norm)
 
   def predict(x: Array[Double]): Double = {
     val p = predictProba(x)
@@ -96,6 +104,116 @@ class DistOneVsRest(learner: Learner,
     bc.destroy()
     val byClass = fitted.sortBy(_._1)
     OvRModel(byClass.map(_._1), byClass.map(_._2), norm)
+  }
+}
+
+/** Multilabel OvR model (the reference's headline OvR use case): one
+  * fitted binary model per class over a label-SET target. `predictLabels`
+  * mirrors sklearn's multilabel `OneVsRestClassifier.predict` — each
+  * binary estimator votes independently (its own argmax, i.e. positive
+  * proba > 0.5) and the predicted set is the classes voting positive;
+  * normalization applies only to the stacked `predictProba` surface,
+  * never to set membership (`multiclass.py:337-362` normalizes proba
+  * output only).
+  */
+final case class MultilabelOvRModel(classes: Array[String],
+                                    models: Array[Model],
+                                    norm: Option[String]) extends Serializable {
+
+  def predictProba(x: Array[Double]): Array[Double] =
+    Multiclass.normalize(models.map(Multiclass.positiveProba(_, x)), norm)
+
+  def predictLabels(x: Array[Double]): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < models.length) {
+      if (models(i).predict(x) == 1.0) out += classes(i)
+      i += 1
+    }
+    out.result()
+  }
+}
+
+/** Multilabel one-vs-rest (`multiclass.py:195-335` with the
+  * `MultiLabelBinarizer` path of `fit`, `multiclass.py:267-274`): `y` is
+  * an `array<string>` label-set column; classes are the sorted distinct
+  * labels (MultiLabelBinarizer.classes_); each class becomes one binary
+  * problem (row positive iff its set contains the class) fanned out
+  * task-parallel against the broadcast matrix, with the same optional
+  * negative cap as the single-label path (`_negatives_mask`).
+  *
+  * The reference's `mlb_override` ctor flag (y already binarized,
+  * `multiclass.py:228-230, 269`) is `fitBinarized`.
+  */
+class DistMultilabelOvR(learner: Learner,
+                        norm: Option[String] = None,
+                        maxNegatives: Option[Double] = None,
+                        negMethod: String = "ratio",
+                        seed: Long = 42) extends Serializable {
+
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): MultilabelOvRModel = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(featuresCol).cast("array<double>"),
+      col(labelCol).cast("array<string>")).collect()
+    val x = rows.map(_.getSeq[Double](0).toArray)
+    val y = rows.map(r =>
+      if (r.isNullAt(1)) Set.empty[String]
+      else r.getSeq[String](1).filter(_ != null).toSet)
+    fitSets(spark, x, y)
+  }
+
+  /** `mlb_override`: y already one-hot, one column per entry of `classes`. */
+  def fitBinarized(spark: SparkSession, x: Array[Array[Double]],
+                   yIndicator: Array[Array[Double]],
+                   classes: Array[String]): MultilabelOvRModel = {
+    require(yIndicator.forall(_.length == classes.length),
+      "indicator width must equal the class count")
+    val sets = yIndicator.map(row =>
+      classes.indices.collect { case i if row(i) == 1.0 => classes(i) }.toSet)
+    fitSets(spark, x, sets)
+  }
+
+  def fitSets(spark: SparkSession, x: Array[Array[Double]],
+              y: Array[Set[String]]): MultilabelOvRModel = {
+    require(x.length == y.length, "x and y row counts differ")
+    val classes = y.flatMap(_.iterator).distinct.sorted // MultiLabelBinarizer order
+    val bcX = spark.sparkContext.broadcast(x)
+    val bcY = spark.sparkContext.broadcast(y)
+    val lrn = learner
+    val maxNeg = maxNegatives
+    val method = negMethod
+    val baseSeed = seed
+    val fitted = spark.sparkContext
+      .parallelize(classes.toSeq, math.max(1, classes.length))
+      .map { c =>
+        val xs = bcX.value
+        val sets = bcY.value
+        val rng = new scala.util.Random(baseSeed + c.hashCode)
+        val posIdx = sets.indices.filter(sets(_).contains(c))
+        val negIdxAll = sets.indices.filter(!sets(_).contains(c))
+        val negIdx = maxNeg match {
+          case Some(v) =>
+            val cap = method match {
+              case "multiplier" => math.min(negIdxAll.size, (v * posIdx.size).toInt)
+              case _            => math.min(negIdxAll.size, (v * negIdxAll.size).toInt)
+            }
+            if (cap >= negIdxAll.size) negIdxAll
+            else rng.shuffle(negIdxAll.toVector).take(cap).sorted
+          case None => negIdxAll
+        }
+        val idx = (posIdx ++ negIdx).toArray
+        val xb = idx.map(xs)
+        val yBin = idx.map(i => if (sets(i).contains(c)) 1.0 else 0.0)
+        val model: Model =
+          if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
+          else lrn.fit(xb, yBin, Map.empty, baseSeed + c.hashCode)
+        (c, model)
+      }
+      .collect()
+    bcX.unpersist(); bcY.unpersist()
+    val byClass = fitted.sortBy(_._1)
+    MultilabelOvRModel(byClass.map(_._1), byClass.map(_._2), norm)
   }
 }
 

@@ -105,6 +105,51 @@ class TrainingEngineSpec extends AnyFunSuite {
     assert(math.abs(p.sum - 1.0) < 1e-9, "l1-normalized probs sum to 1")
   }
 
+  test("multilabel OvR recovers planted label sets") {
+    import graft.exec.LogisticRegressionLBFGS
+    // Labels determined by feature signs: "a" iff x0>0, "b" iff x1>0,
+    // "c" iff x0+x1>0 — overlapping sets, some rows empty-set.
+    val rng = new Random(21)
+    val x = Array.fill(200)(Array(rng.nextGaussian() * 2, rng.nextGaussian() * 2))
+    def truth(v: Array[Double]): Set[String] =
+      Set("a" -> (v(0) > 0.5), "b" -> (v(1) > 0.5), "c" -> (v(0) + v(1) > 0.5))
+        .collect { case (l, true) => l }
+    val y = x.map(truth)
+    val ml = new DistMultilabelOvR(LogisticRegressionLBFGS)
+    val model = ml.fitSets(spark, x, y)
+    assert(model.classes.toSeq == Seq("a", "b", "c"),
+      "MultiLabelBinarizer order: sorted distinct labels")
+    // exact-set recovery away from the decision boundaries
+    val clear = x.indices.filter { i =>
+      math.abs(x(i)(0) - 0.5) > 0.7 && math.abs(x(i)(1) - 0.5) > 0.7 &&
+        math.abs(x(i)(0) + x(i)(1) - 0.5) > 0.7
+    }
+    assert(clear.size > 50, "enough unambiguous rows to grade on")
+    val exact = clear.count(i => model.predictLabels(x(i)).toSet == y(i))
+    assert(exact.toDouble / clear.size > 0.95,
+      s"recovered ${exact}/${clear.size} planted label sets")
+    // proba surface is one positive-probability per class, normalizable
+    val p = model.predictProba(x(0))
+    assert(p.length == 3 && p.forall(v => v >= 0 && v <= 1))
+    // the DataFrame fit path and prediction column agree with fitSets
+    import spark.implicits._
+    val df = x.zip(y).toSeq.map { case (v, s) => (v.toSeq, s.toSeq.sorted) }
+      .toDF("features", "labels")
+    val model2 = ml.fit(spark, df, "features", "labels")
+    val preds = graft.predict.Predict
+      .withMultilabelPredictions(spark, df, model2, "features")
+      .select("pred_labels").as[Seq[String]].collect()
+    assert(preds.length == 200)
+    val exact2 = clear.count(i => preds(i).toSet == y(i))
+    assert(exact2.toDouble / clear.size > 0.95)
+    // mlb_override path: pre-binarized indicator matrix, same model out
+    val classes = Array("a", "b", "c")
+    val yInd = y.map(s => classes.map(c => if (s(c)) 1.0 else 0.0))
+    val model3 = ml.fitBinarized(spark, x, yInd, classes)
+    assert(x.take(20).forall(v =>
+      model3.predictLabels(v).toSeq == model2.predictLabels(v).toSeq))
+  }
+
   test("L-BFGS plugs into OvR and the feature eliminator unchanged") {
     import graft.exec.LogisticRegressionLBFGS
     val m = blobs()

@@ -47,6 +47,52 @@ object ModelParallel {
     TrainMatrix(x, y, if (stratified) stratifiedFolds(y, cv, seed) else shuffledFolds(y.length, cv, seed))
   }
 
+  /** Estimated driver/broadcast footprint of collecting the matrix:
+    * rows x (d doubles + row overhead). One cheap agg — the guard the
+    * auto-routing fit surfaces use to decide broadcast vs data-parallel
+    * BEFORE collecting anything.
+    */
+  def estimateMatrixBytes(df: DataFrame, featuresCol: String): Long = {
+    val r = df.agg(count(lit(1)).as("n"),
+      first(size(col(featuresCol)), ignoreNulls = true).as("d")).head()
+    val n = r.getLong(0)
+    val d = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+    n * (d + 4L) * 8L
+  }
+
+  /** Group-aware matrix collection: folds from sklearn-GroupKFold
+    * semantics over `groupCol` — every row of a group in ONE fold.
+    */
+  def collectMatrixGrouped(df: DataFrame, featuresCol: String,
+                           labelCol: String, groupCol: String,
+                           cv: Int): TrainMatrix = {
+    val rows = df.select(col(featuresCol).cast("array<double>"),
+      col(labelCol).cast("double"), col(groupCol).cast("string")).collect()
+    val x = rows.map(_.getSeq[Double](0).toArray)
+    val y = rows.map(_.getDouble(1))
+    val groups = rows.map(_.getString(2))
+    TrainMatrix(x, y, groupKFolds(groups, cv))
+  }
+
+  /** sklearn GroupKFold: deterministic greedy balancing — groups sorted
+    * by sample count (largest first, key as tie-break) each go to the
+    * currently-lightest fold. No group straddles folds.
+    */
+  def groupKFolds(groups: Array[String], k: Int): Array[Int] = {
+    require(k > 1, "need k > 1 folds")
+    val counts = groups.groupBy(identity).map { case (g, m) => (g, m.length) }
+    require(counts.size >= k,
+      s"need at least $k distinct groups for $k folds, got ${counts.size}")
+    val loads = new Array[Long](k)
+    val assign = scala.collection.mutable.Map.empty[String, Int]
+    counts.toSeq.sortBy { case (g, n) => (-n, g) }.foreach { case (g, n) =>
+      val f = loads.indices.minBy(loads(_))
+      assign(g) = f
+      loads(f) += n
+    }
+    groups.map(assign)
+  }
+
   /** Seeded shuffled round-robin folds (sklearn KFold(shuffle=True)). */
   def shuffledFolds(n: Int, k: Int, seed: Long): Array[Int] = {
     val order = new Random(seed).shuffle((0 until n).toVector)

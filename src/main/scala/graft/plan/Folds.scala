@@ -43,6 +43,24 @@ object Folds {
       pmod(row_number().over(w) - 1, lit(k)).cast("int"))
   }
 
+  /** Group K-fold as a COLUMN (the scalable analog of sklearn GroupKFold
+    * via `check_cv(..., groups)`, reference `search.py:334,379`): the fold
+    * is a pure function of the GROUP key, so every row of a group lands in
+    * one fold by construction — leakage-free CV for grouped samples
+    * (sessions, users) with no global coordination, at any scale.
+    * Portable variant (`pmod(group, k)`) for oracle-checked plans; seeded
+    * xxhash64 variant for real CV where folds should look random w.r.t.
+    * the key order.
+    */
+  def byGroup(group: Column, k: Int): Column = byKey(group, k)
+
+  def byGroupHash(group: Column, k: Int, seed: Long): Column =
+    byHash(group, k, seed)
+
+  def assignByGroup(df: DataFrame, groupCol: String, k: Int,
+                    foldCol: String = "fold_id"): DataFrame =
+    df.withColumn(foldCol, byGroup(col(groupCol), k))
+
   def train(df: DataFrame, fold: Int, foldCol: String = "fold_id"): DataFrame =
     df.filter(col(foldCol) =!= fold)
 

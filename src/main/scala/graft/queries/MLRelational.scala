@@ -51,6 +51,18 @@ object MLRelational {
     }),
 
     // Stratified fold planner: every fold sees each label ~equally.
+    // Group K-fold planner over events GROUPED BY user: the fold is a
+    // function of the group key, so no user's rows straddle folds
+    // (leakage-free CV for grouped samples). n_groups counts distinct
+    // users per fold.
+    "q68_fold_groups" -> ((s, d) => {
+      Folds.assignByGroup(Tables.events(s, d), "user_id", 5)
+        .groupBy("fold_id")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_groups"))
+        .orderBy("fold_id")
+    }),
+
     "q21_fold_stratified" -> ((s, d) => {
       Folds.stratified(Tables.embeddings(s, d), "label", "vec_id", 5)
         .groupBy("fold_id", "label")
@@ -144,6 +156,11 @@ object MLRelational {
       """SELECT CAST(vec_id % 5 AS INT) AS fold_id, count(*) AS n_rows,
         | round(avg(label),6) AS avg_label
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_fold_groups" ->
+      """SELECT CAST(user_id % 5 AS INT) AS fold_id, count(*) AS n_rows,
+        | count(DISTINCT user_id) AS n_groups
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_fold_stratified" ->
       """SELECT fold_id, label, count(*) AS n_rows FROM (

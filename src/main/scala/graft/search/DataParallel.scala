@@ -67,17 +67,36 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
   final case class DpResult(cvResults: DataFrame,
                             bestParams: Map[String, Double],
                             bestScore: Double,
-                            bestModel: org.apache.spark.ml.classification.LogisticRegressionModel)
+                            bestModel: org.apache.spark.ml.classification.LogisticRegressionModel,
+                            bestCandidateId: Int)
 
   private def mkEstimator(params: Map[String, Double]): LogisticRegression =
     new LogisticRegression()
       .setFeaturesCol("_features").setLabelCol("_label")
+      // multinomial even for 2 classes: k coefficient rows, so the fitted
+      // model converts losslessly to the engine's k x (d+1) LogRegModel
+      .setFamily("multinomial")
       .setRegParam(params.getOrElse("reg_param", 0.0))
       .setElasticNetParam(params.getOrElse("elastic_net", 0.0))
       .setMaxIter(params.getOrElse("max_iter", 50.0).toInt)
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): DpResult = {
+    val cands = ParamGrid.expand(
+      grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
+      .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
+    fitCandidates(spark, df, featuresCol, labelCol, cands)
+  }
+
+  /** Same search over an EXPLICIT candidate list (already in Spark ML
+    * param names: reg_param / elastic_net / max_iter) — the entry point
+    * the broadcast-path searches auto-route through, so candidate_id
+    * stays aligned with the caller's own candidate ordering.
+    */
+  def fitCandidates(spark: SparkSession, df: DataFrame,
+                    featuresCol: String, labelCol: String,
+                    cands: Seq[Map[String, Double]]): DpResult = {
+    require(cands.nonEmpty, "empty candidate list")
     val prepared = df.select(
       array_to_vector(col(featuresCol).cast("array<double>")).as("_features"),
       col(labelCol).cast("double").as("_label"))
@@ -87,9 +106,6 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
       .cache() // scanned once per (candidate, fold) fit — keep it hot
     prepared.count()
 
-    val cands = ParamGrid.expand(
-      grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
-      .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
     val evaluator = new MulticlassClassificationEvaluator()
       .setLabelCol("_label").setMetricName(scoring)
 
@@ -111,6 +127,29 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
     val best = mkEstimator(cands(bestId)).fit(prepared)
     prepared.unpersist()
     DpResult(agg.orderBy("candidate_id"), cands(bestId),
-      bestRow.getAs[Double]("mean_test_score"), best)
+      bestRow.getAs[Double]("mean_test_score"), best, bestId)
+  }
+}
+
+/** Lossless conversion of a fitted (multinomial) Spark ML logistic model
+  * into the engine's LogRegModel, so the data-parallel route returns the
+  * SAME model type as the broadcast route — callers never see which
+  * executor regime ran.
+  */
+object SparkMLBridge {
+  def toLogRegModel(
+      m: org.apache.spark.ml.classification.LogisticRegressionModel): graft.exec.LogRegModel = {
+    val k = m.numClasses
+    val d = m.numFeatures
+    val cm = m.coefficientMatrix
+    val iv = m.interceptVector
+    val weights = Array.tabulate(k) { c =>
+      val row = new Array[Double](d + 1)
+      var j = 0
+      while (j < d) { row(j) = cm(c, j); j += 1 }
+      row(d) = iv(c)
+      row
+    }
+    graft.exec.LogRegModel(weights, k)
   }
 }

@@ -64,6 +64,24 @@ class DistForest(nEstimators: Int = 100,
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): ForestModel = {
     val nClasses = if (classification) matrix.y.max.toInt + 1 else 0
+    ForestModel(growTrees(spark, matrix, 0, nEstimators, nClasses), nClasses)
+  }
+
+  /** `warm_start` (reference `ensemble.py:250-272, 324-325`): grow `nMore`
+    * additional trees onto a fitted model. The seed fan-out continues at
+    * the existing tree count, so `extend` of an n-tree model equals a
+    * fresh fit of n + nMore trees under the same base seed.
+    */
+  def extend(spark: SparkSession, model: ForestModel, matrix: TrainMatrix,
+             nMore: Int): ForestModel = {
+    require(nMore > 0, "nMore must be positive")
+    val newTrees = growTrees(spark, matrix, model.trees.length, nMore, model.nClasses)
+    ForestModel(model.trees ++ newTrees, model.nClasses)
+  }
+
+  private def growTrees(spark: SparkSession, matrix: TrainMatrix,
+                        fromIdx: Int, count: Int,
+                        nClasses: Int): Array[CART.TreeModel] = {
     val bc = spark.sparkContext.broadcast(matrix)
     val p = params ++ (if (extraTrees) Map("random_splits" -> 1.0) else Map.empty) ++
       // sklearn default max_features for forests: sqrt(d) for
@@ -73,7 +91,7 @@ class DistForest(nEstimators: Int = 100,
     val doBootstrap = bootstrap && !extraTrees
     val baseSeed = seed
     val trees = spark.sparkContext
-      .parallelize(0 until nEstimators, math.max(1, nEstimators))
+      .parallelize(fromIdx until (fromIdx + count), math.max(1, count))
       .map { treeIdx =>
         val m = bc.value
         val n = m.nRows
@@ -97,7 +115,7 @@ class DistForest(nEstimators: Int = 100,
       }
       .collect()
     bc.destroy()
-    ForestModel(trees, nClasses)
+    trees
   }
 }
 
@@ -175,14 +193,16 @@ class DistRandomTreesEmbedding(nEstimators: Int = 100,
   */
 object OutOfFold {
   def oofProba(spark: SparkSession, matrix: TrainMatrix, mkLearner: graft.exec.Learner,
-               cv: Int, seed: Long): Array[Array[Double]] = {
+               cv: Int, seed: Long,
+               params: Map[String, Double] = Map.empty): Array[Array[Double]] = {
     val bc = spark.sparkContext.broadcast(matrix)
+    val fitParams = params
     val rows = spark.sparkContext
       .parallelize(0 until cv, cv)
       .flatMap { fold =>
         val m = bc.value
         val (trainX, trainY) = m.trainOf(fold)
-        val model = mkLearner.fit(trainX, trainY, Map.empty, seed + fold)
+        val model = mkLearner.fit(trainX, trainY, fitParams, seed + fold)
         m.folds.zipWithIndex.collect {
           case (f, i) if f == fold => (i, model.predictProba(m.x(i)))
         }

@@ -59,11 +59,64 @@ class DistOneVsRest(learner: Learner,
                     negMethod: String = "ratio",
                     seed: Long = 42) extends Serializable {
 
+  /** Broadcast budget for the auto-routed `fit` — above it, each class's
+    * binary problem becomes a distributed Spark ML fit instead of a
+    * task against a driver-collected broadcast matrix.
+    */
+  private var broadcastBudgetBytes: Long = 1L << 30
+  def withBroadcastBudget(bytes: Long): this.type = {
+    broadcastBudgetBytes = bytes; this
+  }
+
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvRModel = {
-    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
-      stratified = false)
-    fitMatrix(spark, matrix)
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
+      val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
+        stratified = false)
+      fitMatrix(spark, matrix)
+    } else fitDataParallel(spark, df, featuresCol, labelCol)
+  }
+
+  /** Broadcast-overflow route: one DISTRIBUTED Spark ML logistic fit per
+    * class (the task axis is driver-sequenced — each fit already uses the
+    * whole cluster), negatives capped by the same `_negatives_mask` plan
+    * as the broadcast path, models converted losslessly so the returned
+    * OvRModel is indistinguishable from the broadcast route's.
+    */
+  private def fitDataParallel(spark: SparkSession, df: DataFrame,
+                              featuresCol: String, labelCol: String): OvRModel = {
+    learner match {
+      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS => ()
+      case other => throw new IllegalArgumentException(
+        s"data-parallel auto-route supports the logistic learners, not $other; " +
+          "for tree ensembles over broadcast-overflow data use DataParallelForest")
+    }
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val labeled = df.select(col(featuresCol), col(labelCol).cast("double").as("_y"))
+    val classes = labeled.select("_y").distinct()
+      .collect().map(_.getDouble(0)).sorted
+    val models: Array[Model] = classes.map { c =>
+      val capped = maxNegatives match {
+        case Some(v) => graft.plan.Expansions
+          .negativesMask(labeled, "_y", c, v, negMethod, seed + c.toLong)
+        case None => labeled
+      }
+      val bin = capped.withColumn("_y",
+        when(col("_y") === lit(c), 1.0).otherwise(0.0))
+      val nClasses = bin.select("_y").distinct().count()
+      if (nClasses < 2) ConstantModel(1.0, 2) // single-class: constant positive
+      else {
+        val fitted = new org.apache.spark.ml.classification.LogisticRegression()
+          .setFeaturesCol("_features").setLabelCol("_label")
+          .setFamily("multinomial").setMaxIter(100)
+          .fit(bin.select(
+            org.apache.spark.ml.functions.array_to_vector(
+              col(featuresCol).cast("array<double>")).as("_features"),
+            col("_y").as("_label")))
+        SparkMLBridge.toLogRegModel(fitted)
+      }
+    }
+    OvRModel(classes, models, norm)
   }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvRModel = {

@@ -21,7 +21,8 @@ final case class SearchResult(cvResults: DataFrame,
                               bestParams: Map[String, Double],
                               bestScore: Double,
                               bestCandidateId: Int,
-                              bestModel: Model)
+                              bestModel: Model,
+                              oofPreds: Option[Array[Array[Double]]] = None)
 
 class DistGridSearchCV(learner: Learner,
                        grid: Map[String, Seq[Double]],
@@ -40,15 +41,81 @@ class DistGridSearchCV(learner: Learner,
     extraScorings = names; this
   }
 
+  /** `preds=True` (reference `search.py:551-560`): keep out-of-fold
+    * predict_proba of the BEST candidate — each row predicted by the fold
+    * model that never trained on it.
+    */
+  protected var preds: Boolean = false
+  def withPreds(flag: Boolean = true): this.type = { preds = flag; this }
+
+  /** Broadcast budget for the auto-routed `fit`: above this estimated
+    * matrix size the search switches to the data-parallel executor
+    * instead of driver-collect + broadcast (which would OOM long before
+    * a user discovers the fallback exists). Default 1 GiB — roughly what
+    * a healthy driver/executor heap absorbs comfortably.
+    */
+  protected var broadcastBudgetBytes: Long = 1L << 30
+  def withBroadcastBudget(bytes: Long): this.type = {
+    broadcastBudgetBytes = bytes; this
+  }
+
   protected def candidates(): Seq[Map[String, Double]] =
     ParamGrid.expand(grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
       .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
 
+  /** Auto-routed fit: collect + broadcast while the estimated matrix fits
+    * the budget; switch to the data-parallel executor when it doesn't
+    * (SURVEY §7.4's 100 TB-safe generalization) — one public surface,
+    * two regimes, same result type.
+    */
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): SearchResult = {
-    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
-    fitMatrix(spark, matrix)
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
+      val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
+      fitMatrix(spark, matrix)
+    } else fitDataParallel(spark, df, featuresCol, labelCol)
   }
+
+  /** Broadcast-overflow route: each (candidate, fold) is a distributed
+    * Spark ML logistic fit over the full DataFrame; candidate ids (and so
+    * cv_results/param columns) stay aligned with the broadcast path. The
+    * engine's `c` (inverse regularization) maps to reg_param = 1/c.
+    * `preds` is a broadcast-regime feature (OOF arrays are driver-sized)
+    * and stays empty here.
+    */
+  private def fitDataParallel(spark: SparkSession, df: DataFrame,
+                              featuresCol: String, labelCol: String): SearchResult = {
+    learner match {
+      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS => ()
+      case other => throw new IllegalArgumentException(
+        s"data-parallel auto-route supports the logistic learners, not $other; " +
+          "for tree ensembles over broadcast-overflow data use DataParallelForest")
+    }
+    val cands = candidates()
+    require(cands.nonEmpty, "empty parameter grid")
+    val translated = cands.map { m =>
+      Map(
+        "reg_param" -> m.get("c").map(c => if (c > 0) 1.0 / c else 0.0).getOrElse(0.0),
+        "max_iter" -> m.getOrElse("max_iter", 50.0))
+    }
+    val dp = new DataParallelGridSearch(Map.empty, cv, scoring, seed)
+      .fitCandidates(spark, df, featuresCol, labelCol, translated)
+    val cvResults = dp.cvResults
+      .join(broadcast(paramsFrame(spark, cands)), "candidate_id")
+      .orderBy("candidate_id")
+    SearchResult(cvResults, cands(dp.bestCandidateId),
+      dp.bestScore, dp.bestCandidateId,
+      SparkMLBridge.toLogRegModel(dp.bestModel))
+  }
+
+  /** Group-aware CV (`fit(X, y, groups)` flowing into `check_cv`,
+    * reference `search.py:334,379`): folds come from GroupKFold over
+    * `groupCol`, so no group's rows are split between train and test.
+    */
+  def fit(spark: SparkSession, df: DataFrame, featuresCol: String,
+          labelCol: String, groupCol: String): SearchResult =
+    fitMatrix(spark,
+      ModelParallel.collectMatrixGrouped(df, featuresCol, labelCol, groupCol, cv))
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): SearchResult = {
     val cands = candidates()
@@ -77,6 +144,28 @@ class DistGridSearchCV(learner: Learner,
     }
 
     // Attach the param columns (small driver-side frame, broadcast join).
+    val cvResults = agg.join(broadcast(paramsFrame(spark, cands)), "candidate_id")
+      .orderBy("candidate_id")
+
+    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
+    val bestId = bestRow.getAs[Int]("candidate_id")
+    val bestScore = bestRow.getAs[Double]("mean_test_score")
+    val bestParams = cands(bestId)
+    // Refit on the FULL matrix (reference `search.py:543-550`).
+    val bestModel = learner.fit(matrix.x, matrix.y, bestParams, seed)
+    // preds_: out-of-fold proba of the best candidate — row i predicted by
+    // the fold model that never saw row i (`search.py:551-560`).
+    val oof =
+      if (preds) Some(OutOfFold.oofProba(spark, matrix, learner, cv, seed, bestParams))
+      else None
+    // unpersist, not destroy: the returned cvResults DataFrame is lazy and
+    // may re-evaluate against the broadcast after we return.
+    bc.unpersist()
+    SearchResult(cvResults, bestParams, bestScore, bestId, bestModel, oof)
+  }
+
+  private def paramsFrame(spark: SparkSession,
+                          cands: Seq[Map[String, Double]]): DataFrame = {
     val paramNames = cands.head.keys.toSeq.sorted
     val paramRows = cands.zipWithIndex.map { case (m, i) =>
       org.apache.spark.sql.Row.fromSeq(i +: paramNames.map(m))
@@ -86,21 +175,7 @@ class DistGridSearchCV(learner: Learner,
         org.apache.spark.sql.types.IntegerType, nullable = false) +:
         paramNames.map(n => org.apache.spark.sql.types.StructField(
           s"param_$n", org.apache.spark.sql.types.DoubleType, nullable = false)))
-    val paramsDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(paramRows, 1), schema)
-    val cvResults = agg.join(broadcast(paramsDf), "candidate_id")
-      .orderBy("candidate_id")
-
-    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
-    val bestId = bestRow.getAs[Int]("candidate_id")
-    val bestScore = bestRow.getAs[Double]("mean_test_score")
-    val bestParams = cands(bestId)
-    // Refit on the FULL matrix (reference `search.py:543-550`).
-    val bestModel = learner.fit(matrix.x, matrix.y, bestParams, seed)
-    // unpersist, not destroy: the returned cvResults DataFrame is lazy and
-    // may re-evaluate against the broadcast after we return.
-    bc.unpersist()
-    SearchResult(cvResults, bestParams, bestScore, bestId, bestModel)
+    spark.createDataFrame(spark.sparkContext.parallelize(paramRows, 1), schema)
   }
 }
 

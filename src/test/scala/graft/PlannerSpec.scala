@@ -30,6 +30,30 @@ class PlannerSpec extends AnyFunSuite {
     assert(s1.distinct.size == 3, "sampling is without replacement")
   }
 
+  test("groupKFolds: no group straddles folds; row counts balance greedily") {
+    import graft.exec.ModelParallel.groupKFolds
+    val rng = new scala.util.Random(3)
+    // 40 groups with skewed sizes (1..30 rows each)
+    val groups = (0 until 40).flatMap(g =>
+      Seq.fill(1 + rng.nextInt(30))(s"g$g")).toArray
+    val folds = groupKFolds(groups, 5)
+    assert(folds.length == groups.length)
+    // invariant: fold is a function of the group
+    val perGroup = groups.zip(folds).groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(perGroup.values.forall(_.length == 1), "a group straddled folds")
+    // greedy balancing keeps fold sizes within the largest group's size
+    val sizes = folds.groupBy(identity).values.map(_.length)
+    val largestGroup = groups.groupBy(identity).values.map(_.length).max
+    assert(sizes.max - sizes.min <= largestGroup,
+      s"fold sizes $sizes spread more than the largest group ($largestGroup)")
+    // deterministic
+    assert(groupKFolds(groups, 5).toSeq == folds.toSeq)
+    // needs at least k groups
+    assertThrows[IllegalArgumentException] {
+      groupKFolds(Array("a", "a", "b"), 3)
+    }
+  }
+
   test("RemovalLadder keeps the empty drop-set and respects min features") {
     assert(RemovalLadder.dropCounts(64, 5, 10) == (0 to 50 by 5))
     assert(RemovalLadder.dropCounts(10, 3, 10) == Seq(0))

@@ -124,6 +124,93 @@ class SearchExtrasSpec extends AnyFunSuite {
       "binary blobs -> 2-class probability vector")
   }
 
+  test("auto-route: one public fit, broadcast under budget, data-parallel over") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    val grid = Map("c" -> Seq(0.5, 1.0), "max_iter" -> Seq(40.0))
+    // default budget (1 GiB): broadcast route
+    val rb = new DistGridSearchCV(LogisticRegressionGD, grid, cv = 3)
+      .fit(spark, df, "features", "label")
+    // 1-byte budget: forced onto the data-parallel route
+    val rd = new DistGridSearchCV(LogisticRegressionGD, grid, cv = 3)
+      .withBroadcastBudget(1L)
+      .fit(spark, df, "features", "label")
+    for (r <- Seq(rb, rd)) {
+      assert(r.bestScore > 0.9, s"separable blobs, got ${r.bestScore}")
+      assert(r.cvResults.count() == 2)
+      assert(r.cvResults.columns.toSet
+        .intersect(Set("param_c", "param_max_iter", "rank_test_score")).size == 3)
+      // both regimes return the engine's own model type
+      val acc = m.x.zip(m.y).count { case (x, y) => r.bestModel.predict(x) == y }
+      assert(acc.toDouble / m.nRows > 0.9)
+    }
+    // non-linear learner over budget: loud, actionable failure
+    intercept[IllegalArgumentException] {
+      new DistGridSearchCV(graft.exec.ConstantLearner, grid, cv = 3)
+        .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    }
+    // OvR: same two routes through its one public fit
+    val m3 = {
+      val rng = new Random(9)
+      // 2-D spread centers: each class linearly separable from the REST
+      // (collinear centers would make the middle class OvR-inseparable)
+      val centers = Array(Array(0.0, 0.0), Array(5.0, 5.0), Array(-5.0, 5.0))
+      val x = Array.tabulate(150) { i =>
+        val c = i % 3
+        Array(centers(c)(0) + rng.nextGaussian() * 0.3,
+          centers(c)(1) + rng.nextGaussian() * 0.3)
+      }
+      (x, Array.tabulate(150)(i => (i % 3).toDouble))
+    }
+    val df3 = m3._1.zip(m3._2).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    val ovrB = new DistOneVsRest(LogisticRegressionGD)
+      .fit(spark, df3, "features", "label")
+    val ovrD = new DistOneVsRest(LogisticRegressionGD)
+      .withBroadcastBudget(1L).fit(spark, df3, "features", "label")
+    for (model <- Seq(ovrB, ovrD)) {
+      assert(model.classes.toSeq == Seq(0.0, 1.0, 2.0))
+      assert(Metrics.accuracy(model, m3._1, m3._2) > 0.9)
+    }
+  }
+
+  test("preds: OOF proba of the best candidate covers every row exactly once") {
+    val m = blobs(n = 90)
+    val r = new DistGridSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(40.0)), cv = 3)
+      .withPreds()
+      .fitMatrix(spark, m)
+    val oof = r.oofPreds.getOrElse(fail("preds requested but absent"))
+    assert(oof.length == m.nRows && oof.forall(_ != null),
+      "every row predicted exactly once")
+    assert(oof.forall(p => math.abs(p.sum - 1.0) < 1e-6))
+    // rows are predicted by fold models, NOT the full refit: at least one
+    // row must disagree with the refit model's proba (different train set)
+    val refit = m.x.map(r.bestModel.predictProba)
+    assert(m.x.indices.exists(i => oof(i)(0) != refit(i)(0)),
+      "OOF proba must come from fold models that never saw the row")
+    // off by default
+    assert(new DistGridSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(1.0), "max_iter" -> Seq(20.0)), cv = 3)
+      .fitMatrix(spark, m).oofPreds.isEmpty)
+  }
+
+  test("forest warm_start: extend equals a fresh fit under the same seeds") {
+    val m = blobs(n = 90)
+    val forest = new DistForest(10, Map("max_depth" -> 4.0), seed = 5)
+    val base = forest.fitMatrix(spark, m)
+    val extended = forest.extend(spark, base, m, nMore = 5)
+    assert(extended.trees.length == 15)
+    val fresh = new DistForest(15, Map("max_depth" -> 4.0), seed = 5)
+      .fitMatrix(spark, m)
+    assert(m.x.forall(x =>
+      extended.predictProba(x).toSeq == fresh.predictProba(x).toSeq),
+      "extend(10 -> 15) must equal a fresh 15-tree fit under the same seeds")
+    assert(base.trees.length == 10, "the base model is untouched")
+  }
+
   test("named forest factories mirror the reference variants") {
     val m = blobs()
     val rf = DistRandomForestClassifier(nEstimators = 8, maxDepth = 4)

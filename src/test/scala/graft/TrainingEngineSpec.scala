@@ -85,6 +85,23 @@ class TrainingEngineSpec extends AnyFunSuite {
     assert(r2.cvResults.count() == 2)
   }
 
+  test("group-aware search: no group's rows split between train and test") {
+    val m = blobs(n = 120)
+    // group = key of 12 session-like clusters, rows of a group contiguous
+    val groups = Array.tabulate(120)(i => s"s${i / 10}")
+    import spark.implicits._
+    val df = m.x.indices.map(i => (m.x(i).toSeq, m.y(i), groups(i)))
+      .toDF("features", "label", "grp")
+    val gs = new DistGridSearchCV(LogisticRegressionGD,
+      Map("c" -> Seq(1.0), "max_iter" -> Seq(50.0)), cv = 3)
+    val r = gs.fit(spark, df, "features", "label", "grp")
+    assert(r.bestScore > 0.9, s"grouped CV on separable blobs, got ${r.bestScore}")
+    // the fold plan itself: GroupKFold invariant on the collected matrix
+    val folds = ModelParallel.groupKFolds(groups, 3)
+    assert(groups.zip(folds).groupBy(_._1).values
+      .forall(_.map(_._2).distinct.length == 1))
+  }
+
   test("multi-model search picks the stronger family") {
     val m = blobs()
     val mm = new DistMultiModelSearch(Seq(

@@ -101,7 +101,51 @@ object Preprocessing {
         when(col("_k") > 1 && col("_ssw") > 0,
           ((col("_sb") - col("_st") * col("_st") / col("_nt")) / (col("_k") - 1)) /
             (col("_ssw") / (col("_nt") - col("_k"))))
-          .otherwise(0.0).as("f_score"))
+          .otherwise(0.0).as("f_score"),
+        // degrees of freedom, for the p-value modes below
+        (col("_k") - 1).cast("double").as("df_between"),
+        (col("_nt") - col("_k")).cast("double").as("df_within"))
+  }
+
+  /** F-scores plus the `f_classif` p-values: upper tail of
+    * F(k-1, N-k) at the observed score (graft.exec.Stats.fSf).
+    */
+  def fScoresP(df: DataFrame, arrCol: String, labelCol: String): DataFrame = {
+    val pUdf = udf((f: Double, d1: Double, d2: Double) =>
+      if (d1 <= 0 || d2 <= 0) 1.0 else graft.exec.Stats.fSf(f, d1, d2))
+    fScores(df, arrCol, labelCol)
+      .withColumn("p_value", pUdf(col("f_score"), col("df_between"), col("df_within")))
+  }
+
+  /** `SelectorMem` p-value selection modes (`preprocessing.py:33-39`):
+    *   fpr — keep p < alpha (per-comparison false positive rate);
+    *   fwe — keep p < alpha / m (Bonferroni family-wise control);
+    *   fdr — Benjamini–Hochberg: keep every feature with p <= the largest
+    *         p_(i) satisfying p_(i) <= alpha * i / m.
+    * Driver-side over the (tiny) per-feature frame, like the k-best mode.
+    */
+  def pValueKeepIndices(df: DataFrame, arrCol: String, labelCol: String,
+                        mode: String, alpha: Double = 0.05): Seq[Int] = {
+    val scored = fScoresP(df, arrCol, labelCol)
+      .select("feature_idx", "p_value")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val m = scored.length
+    val kept = mode match {
+      case "fpr" => scored.filter(_._2 < alpha)
+      case "fwe" => scored.filter(_._2 < alpha / m)
+      case "fdr" =>
+        val sorted = scored.sortBy(_._2)
+        val cut = sorted.zipWithIndex
+          .filter { case ((_, p), i) => p <= alpha * (i + 1) / m }
+          .lastOption.map(_._1._2)
+        cut match {
+          case Some(t) => scored.filter(_._2 <= t)
+          case None    => Array.empty[(Int, Double)]
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown mode: $other (expected fpr, fdr, or fwe)")
+    }
+    kept.map(_._1).sorted.toSeq
   }
 
   /** Keep the k best features by F-score (ties → lowest index), the

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.encode.{Encoderizer, Preprocessing}
+import graft.exec.{LogisticRegressionGD, Metrics, ModelIO, ModelParallel, Stats}
+import graft.exec.ModelParallel.TrainMatrix
+import graft.search._
+
+class PersistenceStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("F-distribution upper tail matches published critical values") {
+    // Critical point: F_{0.05;1,10} = 4.9646 -> sf == 0.05; the rest are
+    // parity-pinned against an independent implementation (mpmath
+    // regularized incomplete beta) to 1e-9.
+    assert(math.abs(Stats.fSf(4.9646, 1, 10) - 0.05) < 1e-5)
+    assert(math.abs(Stats.fSf(3.3258, 4, 20) - 0.0304746341650241) < 1e-9)
+    assert(math.abs(Stats.fSf(2.8661, 4, 20) - 0.0499989796688660) < 1e-9)
+    assert(math.abs(Stats.fSf(2.6049, 5, 30) - 0.0451842572248268) < 1e-9)
+    // limits and monotonicity
+    assert(Stats.fSf(0.0, 3, 7) == 1.0)
+    assert(Stats.fSf(100.0, 3, 7) < 1e-4)
+    val ps = Seq(0.5, 1.0, 2.0, 4.0, 8.0).map(Stats.fSf(_, 3, 7))
+    assert(ps == ps.sorted.reverse, "sf decreases in f")
+    // lgamma sanity: Γ(5) = 24
+    assert(math.abs(Stats.lgamma(5.0) - math.log(24.0)) < 1e-10)
+  }
+
+  test("fpr/fdr/fwe select planted informative features, drop noise") {
+    val rng = new Random(31)
+    // 2 informative dims (shifted by class), 6 pure-noise dims, 300 rows
+    val rows = Seq.tabulate(300) { i =>
+      val c = i % 3
+      val arr = Array(c * 3.0 + rng.nextGaussian() * 0.5,
+        -c * 2.0 + rng.nextGaussian() * 0.5) ++
+        Array.fill(6)(rng.nextGaussian())
+      (arr.toSeq, c)
+    }
+    val df = rows.toDF("arr", "y")
+    for (mode <- Seq("fpr", "fdr", "fwe")) {
+      val kept = Preprocessing.pValueKeepIndices(df, "arr", "y", mode, alpha = 0.05)
+      assert(kept.toSet.intersect(Set(0, 1)) == Set(0, 1),
+        s"$mode must keep the informative dims, got $kept")
+      assert(kept.count(_ >= 2) <= 1,
+        s"$mode kept too much noise at alpha=0.05: $kept")
+    }
+    // fwe (Bonferroni) is never more permissive than fpr
+    val fpr = Preprocessing.pValueKeepIndices(df, "arr", "y", "fpr", 0.05).toSet
+    val fwe = Preprocessing.pValueKeepIndices(df, "arr", "y", "fwe", 0.05).toSet
+    assert(fwe.subsetOf(fpr))
+    intercept[IllegalArgumentException](
+      Preprocessing.pValueKeepIndices(df, "arr", "y", "bogus"))
+  }
+
+  private def blobs(n: Int = 90, seed: Int = 7): TrainMatrix = {
+    val rng = new Random(seed)
+    val centers = Array(Array(0.0, 0.0), Array(5.0, 5.0), Array(-5.0, 5.0))
+    val x = Array.tabulate(n) { i =>
+      val c = i % 3
+      Array(centers(c)(0) + rng.nextGaussian() * 0.3,
+        centers(c)(1) + rng.nextGaussian() * 0.3)
+    }
+    val y = Array.tabulate(n)(i => (i % 3).toDouble)
+    TrainMatrix(x, y, ModelParallel.stratifiedFolds(y, 3, seed))
+  }
+
+  test("model save/load: bit-identical predictions for every model family") {
+    val dir = java.nio.file.Files.createTempDirectory("model_io").toString
+    val m = blobs()
+    val probes = m.x.take(30)
+
+    val lr = LogisticRegressionGD.fit(m.x, m.y, Map("c" -> 1.0, "max_iter" -> 50.0), 0L)
+    ModelIO.save(lr, s"$dir/lr.json")
+    val lr2 = ModelIO.loadModel(s"$dir/lr.json")
+    assert(probes.forall(x => lr.predictProba(x).toSeq == lr2.predictProba(x).toSeq))
+
+    val forest = new DistForest(8, Map("max_depth" -> 4.0), seed = 5).fitMatrix(spark, m)
+    ModelIO.save(forest, s"$dir/forest.json")
+    val forest2 = ModelIO.loadModel(s"$dir/forest.json")
+    assert(probes.forall(x => forest.predictProba(x).toSeq == forest2.predictProba(x).toSeq))
+    // leaf ids survive (the embedding surface)
+    val t = forest.trees.head; val t2 = forest2.asInstanceOf[ForestModel].trees.head
+    assert(probes.forall(x => t.leafIndex(x) == t2.leafIndex(x)))
+
+    val ovr = new DistOneVsRest(LogisticRegressionGD, norm = Some("l1")).fitMatrix(spark, m)
+    ModelIO.save(ovr, s"$dir/ovr.json")
+    val ovr2 = ModelIO.loadModel(s"$dir/ovr.json").asInstanceOf[OvRModel]
+    assert(ovr2.classes.toSeq == ovr.classes.toSeq && ovr2.norm == ovr.norm)
+    assert(probes.forall(x => ovr.predictProba(x).toSeq == ovr2.predictProba(x).toSeq))
+
+    val ml = new DistMultilabelOvR(LogisticRegressionGD)
+      .fitSets(spark, m.x, m.y.map(v => Set(s"c$v")))
+    ModelIO.save(ml, s"$dir/ml.json")
+    val ml2 = ModelIO.loadMultilabel(s"$dir/ml.json")
+    assert(ml2.classes.toSeq == ml.classes.toSeq)
+    assert(probes.forall(x => ml.predictLabels(x).toSeq == ml2.predictLabels(x).toSeq))
+  }
+
+  test("encoderizer save/load: identical transform output") {
+    val df = Seq(
+      (1L, "alpha beta", "red", Some(1.5), Seq("a", "b")),
+      (2L, "beta gamma", "blue", Some(2.5), Seq("b")),
+      (3L, "gamma delta", "red", None, Seq("c", "a")),
+      (4L, "delta epsilon", "green", Some(4.0), Seq.empty[String]),
+      (5L, "epsilon zeta", "blue", Some(5.0), Seq("a"))
+    ).toDF("id", "text", "color", "num", "tags")
+    val model = Encoderizer.fit(df, Seq("text", "color", "num", "tags"),
+      size = "small", overrides = Map("color" -> "categorical", "text" -> "text"))
+    val dir = java.nio.file.Files.createTempDirectory("enc_io").toString
+    ModelIO.save(model, s"$dir/enc.json")
+    val model2 = ModelIO.loadEncoderizer(s"$dir/enc.json")
+    assert(model2.width == model.width)
+    assert(model2.stages.map(_.name) == model.stages.map(_.name))
+    val v1 = model.transform(df).select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val v2 = model2.transform(df).select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(v1 == v2, "loaded encoder transforms identically")
+    assert((0 until model2.width).forall(i =>
+      model2.featureOrigin(i) == model.featureOrigin(i)))
+  }
+}

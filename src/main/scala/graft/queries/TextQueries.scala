@@ -72,14 +72,31 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash banding near-dups (seeded hash: rows-only check + ScalaTest).
+    // SimHash banding near-dups, FULLY ORACLED on a planted corpus: 40
+    // synthetic token documents (a deterministic formula of doc_id), each
+    // with a verbatim copy at doc_id+1000. Copies share every band and sit
+    // at hamming 0 (recall is the pigeonhole guarantee, independent of the
+    // hash values); unrelated synthetic docs share at most a couple of
+    // their 40 tokens, so their simhashes sit ~30 bits apart and cannot
+    // pass maxHamming=3. The planted pair set IS the full answer, which
+    // DuckDB states without reproducing the engine hash.
     "q37_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-        maxHamming = 3, bands = 4)
+      val base = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            j => concat(lit("w"),
+              pmod(col("doc_id") * 31 + j * 7, lit(997))))).as("text"))
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash LSH candidate pairs (Spark ML; rows-only check + ScalaTest).
+    // MinHash LSH pairs, FULLY ORACLED: the rerank scores candidates with
+    // EXACT Jaccard over the true shingle sets, so the hash only decides
+    // recall — and at 8 tables over this corpus recall vs the exhaustive
+    // q36 truth is measured 100% (DedupSimSpec pins it). The oracle is
+    // therefore the same exact set-intersection SQL as q36.
     "q38_minhash_pairs" -> ((s, d) => {
       Dedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, numHashTables = 8, minJaccard = 0.2)
@@ -307,6 +324,35 @@ object TextQueries {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Planted truth: one pair per original (the verbatim copy), hamming 0.
+    "q37_simhash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 1000 AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact-Jaccard truth (q36's SQL): LSH recall is 100% on this corpus
+    // and the rerank score IS exact Jaccard, so the outputs coincide.
+    "q38_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS est_jaccard
         |FROM inter
         |JOIN sizes sa ON id_a = sa.doc_id
         |JOIN sizes sb ON id_b = sb.doc_id

@@ -58,18 +58,25 @@ object Relational {
         .limit(100)
     }),
 
-    // 3-way join: customer (dim, broadcast) ⋈ orders ⋈ lineitem; the two
-    // fact tables shuffle on the join key once.
+    // 3-way join with INDEPENDENT broadcast builds: lineitem (the one big
+    // fact) joins broadcast(filtered orders) then broadcast(customer).
+    // Neither broadcast depends on the other, so AQE materializes both
+    // stages concurrently — the old shape (broadcast(c) ⋈ o, then
+    // broadcast THAT into l) serialized two builds. lineitem is never
+    // shuffled; only the tiny aggregate exchanges.
     "q03_join_revenue" -> ((s, d) => {
-      val c = broadcast(Tables.customer(s, d))
-      val o = Tables.orders(s, d)
+      val c = broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment"))
+      val o = broadcast(Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = Tables.lineitem(s, d)
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), revenue.as("_rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderpriority")
-        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .agg(round(sum("_rev"), 2).as("rev"), count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 

@@ -149,7 +149,10 @@ object TextQueries {
     // event time, identical on live run and replay.
     "q66_stream_sessionize" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // session-window state store cost scales with partitions per
+      // microbatch; measured floor at this corpus size is 2 (16 -> 5.5s,
+      // 4 -> 4.3s, 2 -> 3.9s, 1 -> 4.4s at sf0.1)
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val dir = java.nio.file.Files.createTempDirectory("q66_sessions").toString
         // floor ts to seconds; session_window merges boundary-inclusively

@@ -2,7 +2,7 @@ package graft.encode
 
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, HashingTF, NGram, RegexTokenizer}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions, Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -249,7 +249,9 @@ object Encoderizer {
   }
 
   final case class EncoderizerModel(stages: Seq[FittedStage],
-                                    featuresCol: String) extends Serializable {
+                                    featuresCol: String,
+                                    weights: Map[String, Double] = Map.empty)
+      extends Serializable {
     def width: Int = stages.map(_.width).sum
     private def offsets: Seq[(String, Int, Int)] = {
       val cum = stages.scanLeft(0)(_ + _.width)
@@ -262,16 +264,34 @@ object Encoderizer {
         .getOrElse(throw new IndexOutOfBoundsException(s"$index >= $width"))
     /** Sub-encoder by stage names (`Encoderizer.extract`). */
     def extract(names: Seq[String]): EncoderizerModel =
-      EncoderizerModel(stages.filter(s => names.contains(s.name)), featuresCol)
+      EncoderizerModel(stages.filter(s => names.contains(s.name)), featuresCol,
+        weights.view.filterKeys(names.contains).toMap)
+
+    // Sparse-aware vector scaling for `transformer_weights` on hashed-text
+    // stages — never densifies the 2^18-wide vectors.
+    private def scaleVec = udf((v: org.apache.spark.ml.linalg.Vector, w: Double) =>
+      v match {
+        case s: org.apache.spark.ml.linalg.SparseVector =>
+          new org.apache.spark.ml.linalg.SparseVector(
+            s.size, s.indices, s.values.map(_ * w))
+        case d: org.apache.spark.ml.linalg.DenseVector =>
+          new org.apache.spark.ml.linalg.DenseVector(d.values.map(_ * w))
+      })
 
     def transform(df: DataFrame): DataFrame = {
       var out = df
       val outCols = stages.zipWithIndex.map { case (s, i) =>
         val c = s"_enc_$i"
         out = s.transform(out, c)
+        // `transformer_weights` (reference `encoder.py:112`, FeatureUnion
+        // semantics): scale the stage's whole output block.
+        val w = weights.getOrElse(s.name, 1.0)
         out.schema(c).dataType match {
-          case _: ArrayType => array_to_vector(col(c)).as(c)
-          case _            => col(c).as(c)
+          case _: ArrayType if w == 1.0 => array_to_vector(col(c)).as(c)
+          case _: ArrayType =>
+            array_to_vector(functions.transform(col(c), e => e * w)).as(c)
+          case _ if w == 1.0 => col(c).as(c)
+          case _             => scaleVec(col(c), lit(w)).as(c)
         }
       }
       val withVecs = out.select((df.columns.map(col).toSeq ++ outCols): _*)
@@ -286,9 +306,11 @@ object Encoderizer {
   def fit(df: DataFrame, cols: Seq[String], size: String = "small",
           catThreshold: Double = 0.10,
           overrides: Map[String, String] = Map.empty,
-          featuresCol: String = "features"): EncoderizerModel = {
+          featuresCol: String = "features",
+          transformerWeights: Map[String, Double] = Map.empty): EncoderizerModel = {
     val specs = inferSpecs(df, cols, catThreshold)
       .map(s => overrides.get(s.name).map(k => s.copy(kind = k)).getOrElse(s))
-    EncoderizerModel(specs.flatMap(fitStage(df, _, size)), featuresCol)
+    EncoderizerModel(specs.flatMap(fitStage(df, _, size)), featuresCol,
+      transformerWeights)
   }
 }

@@ -132,6 +132,8 @@ object ModelIO {
   def toJson(model: EncoderizerModel): JObject = JObject(
     "type" -> JString("encoderizer"),
     "featuresCol" -> JString(model.featuresCol),
+    "weights" -> JObject(model.weights.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JDouble(v): JValue) }),
     "stages" -> JArray(model.stages.map(stageToJson).toList))
 
   private def stageToJson(s: FittedStage): JValue = s match {
@@ -176,7 +178,11 @@ object ModelIO {
         case k => throw new IllegalArgumentException(s"unknown stage kind: $k")
       }
     }
-    EncoderizerModel(stages, strOf(j \ "featuresCol"))
+    val weights = j \ "weights" match {
+      case JObject(fields) => fields.map { case (k, v) => k -> dblOf(v) }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    EncoderizerModel(stages, strOf(j \ "featuresCol"), weights)
   }
 
   // ---- file surface ---------------------------------------------------

@@ -62,9 +62,16 @@ class DistForest(nEstimators: Int = 100,
     fitMatrix(spark, matrix)
   }
 
-  def fitMatrix(spark: SparkSession, matrix: TrainMatrix): ForestModel = {
+  /** `sampleWeight`: caller-supplied per-row weights (reference
+    * `fit(X, y, sample_weight)`, `ensemble.py:232-248`) — multiplied into
+    * each tree's bootstrap counts, sklearn's
+    * `curr_sample_weight *= sample_counts` composition.
+    */
+  def fitMatrix(spark: SparkSession, matrix: TrainMatrix,
+                sampleWeight: Option[Array[Double]] = None): ForestModel = {
     val nClasses = if (classification) matrix.y.max.toInt + 1 else 0
-    ForestModel(growTrees(spark, matrix, 0, nEstimators, nClasses), nClasses)
+    ForestModel(growTrees(spark, matrix, 0, nEstimators, nClasses, sampleWeight),
+      nClasses)
   }
 
   /** `warm_start` (reference `ensemble.py:250-272, 324-325`): grow `nMore`
@@ -73,15 +80,20 @@ class DistForest(nEstimators: Int = 100,
     * fresh fit of n + nMore trees under the same base seed.
     */
   def extend(spark: SparkSession, model: ForestModel, matrix: TrainMatrix,
-             nMore: Int): ForestModel = {
+             nMore: Int,
+             sampleWeight: Option[Array[Double]] = None): ForestModel = {
     require(nMore > 0, "nMore must be positive")
-    val newTrees = growTrees(spark, matrix, model.trees.length, nMore, model.nClasses)
+    val newTrees = growTrees(spark, matrix, model.trees.length, nMore,
+      model.nClasses, sampleWeight)
     ForestModel(model.trees ++ newTrees, model.nClasses)
   }
 
   private def growTrees(spark: SparkSession, matrix: TrainMatrix,
-                        fromIdx: Int, count: Int,
-                        nClasses: Int): Array[CART.TreeModel] = {
+                        fromIdx: Int, count: Int, nClasses: Int,
+                        sampleWeight: Option[Array[Double]] = None): Array[CART.TreeModel] = {
+    sampleWeight.foreach(sw => require(sw.length == matrix.nRows,
+      s"sample_weight length ${sw.length} != rows ${matrix.nRows}"))
+    val bcW = sampleWeight.map(spark.sparkContext.broadcast(_))
     val bc = spark.sparkContext.broadcast(matrix)
     val p = params ++ (if (extraTrees) Map("random_splits" -> 1.0) else Map.empty) ++
       // sklearn default max_features for forests: sqrt(d) for
@@ -101,20 +113,24 @@ class DistForest(nEstimators: Int = 100,
             p + ("max_features" -> math.sqrt(d.toDouble) / d)
           else p
         val treeSeed = baseSeed + treeIdx
+        val sw = bcW.map(_.value).orNull
         val w: Array[Double] =
-          if (!doBootstrap) null
+          if (!doBootstrap) sw // may be null: unweighted, all rows
           else {
-            // Multinomial counts = bincount of n draws with replacement.
+            // Multinomial counts = bincount of n draws with replacement;
+            // caller weights multiply in (curr_sample_weight *= counts).
             val rng = new Random(treeSeed)
             val counts = new Array[Double](n)
             var i = 0
             while (i < n) { counts(rng.nextInt(n)) += 1.0; i += 1 }
+            if (sw != null) { i = 0; while (i < n) { counts(i) *= sw(i); i += 1 } }
             counts
           }
         CART.grow(m.x, m.y, w, treeParams, treeSeed, nClasses)
       }
       .collect()
     bc.destroy()
+    bcW.foreach(_.destroy())
     trees
   }
 }

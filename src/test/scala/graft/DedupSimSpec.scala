@@ -58,6 +58,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("q38 oracle guard: minhash equals exhaustive jaccard on testdata") {
+    // The q38 DuckDB oracle asserts the LSH output EQUALS the exhaustive
+    // q36 truth (exact-jaccard rerank + 100% recall at 8 tables). This
+    // pins that premise against the real documents table, so a recall
+    // regression fails here before it fails the driver's gate.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e6))
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue)
+      .collect().map(key).toSet
+    val lsh = Dedup.minhashPairs(docs, "text", "doc_id",
+      n = 3, numHashTables = 8, minJaccard = 0.2)
+      .collect().map(key).toSet
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).toSeq.sorted} spurious=${(lsh -- exact).toSeq.sorted}")
+  }
+
   test("components chain transitively; survivors keep one doc per group") {
     // 1-2, 2-3 chain (3 never pairs with 1 directly) + separate 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

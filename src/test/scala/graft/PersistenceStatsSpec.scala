@@ -128,5 +128,23 @@ class PersistenceStatsSpec extends AnyFunSuite {
     assert(v1 == v2, "loaded encoder transforms identically")
     assert((0 until model2.width).forall(i =>
       model2.featureOrigin(i) == model.featureOrigin(i)))
+
+    // transformer_weights scale exactly one stage's block and survive
+    // the save/load round trip
+    val weighted = model.copy(weights = Map("num" -> 2.0))
+    ModelIO.save(weighted, s"$dir/encw.json")
+    val weighted2 = ModelIO.loadEncoderizer(s"$dir/encw.json")
+    assert(weighted2.weights == Map("num" -> 2.0))
+    import org.apache.spark.ml.linalg.Vector
+    def feats(m2: Encoderizer.EncoderizerModel) =
+      m2.transform(df).select("id", "features").collect()
+        .map(r => r.getLong(0) -> r.getAs[Vector](1).toArray).toMap
+    val base = feats(model); val scaled = feats(weighted2)
+    val numIdx = (0 until model.width).filter(i => model.featureOrigin(i) == "num")
+    val restIdx = (0 until model.width).filterNot(numIdx.contains)
+    assert(base.keys.forall { id =>
+      numIdx.forall(i => scaled(id)(i) == base(id)(i) * 2.0) &&
+        restIdx.forall(i => scaled(id)(i) == base(id)(i))
+    }, "weight scales exactly the named stage's block")
   }
 }

@@ -211,6 +211,29 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(base.trees.length == 10, "the base model is untouched")
   }
 
+  test("forest sample_weight: zero-weighted rows cannot influence the fit") {
+    val m = blobs(n = 80)
+    // poison half the labels but zero their weight: the weighted fit must
+    // match a fit on the clean half alone in accuracy on clean rows
+    val poisoned = m.y.zipWithIndex.map { case (y, i) =>
+      if (i % 2 == 1) 1.0 - y else y
+    }
+    val mp = TrainMatrix(m.x, poisoned, m.folds)
+    val w = Array.tabulate(m.nRows)(i => if (i % 2 == 1) 0.0 else 1.0)
+    val forest = new DistForest(10, Map("max_depth" -> 4.0), seed = 5)
+    val weighted = forest.fitMatrix(spark, mp, Some(w))
+    val cleanIdx = m.x.indices.filter(_ % 2 == 0)
+    val acc = cleanIdx.count(i => weighted.predict(m.x(i)) == m.y(i))
+      .toDouble / cleanIdx.size
+    assert(acc > 0.9, s"zero-weight rows leaked into the fit: acc $acc")
+    // uniform weights reproduce the unweighted fit exactly
+    val uni = forest.fitMatrix(spark, m, Some(Array.fill(m.nRows)(1.0)))
+    val plain = forest.fitMatrix(spark, m)
+    assert(m.x.forall(x => uni.predictProba(x).toSeq == plain.predictProba(x).toSeq))
+    intercept[IllegalArgumentException](
+      forest.fitMatrix(spark, m, Some(Array(1.0))))
+  }
+
   test("named forest factories mirror the reference variants") {
     val m = blobs()
     val rf = DistRandomForestClassifier(nEstimators = 8, maxDepth = 4)

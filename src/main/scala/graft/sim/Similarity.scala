@@ -83,9 +83,17 @@ object Similarity {
               seed: Long = 42, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Spherical-KMeans approximation: the quantizer clusters L2-NORMALIZED
+    // vectors, so its Euclidean cell geometry is monotone in cosine —
+    // assignment and probing then agree with the cosine rerank metric.
+    // (Clustering raw vectors and probing by cosine mixes two metrics and
+    // costs ~20-30 recall points on near-uniform corpora.)
+    def normalized(c: Column): Column =
+      transform(c, e => e / sqrt(aggregate(
+        transform(c, x => x * x), lit(0.0), (a, v) => a + v)))
     val toVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-      .withColumn("_vec", array_to_vector(col("_cv")))
+      .withColumn("_vec", array_to_vector(normalized(col("_cv"))))
       .cache()
     // maxIter trades quantizer quality for fit time; recall comes from
     // nProbe overlap, so even a coarse quantizer keeps recall high
@@ -96,15 +104,18 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     val assigned = model.transform(toVec).select("neighbor_id", "_cv", "_cell")
 
-    // probe list per query: nProbe nearest centroids (centroids are tiny —
-    // broadcast literal table)
+    // probe list per query: nProbe nearest centroids by the SAME metric
+    // that assigned cells — Euclidean on the normalized query (centroids
+    // are tiny — broadcast literal table)
     val centroidDf = broadcast(
       corpus.sparkSession.createDataFrame(cells).toDF("_cell", "_centroid"))
     val w = Window.partitionBy("query_id").orderBy(col("_cdist").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
       .crossJoin(centroidDf)
-      .withColumn("_cdist", -cosine(col("_qv"), col("_centroid")))
+      .withColumn("_cdist", aggregate(
+        zip_with(normalized(col("_qv")), col("_centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v))
       .withColumn("_pr", row_number().over(w))
       .filter(col("_pr") <= nProbe)
       .select("query_id", "_qv", "_cell")

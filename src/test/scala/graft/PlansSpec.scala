@@ -98,4 +98,20 @@ class PlansSpec extends AnyFunSuite {
       "millis-native lineitem filters push down")
     assert(!scan.contains("l_tax"), "untouched columns pruned from ReadSchema")
   }
+
+  test("q03 keeps the fact unshuffled behind two independent broadcasts") {
+    val q3 = SparkEntry.queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+    q3.collect()
+    val plan = q3.queryExecution.executedPlan.toString
+    // (the AQE toString repeats the plan, so count joins by kind, not
+    // occurrences)
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffle join on the fact:\n$plan")
+    // lineitem never shuffles on a join key — the only hash exchange is
+    // the tiny post-aggregation one on the group keys
+    assert(!"Exchange hashpartitioning\\((l_orderkey|o_orderkey|o_custkey|c_custkey)"
+      .r.findFirstIn(plan).isDefined,
+      s"join-key shuffle of the fact crept in:\n$plan")
+  }
 }

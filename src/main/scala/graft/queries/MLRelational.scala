@@ -109,6 +109,18 @@ object MLRelational {
     "q27_ovo_pairs" -> ((s, d) =>
       Expansions.ovoPairs(Tables.embeddings(s, d), "label")),
 
+    // Tree-induction histogram kernel (data-parallel CART's level
+    // aggregation) over fixed thresholds: per (feature, bin, class) row
+    // counts on the first 4 embedding dims — the sufficient statistics a
+    // PLANET-style split decision consumes, oracled cell-exact.
+    "q69_split_histogram" -> ((s, d) => {
+      val thr = Array(-0.15, -0.05, 0.05, 0.15)
+      graft.search.DataParallelCART.histogram(
+        Tables.embeddings(s, d), "embedding", "label",
+        Array.fill(4)(thr), nClasses = 10)
+        .orderBy("feature", "bin", "label")
+    }),
+
     // Multilabel binarization stats (MultiLabelBinarizer.fit over a
     // label-SET column): documents tagged with a derived label set
     // {lang, source, length-bucket}; per class -> positives/negatives/
@@ -161,6 +173,18 @@ object MLRelational {
       """SELECT CAST(user_id % 5 AS INT) AS fold_id, count(*) AS n_rows,
         | count(DISTINCT user_id) AS n_groups
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_split_histogram" ->
+      """WITH ex AS (
+        |  SELECT 0 AS feature, CAST(embedding[1] AS DOUBLE) AS v, label FROM embeddings
+        |  UNION ALL SELECT 1, CAST(embedding[2] AS DOUBLE), label FROM embeddings
+        |  UNION ALL SELECT 2, CAST(embedding[3] AS DOUBLE), label FROM embeddings
+        |  UNION ALL SELECT 3, CAST(embedding[4] AS DOUBLE), label FROM embeddings)
+        |SELECT feature,
+        |  CASE WHEN v <= -0.15 THEN 0 WHEN v <= -0.05 THEN 1
+        |       WHEN v <= 0.05 THEN 2 WHEN v <= 0.15 THEN 3 ELSE 4 END AS bin,
+        |  label, count(*) AS n_rows
+        |FROM ex GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q21_fold_stratified" ->
       """SELECT fold_id, label, count(*) AS n_rows FROM (

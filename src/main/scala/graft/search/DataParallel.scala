@@ -131,6 +131,82 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
   }
 }
 
+/** Distributed scoring of an engine `Model` against a DataFrame test
+  * fold — the data-parallel twin of `Metrics`: rows never leave the
+  * executors; only sufficient statistics (a k x k confusion matrix for
+  * classification, residual sums for regression) reach the driver, where
+  * the metric math is `Metrics`' exactly.
+  */
+object DistributedScore {
+  import graft.exec.Model
+
+  def apply(scoring: String, model: Model, test: DataFrame,
+            featuresCol: String, labelCol: String): Double = scoring match {
+    case "accuracy" | "f1_weighted" =>
+      fromConfusion(scoring, confusion(model, test, featuresCol, labelCol))
+    case "r2" | "neg_mean_squared_error" =>
+      regression(scoring, model, test, featuresCol, labelCol)
+    case other => throw new IllegalArgumentException(
+      s"data-parallel scoring supports accuracy/f1_weighted/r2/" +
+        s"neg_mean_squared_error, not $other")
+  }
+
+  /** (label, prediction, count) cells — one shuffle, k^2 rows collected. */
+  def confusion(model: Model, test: DataFrame,
+                featuresCol: String, labelCol: String): Seq[(Double, Double, Long)] = {
+    val predict = udf((xs: Seq[Double]) => model.predict(xs.toArray))
+    test.groupBy(col(labelCol).cast("double").as("_l"),
+        predict(col(featuresCol).cast("array<double>")).as("_p"))
+      .count().collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+  }
+
+  /** Metric from confusion cells, matching `Metrics.accuracy`/`f1Weighted`
+    * (classes = labels observed in y; zero_division=0).
+    */
+  def fromConfusion(scoring: String, cells: Seq[(Double, Double, Long)]): Double = {
+    val total = cells.map(_._3).sum.toDouble
+    if (total == 0) return 0.0
+    scoring match {
+      case "accuracy" =>
+        cells.collect { case (l, p, c) if l == p => c }.sum / total
+      case "f1_weighted" =>
+        val classes = cells.map(_._1).distinct.sorted
+        var f1Sum = 0.0
+        classes.foreach { c =>
+          val tp = cells.collect { case (l, p, n) if l == c && p == c => n }.sum.toDouble
+          val fp = cells.collect { case (l, p, n) if l != c && p == c => n }.sum.toDouble
+          val fn = cells.collect { case (l, p, n) if l == c && p != c => n }.sum.toDouble
+          val support = tp + fn
+          val prec = if (tp + fp > 0) tp / (tp + fp) else 0.0
+          val rec = if (tp + fn > 0) tp / (tp + fn) else 0.0
+          val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+          f1Sum += f1 * support
+        }
+        f1Sum / total
+    }
+  }
+
+  private def regression(scoring: String, model: Model, test: DataFrame,
+                         featuresCol: String, labelCol: String): Double = {
+    val predict = udf((xs: Seq[Double]) => model.predict(xs.toArray))
+    val r = test.select(col(labelCol).cast("double").as("_y"),
+        predict(col(featuresCol).cast("array<double>")).as("_p"))
+      .agg(count(lit(1)), sum(col("_y")), sum(col("_y") * col("_y")),
+        sum(pow(col("_y") - col("_p"), 2)))
+      .head()
+    val n = r.getLong(0)
+    if (n == 0) return 0.0
+    val ssRes = r.getDouble(3)
+    scoring match {
+      case "neg_mean_squared_error" => -ssRes / n
+      case "r2" =>
+        val ssTot = r.getDouble(2) - r.getDouble(1) * r.getDouble(1) / n
+        if (ssTot == 0) { if (ssRes == 0) 1.0 else 0.0 } else 1.0 - ssRes / ssTot
+    }
+  }
+}
+
 /** Lossless conversion of a fitted (multinomial) Spark ML logistic model
   * into the engine's LogRegModel, so the data-parallel route returns the
   * SAME model type as the broadcast route — callers never see which

@@ -1,0 +1,411 @@
+package graft.search
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.CART
+
+/** Data-parallel CART — histogram tree induction over a distributed
+  * DataFrame (the PLANET regime: Panda et al., VLDB'09), closing the
+  * auto-route gap for tree learners: when the training matrix exceeds the
+  * broadcast budget, `DistGridSearchCV.fit` can now route tree candidates
+  * here instead of throwing (reference trains trees only against
+  * broadcast/collected data, `ensemble.py:88-106` — this is the 100 TB-safe
+  * generalization SURVEY §7.4 calls for).
+  *
+  * Returns the SAME `CART.TreeModel` type as the broadcast learner, so
+  * callers (forests, search, prediction UDFs, persistence) never see which
+  * regime fit the tree.
+  *
+  * Design:
+  *  - One pass computes per-feature split candidates: `bins` equi-depth
+  *    quantiles via `percentile_approx` on the exploded feature frame;
+  *    candidates are midpoints between consecutive DISTINCT quantile
+  *    values. When a feature has <= `bins` distinct values this is exactly
+  *    the broadcast learner's candidate set (midpoints between distinct
+  *    sorted values), so on low-cardinality data the two regimes grow the
+  *    same tree — the parity spec pins this.
+  *  - Breadth-first growth: per level, rows route through the broadcast
+  *    partial tree to a frontier node, and ONE `treeAggregate` builds all
+  *    (node, feature, bin) sufficient statistics — class-weight vectors
+  *    for gini, (w, wy, wy2) for variance. Split scoring on the driver is
+  *    a prefix scan over bins using the broadcast learner's exact scoring
+  *    formula; only statistics ever reach the driver, never rows.
+  *  - Frontier batching: a level whose statistics tensor would exceed
+  *    `maxStatsDoubles` is aggregated in batches, bounding executor and
+  *    driver memory at any tree width (PLANET's node-queue memory budget).
+  *
+  * Params (matching `CART.grow`): `max_depth` (<=0 unlimited),
+  * `min_samples_split`, `max_features` (per-node feature subsets, seeded
+  * per node rather than by one sequential driver RNG — documented
+  * divergence). `random_splits` (extra-trees) is broadcast-regime-only and
+  * rejected here.
+  */
+object DataParallelCART {
+
+  /** Serializable snapshot of the partial tree used to route rows.
+    * `PLeaf(i)` with i >= 0 is frontier node i (still growing); -1 is a
+    * finalized leaf (row contributes no statistics this level).
+    */
+  private[graft] sealed trait PNode extends Serializable
+  private[graft] final case class PSplit(f: Int, thr: Double, l: PNode, r: PNode) extends PNode
+  private[graft] final case class PLeaf(frontierIdx: Int) extends PNode
+
+  /** Mutable driver-side node under construction. `uid` is the stable
+    * identity (root 1, children 2*uid / 2*uid+1) used for per-node seeds.
+    */
+  private final class BNode(val depth: Int, val uid: Long) {
+    var feature: Int = -1
+    var thr: Double = 0.0
+    var left: BNode = _
+    var right: BNode = _
+    var value: Array[Double] = _ // non-null once finalized as a leaf
+    var frontierIdx: Int = -1
+  }
+
+  def fitClassifier(df: DataFrame, featuresCol: String, labelCol: String,
+                    params: Map[String, Double], seed: Long,
+                    nClasses: Int = 0, bins: Int = 32,
+                    weightCol: Option[String] = None): CART.TreeModel = {
+    val k =
+      if (nClasses > 0) nClasses
+      else df.agg(max(col(labelCol).cast("double"))).head().getDouble(0).toInt + 1
+    fit(df, featuresCol, labelCol, params, seed, k, bins, weightCol)
+  }
+
+  def fitRegressor(df: DataFrame, featuresCol: String, labelCol: String,
+                   params: Map[String, Double], seed: Long,
+                   bins: Int = 32,
+                   weightCol: Option[String] = None): CART.TreeModel =
+    fit(df, featuresCol, labelCol, params, seed, 0, bins, weightCol)
+
+  /** Per-feature split candidates. Low-cardinality features (distinct
+    * count <= `bins`, per a first approx-distinct pass) get EXACT
+    * candidates — midpoints between every pair of consecutive distinct
+    * values, the broadcast learner's own set, so the two regimes grow the
+    * same tree on such data. High-cardinality (continuous) features get
+    * midpoints between consecutive distinct equi-depth quantiles: bounded
+    * state per feature no matter how many distinct values exist at 100 TB.
+    * Exposed for the oracled histogram query.
+    */
+  def splitCandidates(df: DataFrame, featuresCol: String,
+                      bins: Int): Array[Array[Double]] = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val exploded = df
+      .select(posexplode(col(featuresCol).cast("array<double>")).as(Seq("_f", "_v")))
+    // Pass 1: which features are low-cardinality? (rsd 0.02 over-counts by
+    // at most ~2% — the 5% slack below absorbs it either way; a feature
+    // misrouted to the quantile path still gets valid, just inexact, cuts.)
+    val cardRows = exploded.groupBy("_f")
+      .agg(approx_count_distinct(col("_v"), 0.02).as("_c")).collect()
+    val d = if (cardRows.isEmpty) 0 else cardRows.map(_.getInt(0)).max + 1
+    val lowCard = cardRows.filter(_.getLong(1) <= math.max(2L, (bins * 1.05).toLong))
+      .map(_.getInt(0)).toSet
+    val out = Array.fill(d)(Array.emptyDoubleArray)
+    def midpoints(vals: Seq[Double]): Array[Double] =
+      vals.distinct.sorted.iterator.sliding(2).withPartial(false)
+        .map { case Seq(a, b) => (a + b) / 2 }.toArray
+    // Pass 2a: exact distinct sets for the low-card features (bounded by
+    // construction — collect_set holds <= ~bins values per feature).
+    if (lowCard.nonEmpty) {
+      exploded.filter(col("_f").isInCollection(lowCard))
+        .groupBy("_f").agg(collect_set(col("_v")).as("_vals"))
+        .collect()
+        .foreach(r => out(r.getInt(0)) = midpoints(r.getSeq[Double](1)))
+    }
+    // Pass 2b: equi-depth quantiles for the continuous features.
+    if (lowCard.size < d) {
+      val pcts = array((0 to bins).map(i => lit(i.toDouble / bins)): _*)
+      exploded.filter(!col("_f").isInCollection(lowCard))
+        .groupBy("_f")
+        .agg(percentile_approx(col("_v"), pcts, lit(10000)).as("_qs"))
+        .collect()
+        .foreach(r => out(r.getInt(0)) = midpoints(r.getSeq[Double](1)))
+    }
+    out
+  }
+
+  /** The level-aggregation kernel exposed as a relational surface: per
+    * (feature, bin, class) row counts over caller-FIXED thresholds, via
+    * the exact treeAggregate path tree induction uses — the oracled query
+    * (q69) pins this kernel against DuckDB CASE/GROUP BY truth.
+    */
+  def histogram(df: DataFrame, featuresCol: String, labelCol: String,
+                thresholds: Array[Array[Double]], nClasses: Int): DataFrame = {
+    val spark = df.sparkSession
+    val data = df
+      .select(col(featuresCol).cast("array<double>"), col(labelCol).cast("double"), lit(1.0))
+      .rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
+    val d = thresholds.length
+    val cands = spark.sparkContext.broadcast(thresholds)
+    val stride = thresholds.map(_.length).max + 1
+    val s = nClasses + 1
+    val route = spark.sparkContext.broadcast[PNode](PLeaf(0))
+    val stats = aggregateStats(data, route, 0, 1, cands, d, stride, s, nClasses)
+    val rows = for {
+      f <- 0 until d
+      b <- 0 to thresholds(f).length
+      c <- 0 until nClasses
+      n = stats((f * stride + b) * s + c) if n > 0
+    } yield (f, b, c, n.toLong)
+    import spark.implicits._
+    rows.toDF("feature", "bin", "label", "n_rows")
+  }
+
+  /** (node, feature, bin) sufficient statistics for ONE frontier batch.
+    * Flat tensor layout: ((node * d + f) * stride + bin) * s + stat, where
+    * s = k + 1 class weights + raw count (classification) or 4 =
+    * (w, wy, wy2, count) (regression). Map-side combine happens inside
+    * each partition's accumulator; only the F*d*stride*s tensor shuffles.
+    */
+  private[graft] def aggregateStats(
+      data: RDD[(Array[Double], Double, Double)],
+      route: Broadcast[PNode], lo: Int, hi: Int,
+      cands: Broadcast[Array[Array[Double]]],
+      d: Int, stride: Int, s: Int, nClasses: Int): Array[Double] = {
+    val nNodes = hi - lo
+    data.treeAggregate(new Array[Double](nNodes * d * stride * s))(
+      seqOp = (acc, row) => {
+        val (x, y, w) = row
+        var node: PNode = route.value
+        while (node.isInstanceOf[PSplit]) {
+          val sp = node.asInstanceOf[PSplit]
+          node = if (x(sp.f) <= sp.thr) sp.l else sp.r
+        }
+        val fi = node.asInstanceOf[PLeaf].frontierIdx
+        if (fi >= lo && fi < hi) {
+          val base0 = (fi - lo) * d
+          var f = 0
+          while (f < d) {
+            val ts = cands.value(f)
+            // bin = first candidate with x <= t (left side of that split)
+            var b = java.util.Arrays.binarySearch(ts, x(f))
+            if (b < 0) b = -b - 1
+            val base = ((base0 + f) * stride + b) * s
+            if (nClasses == 0) { // regression: w, wy, wy2, count
+              acc(base) += w
+              acc(base + 1) += w * y
+              acc(base + 2) += w * y * y
+              if (w > 0) acc(base + 3) += 1
+            } else { // classification: k class weights + raw count
+              acc(base + y.toInt) += w
+              if (w > 0) acc(base + s - 1) += 1
+            }
+            f += 1
+          }
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+  }
+
+  private def fit(df: DataFrame, featuresCol: String, labelCol: String,
+                  params: Map[String, Double], seed: Long,
+                  nClasses: Int, bins: Int,
+                  weightCol: Option[String]): CART.TreeModel = {
+    require(params.getOrElse("random_splits", 0.0) == 0.0,
+      "random_splits (extra-trees) is a broadcast-regime feature; " +
+        "the data-parallel inducer scores candidate thresholds exactly")
+    val maxDepth = params.getOrElse("max_depth", 0.0).toInt
+    val minSplit = math.max(2, params.getOrElse("min_samples_split", 2.0).toInt)
+    val maxFeatures = params.getOrElse("max_features", 0.0)
+
+    val spark = df.sparkSession
+    val wCol = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val data: RDD[(Array[Double], Double, Double)] = df
+      .select(col(featuresCol).cast("array<double>"), col(labelCol).cast("double"), wCol)
+      .rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
+      .cache()
+    val first = data.take(1)
+    require(first.nonEmpty, "empty training set")
+    val d = first(0)._1.length
+
+    val candArr = splitCandidates(df, featuresCol, bins)
+    require(candArr.length == d, s"candidate pass saw ${candArr.length} features, expected $d")
+    val cands = spark.sparkContext.broadcast(candArr)
+    val stride = math.max(1, candArr.map(_.length).max + 1)
+    val s = if (nClasses > 0) nClasses + 1 else 4
+    val nFeat =
+      if (maxFeatures <= 0 || maxFeatures > 1) d
+      else math.max(1, math.round(maxFeatures * d).toInt)
+
+    // PLANET memory budget: cap the per-pass statistics tensor; wider
+    // levels aggregate in batches (extra passes, bounded memory).
+    val maxStatsDoubles = 64L << 20
+    val nodesPerPass =
+      math.max(1, (maxStatsDoubles / (d.toLong * stride * s)).toInt)
+
+    val root = new BNode(0, 1L)
+    var frontier: Vector[BNode] = Vector(root)
+    var guard = 0
+    while (frontier.nonEmpty) {
+      guard += 1
+      require(guard <= 512,
+        s"tree induction exceeded 512 levels — runaway growth (n too " +
+          "large for unlimited max_depth?); set max_depth")
+      frontier.zipWithIndex.foreach { case (n, i) => n.frontierIdx = i }
+
+      def snapshot(n: BNode): PNode =
+        if (n.feature >= 0) PSplit(n.feature, n.thr, snapshot(n.left), snapshot(n.right))
+        else if (n.value != null) PLeaf(-1)
+        else PLeaf(n.frontierIdx)
+      val route = spark.sparkContext.broadcast(snapshot(root))
+
+      val next = Vector.newBuilder[BNode]
+      var lo = 0
+      while (lo < frontier.size) {
+        val hi = math.min(frontier.size, lo + nodesPerPass)
+        val stats = aggregateStats(data, route, lo, hi, cands, d, stride, s, nClasses)
+        var ni = lo
+        while (ni < hi) {
+          val node = frontier(ni)
+          val base0 = (ni - lo) * d
+          decide(node, stats, base0, d, stride, s, nClasses, candArr,
+            maxDepth, minSplit, nFeat, seed, next)
+          ni += 1
+        }
+        lo = hi
+      }
+      route.unpersist(blocking = false)
+      frontier = next.result()
+    }
+    cands.unpersist(blocking = false)
+    data.unpersist(blocking = false)
+
+    // Convert to CART.Node with depth-first left-first leaf numbering —
+    // the broadcast learner's build order, so leafIndex embeddings agree.
+    var leafCount = 0
+    def convert(n: BNode): CART.Node =
+      if (n.value != null) {
+        leafCount += 1
+        new CART.Node(-1, 0.0, null, null, n.value, leafCount - 1)
+      } else new CART.Node(n.feature, n.thr, convert(n.left), convert(n.right), null, -1)
+    CART.TreeModel(convert(root), nClasses, leafCount)
+  }
+
+  /** Score one frontier node's statistics slice and either split it
+    * (pushing children onto the next frontier) or finalize it as a leaf.
+    * Scoring math is the broadcast learner's exactly: weighted gini /
+    * variance, normalized by node weight, first-wins strict-< tie-break
+    * over (feature asc, threshold asc).
+    */
+  private def decide(node: BNode, stats: Array[Double], base0: Int,
+                     d: Int, stride: Int, s: Int, nClasses: Int,
+                     candArr: Array[Array[Double]],
+                     maxDepth: Int, minSplit: Int, nFeat: Int, seed: Long,
+                     next: scala.collection.mutable.Builder[BNode, Vector[BNode]]): Unit = {
+    // Node totals from feature 0's bins (every feature sums to the same).
+    val tot = new Array[Double](s)
+    var b = 0
+    while (b < stride) {
+      val base = (base0 * stride + b) * s
+      var j = 0
+      while (j < s) { tot(j) += stats(base + j); j += 1 }
+      b += 1
+    }
+    val rowCount = tot(s - 1).toLong
+    val totW = if (nClasses > 0) {
+      var w = 0.0; var c = 0
+      while (c < nClasses) { w += tot(c); c += 1 }
+      w
+    } else tot(0)
+
+    def mkLeaf(): Unit = {
+      node.value =
+        if (nClasses > 0) {
+          val v = new Array[Double](nClasses)
+          if (totW > 0) { var c = 0; while (c < nClasses) { v(c) = tot(c) / totW; c += 1 } }
+          v
+        } else Array(if (totW > 0) tot(1) / totW else 0.0)
+    }
+
+    val pure =
+      if (nClasses > 0) {
+        var nz = 0; var c = 0
+        while (c < nClasses) { if (tot(c) > 0) nz += 1; c += 1 }
+        nz <= 1
+      } else {
+        // zero weighted variance == all identical labels (fp-tolerant)
+        val v = if (totW > 0) tot(2) - tot(1) * tot(1) / totW else 0.0
+        v <= 1e-9 * math.max(1.0, tot(2))
+      }
+    if (rowCount < minSplit || pure ||
+        (maxDepth > 0 && node.depth >= maxDepth) || totW <= 0) {
+      mkLeaf(); return
+    }
+
+    val feats: Array[Int] =
+      if (nFeat >= d) Array.tabulate(d)(identity)
+      else {
+        // Per-node deterministic subset (seeded by the node's stable uid,
+        // not a shared sequential RNG — the documented divergence from
+        // the broadcast learner under max_features).
+        val rng = new scala.util.Random(seed ^ (node.uid * 0x9e3779b97f4a7c15L))
+        rng.shuffle((0 until d).toVector).take(nFeat).sorted.toArray
+      }
+
+    def giniOf(counts: Array[Double], from: Int, tw: Double): Double = {
+      if (tw <= 0) return 0.0
+      var g = 1.0; var c = 0
+      while (c < nClasses) { val p = counts(from + c) / tw; g -= p * p; c += 1 }
+      g
+    }
+
+    var bestFeat = -1; var bestThr = 0.0; var bestScore = Double.MaxValue
+    val left = new Array[Double](s)
+    feats.foreach { f =>
+      val ts = candArr(f)
+      java.util.Arrays.fill(left, 0.0)
+      var bi = 0
+      while (bi < ts.length) { // split after bin bi at threshold ts(bi)
+        val base = ((base0 + f) * stride + bi) * s
+        var j = 0
+        while (j < s) { left(j) += stats(base + j); j += 1 }
+        val lCount = left(s - 1); val rCount = tot(s - 1) - lCount
+        if (lCount > 0 && rCount > 0) {
+          val score =
+            if (nClasses > 0) {
+              var lw = 0.0; var c = 0
+              while (c < nClasses) { lw += left(c); c += 1 }
+              val rw = totW - lw
+              val rG = {
+                if (rw <= 0) 0.0
+                else {
+                  var g = 1.0; var cc = 0
+                  while (cc < nClasses) {
+                    val p = (tot(cc) - left(cc)) / rw; g -= p * p; cc += 1
+                  }
+                  g
+                }
+              }
+              (lw * giniOf(left, 0, lw) + rw * rG) / totW
+            } else {
+              val lw = left(0); val rw = tot(0) - lw
+              val lVar = if (lw > 0) left(2) - left(1) * left(1) / lw else 0.0
+              val rs = tot(1) - left(1); val rs2 = tot(2) - left(2)
+              val rVar = if (rw > 0) rs2 - rs * rs / rw else 0.0
+              (lVar + rVar) / totW
+            }
+          if (score < bestScore) { bestScore = score; bestFeat = f; bestThr = ts(bi) }
+        }
+        bi += 1
+      }
+    }
+
+    if (bestFeat < 0) { mkLeaf(); return }
+    node.feature = bestFeat
+    node.thr = bestThr
+    node.left = new BNode(node.depth + 1, node.uid * 2)
+    node.right = new BNode(node.depth + 1, node.uid * 2 + 1)
+    next += node.left
+    next += node.right
+  }
+}

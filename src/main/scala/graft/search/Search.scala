@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.CvResults
 import graft.exec.{Learner, Metrics, Model, ModelParallel}
 import graft.exec.ModelParallel.{FitTask, TrainMatrix}
-import graft.plan.{ParamGrid, ParamSampler}
+import graft.plan.{Folds, ParamGrid, ParamSampler}
 
 /** Search meta-estimators: distributed hyperparameter search over
   * candidates × CV folds (reference `search.py` DistBaseSearchCV /
@@ -87,9 +87,16 @@ class DistGridSearchCV(learner: Learner,
                               featuresCol: String, labelCol: String): SearchResult = {
     learner match {
       case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS => ()
+      case c: graft.exec.CART.Classifier =>
+        return fitDataParallelTree(spark, df, featuresCol, labelCol,
+          nClasses = math.max(0, c.nClassesHint), classification = true)
+      case graft.exec.CART.Regressor =>
+        return fitDataParallelTree(spark, df, featuresCol, labelCol,
+          nClasses = 0, classification = false)
       case other => throw new IllegalArgumentException(
-        s"data-parallel auto-route supports the logistic learners, not $other; " +
-          "for tree ensembles over broadcast-overflow data use DataParallelForest")
+        s"data-parallel auto-route supports the logistic and CART learners, " +
+          s"not $other; for tree ensembles over broadcast-overflow data use " +
+          "DataParallelForest")
     }
     val cands = candidates()
     require(cands.nonEmpty, "empty parameter grid")
@@ -106,6 +113,62 @@ class DistGridSearchCV(learner: Learner,
     SearchResult(cvResults, cands(dp.bestCandidateId),
       dp.bestScore, dp.bestCandidateId,
       SparkMLBridge.toLogRegModel(dp.bestModel))
+  }
+
+  /** Broadcast-overflow route for TREE candidates: each (candidate, fold)
+    * is a distributed histogram-CART fit (`DataParallelCART`) over the
+    * full DataFrame, scored by `DistributedScore` (confusion-matrix /
+    * residual sufficient statistics — never rows — reach the driver).
+    * Params pass through unchanged (max_depth / min_samples_split /
+    * max_features are native to both regimes); the refit best model is the
+    * SAME `CART.TreeModel` type the broadcast route returns. `preds` is a
+    * broadcast-regime feature (OOF arrays are driver-sized) — empty here.
+    */
+  private def fitDataParallelTree(spark: SparkSession, df: DataFrame,
+                                  featuresCol: String, labelCol: String,
+                                  nClasses: Int,
+                                  classification: Boolean): SearchResult = {
+    val cands = candidates()
+    require(cands.nonEmpty, "empty parameter grid")
+    val prepared = df.select(
+      col(featuresCol).cast("array<double>").as("_x"),
+      col(labelCol).cast("double").as("_y"))
+      // fold by hashed row position, NOT the label (fold-label correlation
+      // would skew CV); stable within a job, which is all CV needs
+      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
+      .cache() // scanned once per level per (candidate, fold) fit
+    prepared.count()
+    val k =
+      if (!classification) 0
+      else if (nClasses > 0) nClasses
+      else prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
+
+    def fitOne(train: DataFrame, params: Map[String, Double]): Model =
+      if (classification)
+        DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
+      else DataParallelCART.fitRegressor(train, "_x", "_y", params, seed)
+
+    val scoreRows = for {
+      (params, ci) <- cands.zipWithIndex
+      fold <- 0 until cv
+    } yield {
+      val train = prepared.filter(col("_fold") =!= fold)
+      val test = prepared.filter(col("_fold") === fold)
+      val model = fitOne(train, params)
+      val score = DistributedScore(scoring, model, test, "_x", "_y")
+      (ci, fold, score, test.count())
+    }
+    import spark.implicits._
+    val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
+    val agg = CvResults.aggregate(scores, Seq("candidate_id"), iid = iid).cache()
+    val cvResults = agg.join(broadcast(paramsFrame(spark, cands)), "candidate_id")
+      .orderBy("candidate_id")
+    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
+    val bestId = bestRow.getAs[Int]("candidate_id")
+    val bestModel = fitOne(prepared, cands(bestId))
+    prepared.unpersist()
+    SearchResult(cvResults, cands(bestId),
+      bestRow.getAs[Double]("mean_test_score"), bestId, bestModel)
   }
 
   /** Group-aware CV (`fit(X, y, groups)` flowing into `check_cv`,

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.exec.CART
+import graft.search.{DataParallelCART, DistGridSearchCV, DistributedScore}
+
+/** Data-parallel (histogram) CART vs the broadcast learner: same scoring
+  * math, same candidate set on low-cardinality data, same TreeModel type.
+  */
+class DataParallelCARTSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Low-cardinality 3-class data with planted axis-aligned structure:
+    * label from x0/x1 thresholds, x2 pure noise. Integer feature values
+    * keep the histogram candidate set identical to the broadcast
+    * learner's (midpoints between consecutive distinct values).
+    */
+  private def planted(n: Int = 240, seed: Int = 11): (Array[Array[Double]], Array[Double]) = {
+    val rng = new Random(seed)
+    val x = Array.tabulate(n) { _ =>
+      Array(rng.nextInt(7).toDouble, rng.nextInt(7).toDouble, rng.nextInt(5).toDouble)
+    }
+    val y = x.map { v =>
+      if (v(0) <= 2.0) { if (v(1) <= 3.0) 0.0 else 1.0 } else 2.0
+    }
+    (x, y)
+  }
+
+  private def toDF(x: Array[Array[Double]], y: Array[Double]): DataFrame = {
+    import spark.implicits._
+    x.zip(y).toSeq.map { case (xi, yi) => (xi.toSeq, yi) }.toDF("x", "y")
+      .repartition(8) // force genuinely distributed statistics aggregation
+  }
+
+  test("classification parity: distributed tree == broadcast tree on low-card data") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val params = Map("max_depth" -> 4.0)
+    val dp = DataParallelCART.fitClassifier(df, "x", "y", params, seed = 42, nClasses = 3)
+    val bc = CART.grow(x, y, null, params, seed = 42, nClasses = 3)
+    // same root split (full data present ⇒ identical candidates + scores)
+    assert(dp.root.feature == bc.root.feature)
+    assert(math.abs(dp.root.threshold - bc.root.threshold) < 1e-9,
+      s"${dp.root.threshold} vs ${bc.root.threshold}")
+    // same predictions on every training row
+    x.indices.foreach { i =>
+      assert(dp.predict(x(i)) == bc.predict(x(i)), s"row $i")
+    }
+    // and the planted rule is recovered exactly
+    x.indices.foreach(i => assert(dp.predict(x(i)) == y(i)))
+  }
+
+  test("regression parity: distributed variance splits match broadcast") {
+    val (x, _) = planted(seed = 13)
+    val yr = x.map(v => if (v(0) <= 2.0) 10.0 else if (v(1) <= 3.0) -4.0 else 3.0)
+    val df = toDF(x, yr)
+    val params = Map("max_depth" -> 3.0)
+    val dp = DataParallelCART.fitRegressor(df, "x", "y", params, seed = 1)
+    val bc = CART.grow(x, yr, null, params, seed = 1, nClasses = 0)
+    x.indices.foreach { i =>
+      assert(math.abs(dp.predict(x(i)) - bc.predict(x(i))) < 1e-9, s"row $i")
+    }
+  }
+
+  test("max_depth and min_samples_split bound the tree") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val stump = DataParallelCART.fitClassifier(df, "x", "y",
+      Map("max_depth" -> 1.0), seed = 5, nClasses = 3)
+    assert(stump.nLeaves <= 2)
+    val coarse = DataParallelCART.fitClassifier(df, "x", "y",
+      Map("max_depth" -> 8.0, "min_samples_split" -> 200.0), seed = 5, nClasses = 3)
+    // only the root (240 rows) clears min_samples_split=200; its children
+    // (<=200 rows each) cannot split again
+    assert(coarse.nLeaves <= 2)
+  }
+
+  test("weighted rows: zero-weight rows do not influence splits") {
+    val (x, y) = planted()
+    // append poison rows that would flip the root split if counted
+    val xPoison = Array.tabulate(100)(i => Array(6.0, 6.0, (i % 5).toDouble))
+    val yPoison = Array.fill(100)(0.0)
+    import spark.implicits._
+    val rows = (x.zip(y).map { case (a, b) => (a.toSeq, b, 1.0) } ++
+      xPoison.zip(yPoison).map { case (a, b) => (a.toSeq, b, 0.0) }).toSeq
+    val df = rows.toDF("x", "y", "w").repartition(8)
+    val dp = DataParallelCART.fitClassifier(df, "x", "y",
+      Map("max_depth" -> 4.0), seed = 42, nClasses = 3, weightCol = Some("w"))
+    val bc = CART.grow(x, y, null, Map("max_depth" -> 4.0), 42, 3)
+    x.indices.foreach(i => assert(dp.predict(x(i)) == bc.predict(x(i)), s"row $i"))
+  }
+
+  test("quantile path: continuous features still recover planted structure") {
+    val rng = new Random(99)
+    val n = 400
+    val x = Array.tabulate(n)(_ => Array(rng.nextDouble() * 10, rng.nextDouble() * 10))
+    val y = x.map(v => if (v(0) <= 5.0) 0.0 else 1.0)
+    val df = toDF(x, y)
+    val dp = DataParallelCART.fitClassifier(df, "x", "y",
+      Map("max_depth" -> 3.0), seed = 7, nClasses = 2, bins = 32)
+    val acc = x.indices.count(i => dp.predict(x(i)) == y(i)).toDouble / n
+    assert(acc >= 0.97, s"accuracy $acc") // cut within one quantile bin of 5.0
+  }
+
+  test("random_splits is rejected (broadcast-regime feature)") {
+    val (x, y) = planted(n = 30)
+    val df = toDF(x, y)
+    assertThrows[IllegalArgumentException] {
+      DataParallelCART.fitClassifier(df, "x", "y",
+        Map("random_splits" -> 1.0), seed = 1, nClasses = 3)
+    }
+  }
+
+  test("search auto-route: tree candidates over budget run data-parallel, same winner") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val grid = Map("max_depth" -> Seq(1.0, 4.0))
+    // budget 1 byte → forced data-parallel; generous budget → broadcast
+    val dp = new DistGridSearchCV(CART.Classifier, grid, cv = 3)
+      .withBroadcastBudget(1L).fit(spark, df, "x", "y")
+    val bc = new DistGridSearchCV(CART.Classifier, grid, cv = 3)
+      .fit(spark, df, "x", "y")
+    assert(dp.bestParams == bc.bestParams)
+    assert(dp.bestParams("max_depth") == 4.0) // depth 1 cannot express 3 classes
+    assert(dp.bestModel.isInstanceOf[CART.TreeModel]) // same model type
+    assert(dp.cvResults.columns.contains("param_max_depth"))
+    assert(dp.cvResults.count() == 2)
+    // both regimes separate the depth-4 candidate from the stump clearly
+    val s = dp.cvResults.orderBy("candidate_id")
+      .select("mean_test_score").collect().map(_.getDouble(0))
+    assert(s(1) > s(0) + 0.1, s.toSeq.toString)
+  }
+
+  test("distributed scoring matches driver-side Metrics math") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val model = CART.grow(x, y, null, Map("max_depth" -> 2.0), 3, 3)
+    Seq("accuracy", "f1_weighted").foreach { m =>
+      val dist = DistributedScore(m, model, df, "x", "y")
+      val drv = graft.exec.Metrics.scorer(m)(model, x, y)
+      assert(math.abs(dist - drv) < 1e-12, s"$m: $dist vs $drv")
+    }
+    val yr = x.map(v => v(0) * 2 + v(1))
+    val dfr = toDF(x, yr)
+    val reg = CART.grow(x, yr, null, Map("max_depth" -> 3.0), 3, 0)
+    Seq("r2", "neg_mean_squared_error").foreach { m =>
+      val dist = DistributedScore(m, reg, dfr, "x", "y")
+      val drv = graft.exec.Metrics.scorer(m)(reg, x, yr)
+      assert(math.abs(dist - drv) < 1e-9, s"$m: $dist vs $drv")
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.search
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.exec.CART
@@ -10,43 +10,48 @@ import graft.exec.CART
 /** Data-parallel CART — histogram tree induction over a distributed
   * DataFrame (the PLANET regime: Panda et al., VLDB'09), closing the
   * auto-route gap for tree learners: when the training matrix exceeds the
-  * broadcast budget, `DistGridSearchCV.fit` can now route tree candidates
-  * here instead of throwing (reference trains trees only against
-  * broadcast/collected data, `ensemble.py:88-106` — this is the 100 TB-safe
-  * generalization SURVEY §7.4 calls for).
+  * broadcast budget, `DistGridSearchCV.fit` and `DistForest.fit` route
+  * tree candidates here instead of throwing (reference trains trees only
+  * against broadcast/collected data, `ensemble.py:88-106` — this is the
+  * 100 TB-safe generalization SURVEY §7.4 calls for).
   *
   * Returns the SAME `CART.TreeModel` type as the broadcast learner, so
   * callers (forests, search, prediction UDFs, persistence) never see which
   * regime fit the tree.
   *
   * Design:
-  *  - One pass computes per-feature split candidates: `bins` equi-depth
-  *    quantiles via `percentile_approx` on the exploded feature frame;
-  *    candidates are midpoints between consecutive DISTINCT quantile
-  *    values. When a feature has <= `bins` distinct values this is exactly
-  *    the broadcast learner's candidate set (midpoints between distinct
-  *    sorted values), so on low-cardinality data the two regimes grow the
-  *    same tree — the parity spec pins this.
+  *  - One pass computes per-feature split candidates: exact midpoints for
+  *    low-cardinality features, equi-depth `percentile_approx` quantiles
+  *    for continuous ones (`splitCandidates`).
   *  - Breadth-first growth: per level, rows route through the broadcast
-  *    partial tree to a frontier node, and ONE `treeAggregate` builds all
-  *    (node, feature, bin) sufficient statistics — class-weight vectors
-  *    for gini, (w, wy, wy2) for variance. Split scoring on the driver is
-  *    a prefix scan over bins using the broadcast learner's exact scoring
-  *    formula; only statistics ever reach the driver, never rows.
+  *    partial trees to a frontier node, and ONE `treeAggregate` builds all
+  *    (tree, node, feature, bin) sufficient statistics — class-weight
+  *    vectors for gini, (w, wy, wy2) for variance. Split scoring on the
+  *    driver is a prefix scan over bins using the broadcast learner's
+  *    exact scoring formula; only statistics ever reach the driver, never
+  *    rows.
+  *  - Forests grow ALL trees together: the frontier spans every tree, so
+  *    wall-clock scales with tree DEPTH, not tree count, and each level is
+  *    one pass over the data regardless of ensemble size. Bootstrap is a
+  *    deterministic per-(row, tree) Poisson(1) weight — the distributed
+  *    limit of multinomial resampling (row-count draws with replacement →
+  *    Poisson as n grows; same device Spark ML uses) — so no data is ever
+  *    copied per tree.
   *  - Frontier batching: a level whose statistics tensor would exceed
   *    `maxStatsDoubles` is aggregated in batches, bounding executor and
   *    driver memory at any tree width (PLANET's node-queue memory budget).
   *
   * Params (matching `CART.grow`): `max_depth` (<=0 unlimited),
   * `min_samples_split`, `max_features` (per-node feature subsets, seeded
-  * per node rather than by one sequential driver RNG — documented
+  * per (tree, node) rather than by one sequential driver RNG — documented
   * divergence). `random_splits` (extra-trees) is broadcast-regime-only and
-  * rejected here.
+  * rejected here: random thresholds need per-node value ranges, which the
+  * shared-histogram pass deliberately does not materialize.
   */
 object DataParallelCART {
 
-  /** Serializable snapshot of the partial tree used to route rows.
-    * `PLeaf(i)` with i >= 0 is frontier node i (still growing); -1 is a
+  /** Serializable snapshot of one partial tree used to route rows.
+    * `PLeaf(i)` with i >= 0 is frontier slot i (still growing); -1 is a
     * finalized leaf (row contributes no statistics this level).
     */
   private[graft] sealed trait PNode extends Serializable
@@ -54,9 +59,10 @@ object DataParallelCART {
   private[graft] final case class PLeaf(frontierIdx: Int) extends PNode
 
   /** Mutable driver-side node under construction. `uid` is the stable
-    * identity (root 1, children 2*uid / 2*uid+1) used for per-node seeds.
+    * per-tree identity (root 1, children 2*uid / 2*uid+1) used for
+    * per-node feature-subset seeds; `tree` the ensemble slot.
     */
-  private final class BNode(val depth: Int, val uid: Long) {
+  private final class BNode(val tree: Int, val depth: Int, val uid: Long) {
     var feature: Int = -1
     var thr: Double = 0.0
     var left: BNode = _
@@ -69,17 +75,39 @@ object DataParallelCART {
                     params: Map[String, Double], seed: Long,
                     nClasses: Int = 0, bins: Int = 32,
                     weightCol: Option[String] = None): CART.TreeModel = {
-    val k =
-      if (nClasses > 0) nClasses
-      else df.agg(max(col(labelCol).cast("double"))).head().getDouble(0).toInt + 1
-    fit(df, featuresCol, labelCol, params, seed, k, bins, weightCol)
+    val k = resolveClasses(df, labelCol, nClasses)
+    growForest(df, featuresCol, labelCol, params, seed, k, bins, weightCol,
+      nTrees = 1, bootstrap = false).head
   }
 
   def fitRegressor(df: DataFrame, featuresCol: String, labelCol: String,
                    params: Map[String, Double], seed: Long,
                    bins: Int = 32,
                    weightCol: Option[String] = None): CART.TreeModel =
-    fit(df, featuresCol, labelCol, params, seed, 0, bins, weightCol)
+    growForest(df, featuresCol, labelCol, params, seed, 0, bins, weightCol,
+      nTrees = 1, bootstrap = false).head
+
+  /** Data-parallel forest: `nTrees` histogram trees grown together in
+    * shared per-level passes (Poisson(1) bootstrap when `bootstrap`).
+    * Returns the engine's `ForestModel` — the same type `DistForest`'s
+    * broadcast regime produces.
+    */
+  def fitForest(df: DataFrame, featuresCol: String, labelCol: String,
+                params: Map[String, Double], seed: Long,
+                nTrees: Int, classification: Boolean,
+                bootstrap: Boolean = true, bins: Int = 32,
+                weightCol: Option[String] = None): ForestModel = {
+    require(nTrees >= 1, s"nTrees must be >= 1, got $nTrees")
+    val k = if (classification) resolveClasses(df, labelCol, 0) else 0
+    ForestModel(
+      growForest(df, featuresCol, labelCol, params, seed, k, bins, weightCol,
+        nTrees, bootstrap),
+      k)
+  }
+
+  private def resolveClasses(df: DataFrame, labelCol: String, hint: Int): Int =
+    if (hint > 0) hint
+    else df.agg(max(col(labelCol).cast("double"))).head().getDouble(0).toInt + 1
 
   /** Per-feature split candidates. Low-cardinality features (distinct
     * count <= `bins`, per a first approx-distinct pass) get EXACT
@@ -138,13 +166,15 @@ object DataParallelCART {
     val data = df
       .select(col(featuresCol).cast("array<double>"), col(labelCol).cast("double"), lit(1.0))
       .rdd
-      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
+      .zipWithIndex()
+      .map { case (r, i) => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2), i) }
     val d = thresholds.length
     val cands = spark.sparkContext.broadcast(thresholds)
     val stride = thresholds.map(_.length).max + 1
     val s = nClasses + 1
-    val route = spark.sparkContext.broadcast[PNode](PLeaf(0))
-    val stats = aggregateStats(data, route, 0, 1, cands, d, stride, s, nClasses)
+    val route = spark.sparkContext.broadcast[Array[PNode]](Array(PLeaf(0)))
+    val stats = aggregateStats(data, route, 0, 1, cands, d, stride, s, nClasses,
+      bootstrap = false, seed = 0L)
     val rows = for {
       f <- 0 until d
       b <- 0 to thresholds(f).length
@@ -155,47 +185,79 @@ object DataParallelCART {
     rows.toDF("feature", "bin", "label", "n_rows")
   }
 
-  /** (node, feature, bin) sufficient statistics for ONE frontier batch.
-    * Flat tensor layout: ((node * d + f) * stride + bin) * s + stat, where
-    * s = k + 1 class weights + raw count (classification) or 4 =
-    * (w, wy, wy2, count) (regression). Map-side combine happens inside
-    * each partition's accumulator; only the F*d*stride*s tensor shuffles.
+  /** Deterministic Poisson(1) draw for (row, tree) — splitmix64-driven
+    * Knuth sampler. The distributed bootstrap: multinomial resampling of n
+    * rows converges to iid Poisson(1) per-row counts as n grows.
+    */
+  private def poisson1(rowId: Long, tree: Int, seed: Long): Double = {
+    var h = seed ^ (rowId * 0x9E3779B97F4A7C15L) ^
+      ((tree + 1).toLong * 0xC2B2AE3D27D4EB4FL)
+    @inline def next(): Double = {
+      h += 0x9E3779B97F4A7C15L
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z >>> 11).toDouble * 1.1102230246251565e-16 // [0, 1)
+    }
+    val limit = 0.36787944117144233 // e^-1
+    var k = 0
+    var p = 1.0
+    while ({ p *= next(); p > limit }) k += 1
+    k.toDouble
+  }
+
+  /** (tree, node, feature, bin) sufficient statistics for ONE frontier
+    * window [lo, hi). Flat tensor layout: ((slot * d + f) * stride + bin)
+    * * s + stat where slot = frontierIdx - lo, s = nClasses + 1 class
+    * weights + raw count (classification) or 4 = (w, wy, wy2, count)
+    * (regression). Map-side combine happens inside each partition's
+    * accumulator; only the window tensor shuffles, never rows.
     */
   private[graft] def aggregateStats(
-      data: RDD[(Array[Double], Double, Double)],
-      route: Broadcast[PNode], lo: Int, hi: Int,
+      data: RDD[(Array[Double], Double, Double, Long)],
+      routes: Broadcast[Array[PNode]], lo: Int, hi: Int,
       cands: Broadcast[Array[Array[Double]]],
-      d: Int, stride: Int, s: Int, nClasses: Int): Array[Double] = {
-    val nNodes = hi - lo
-    data.treeAggregate(new Array[Double](nNodes * d * stride * s))(
+      d: Int, stride: Int, s: Int, nClasses: Int,
+      bootstrap: Boolean, seed: Long): Array[Double] = {
+    val nSlots = hi - lo
+    data.treeAggregate(new Array[Double](nSlots * d * stride * s))(
       seqOp = (acc, row) => {
-        val (x, y, w) = row
-        var node: PNode = route.value
-        while (node.isInstanceOf[PSplit]) {
-          val sp = node.asInstanceOf[PSplit]
-          node = if (x(sp.f) <= sp.thr) sp.l else sp.r
-        }
-        val fi = node.asInstanceOf[PLeaf].frontierIdx
-        if (fi >= lo && fi < hi) {
-          val base0 = (fi - lo) * d
-          var f = 0
-          while (f < d) {
-            val ts = cands.value(f)
-            // bin = first candidate with x <= t (left side of that split)
-            var b = java.util.Arrays.binarySearch(ts, x(f))
-            if (b < 0) b = -b - 1
-            val base = ((base0 + f) * stride + b) * s
-            if (nClasses == 0) { // regression: w, wy, wy2, count
-              acc(base) += w
-              acc(base + 1) += w * y
-              acc(base + 2) += w * y * y
-              if (w > 0) acc(base + 3) += 1
-            } else { // classification: k class weights + raw count
-              acc(base + y.toInt) += w
-              if (w > 0) acc(base + s - 1) += 1
-            }
-            f += 1
+        val (x, y, w0, rowId) = row
+        val nTrees = routes.value.length
+        var t = 0
+        while (t < nTrees) {
+          var node: PNode = routes.value(t)
+          while (node.isInstanceOf[PSplit]) {
+            val sp = node.asInstanceOf[PSplit]
+            node = if (x(sp.f) <= sp.thr) sp.l else sp.r
           }
+          val fi = node.asInstanceOf[PLeaf].frontierIdx
+          if (fi >= lo && fi < hi) {
+            val w = if (bootstrap) w0 * poisson1(rowId, t, seed) else w0
+            if (w > 0 || !bootstrap) {
+              val base0 = (fi - lo) * d
+              var f = 0
+              while (f < d) {
+                val ts = cands.value(f)
+                // bin = first candidate with x <= t (left side of that split)
+                var b = java.util.Arrays.binarySearch(ts, x(f))
+                if (b < 0) b = -b - 1
+                val base = ((base0 + f) * stride + b) * s
+                if (nClasses == 0) { // regression: w, wy, wy2, count
+                  acc(base) += w
+                  acc(base + 1) += w * y
+                  acc(base + 2) += w * y * y
+                  if (w > 0) acc(base + 3) += 1
+                } else { // classification: class weights + raw count
+                  acc(base + y.toInt) += w
+                  if (w > 0) acc(base + s - 1) += 1
+                }
+                f += 1
+              }
+            }
+          }
+          t += 1
         }
         acc
       },
@@ -206,10 +268,11 @@ object DataParallelCART {
       })
   }
 
-  private def fit(df: DataFrame, featuresCol: String, labelCol: String,
-                  params: Map[String, Double], seed: Long,
-                  nClasses: Int, bins: Int,
-                  weightCol: Option[String]): CART.TreeModel = {
+  private def growForest(df: DataFrame, featuresCol: String, labelCol: String,
+                         params: Map[String, Double], seed: Long,
+                         nClasses: Int, bins: Int,
+                         weightCol: Option[String],
+                         nTrees: Int, bootstrap: Boolean): Array[CART.TreeModel] = {
     require(params.getOrElse("random_splits", 0.0) == 0.0,
       "random_splits (extra-trees) is a broadcast-regime feature; " +
         "the data-parallel inducer scores candidate thresholds exactly")
@@ -219,10 +282,11 @@ object DataParallelCART {
 
     val spark = df.sparkSession
     val wCol = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val data: RDD[(Array[Double], Double, Double)] = df
+    val data: RDD[(Array[Double], Double, Double, Long)] = df
       .select(col(featuresCol).cast("array<double>"), col(labelCol).cast("double"), wCol)
       .rdd
-      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
+      .zipWithIndex() // stable per-fit row ids seed the bootstrap draws
+      .map { case (r, i) => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2), i) }
       .cache()
     val first = data.take(1)
     require(first.nonEmpty, "empty training set")
@@ -240,11 +304,11 @@ object DataParallelCART {
     // PLANET memory budget: cap the per-pass statistics tensor; wider
     // levels aggregate in batches (extra passes, bounded memory).
     val maxStatsDoubles = 64L << 20
-    val nodesPerPass =
+    val slotsPerPass =
       math.max(1, (maxStatsDoubles / (d.toLong * stride * s)).toInt)
 
-    val root = new BNode(0, 1L)
-    var frontier: Vector[BNode] = Vector(root)
+    val roots = Array.tabulate(nTrees)(t => new BNode(t, 0, 1L))
+    var frontier: Vector[BNode] = roots.toVector
     var guard = 0
     while (frontier.nonEmpty) {
       guard += 1
@@ -257,13 +321,14 @@ object DataParallelCART {
         if (n.feature >= 0) PSplit(n.feature, n.thr, snapshot(n.left), snapshot(n.right))
         else if (n.value != null) PLeaf(-1)
         else PLeaf(n.frontierIdx)
-      val route = spark.sparkContext.broadcast(snapshot(root))
+      val routes = spark.sparkContext.broadcast(roots.map(snapshot))
 
       val next = Vector.newBuilder[BNode]
       var lo = 0
       while (lo < frontier.size) {
-        val hi = math.min(frontier.size, lo + nodesPerPass)
-        val stats = aggregateStats(data, route, lo, hi, cands, d, stride, s, nClasses)
+        val hi = math.min(frontier.size, lo + slotsPerPass)
+        val stats = aggregateStats(data, routes, lo, hi, cands, d, stride, s,
+          nClasses, bootstrap, seed)
         var ni = lo
         while (ni < hi) {
           val node = frontier(ni)
@@ -274,7 +339,7 @@ object DataParallelCART {
         }
         lo = hi
       }
-      route.unpersist(blocking = false)
+      routes.unpersist(blocking = false)
       frontier = next.result()
     }
     cands.unpersist(blocking = false)
@@ -282,13 +347,16 @@ object DataParallelCART {
 
     // Convert to CART.Node with depth-first left-first leaf numbering —
     // the broadcast learner's build order, so leafIndex embeddings agree.
-    var leafCount = 0
-    def convert(n: BNode): CART.Node =
-      if (n.value != null) {
-        leafCount += 1
-        new CART.Node(-1, 0.0, null, null, n.value, leafCount - 1)
-      } else new CART.Node(n.feature, n.thr, convert(n.left), convert(n.right), null, -1)
-    CART.TreeModel(convert(root), nClasses, leafCount)
+    roots.map { root =>
+      var leafCount = 0
+      def convert(n: BNode): CART.Node =
+        if (n.value != null) {
+          leafCount += 1
+          new CART.Node(-1, 0.0, null, null, n.value, leafCount - 1)
+        } else new CART.Node(n.feature, n.thr, convert(n.left), convert(n.right), null, -1)
+      val cRoot = convert(root)
+      CART.TreeModel(cRoot, nClasses, leafCount)
+    }
   }
 
   /** Score one frontier node's statistics slice and either split it
@@ -345,10 +413,11 @@ object DataParallelCART {
     val feats: Array[Int] =
       if (nFeat >= d) Array.tabulate(d)(identity)
       else {
-        // Per-node deterministic subset (seeded by the node's stable uid,
-        // not a shared sequential RNG — the documented divergence from
-        // the broadcast learner under max_features).
-        val rng = new scala.util.Random(seed ^ (node.uid * 0x9e3779b97f4a7c15L))
+        // Per-(tree, node) deterministic subset (seeded by the node's
+        // stable uid, not a shared sequential RNG — the documented
+        // divergence from the broadcast learner under max_features).
+        val rng = new scala.util.Random(
+          (seed + node.tree) ^ (node.uid * 0x9E3779B97F4A7C15L))
         rng.shuffle((0 until d).toVector).take(nFeat).sorted.toArray
       }
 
@@ -403,8 +472,8 @@ object DataParallelCART {
     if (bestFeat < 0) { mkLeaf(); return }
     node.feature = bestFeat
     node.thr = bestThr
-    node.left = new BNode(node.depth + 1, node.uid * 2)
-    node.right = new BNode(node.depth + 1, node.uid * 2 + 1)
+    node.left = new BNode(node.tree, node.depth + 1, node.uid * 2)
+    node.right = new BNode(node.tree, node.depth + 1, node.uid * 2 + 1)
     next += node.left
     next += node.right
   }

@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, size}
 
 import scala.util.Random
 
@@ -55,11 +56,46 @@ class DistForest(nEstimators: Int = 100,
                  extraTrees: Boolean = false,
                  seed: Long = 42) extends Serializable {
 
+  /** Broadcast budget for the auto-routed `fit`: above this estimated
+    * matrix size the forest switches to data-parallel histogram induction
+    * (`DataParallelCART.fitForest`) instead of driver-collect + broadcast.
+    */
+  protected var broadcastBudgetBytes: Long = 1L << 30
+  def withBroadcastBudget(bytes: Long): this.type = {
+    broadcastBudgetBytes = bytes; this
+  }
+
+  /** Auto-routed fit: task-parallel trees against the broadcast matrix
+    * while it fits the budget (the reference's regime — each tree sees all
+    * rows); data-parallel histogram induction when it doesn't. Both routes
+    * return the same `ForestModel`. The data-parallel bootstrap is
+    * Poisson(1) per (row, tree) — the distributed limit of the broadcast
+    * route's multinomial counts — so the regimes agree in distribution,
+    * not per-seed draw-for-draw.
+    */
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): ForestModel = {
-    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
-      stratified = false)
-    fitMatrix(spark, matrix)
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
+      val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
+        stratified = false)
+      fitMatrix(spark, matrix)
+    } else fitDataParallel(df, featuresCol, labelCol)
+  }
+
+  private def fitDataParallel(df: DataFrame,
+                              featuresCol: String, labelCol: String): ForestModel = {
+    require(!extraTrees,
+      "extra-trees (random_splits) is a broadcast-regime feature; over " +
+        "broadcast-overflow data use a bootstrap forest or DataParallelForest")
+    // sklearn's forest default max_features = sqrt(d) for classification,
+    // expressed as a fraction — same translation the broadcast route does.
+    val p =
+      if (!params.contains("max_features") && classification) {
+        val d = df.select(size(col(featuresCol))).head().getInt(0)
+        params + ("max_features" -> math.sqrt(d.toDouble) / d)
+      } else params
+    DataParallelCART.fitForest(df, featuresCol, labelCol, p, seed,
+      nEstimators, classification, bootstrap)
   }
 
   /** `sampleWeight`: caller-supplied per-row weights (reference

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 import graft.exec.CART
-import graft.search.{DataParallelCART, DistGridSearchCV, DistributedScore}
+import graft.search.{DataParallelCART, DistForest, DistGridSearchCV, DistributedScore, ForestModel}
 
 /** Data-parallel (histogram) CART vs the broadcast learner: same scoring
   * math, same candidate set on low-cardinality data, same TreeModel type.
@@ -138,6 +138,59 @@ class DataParallelCARTSpec extends AnyFunSuite {
     val s = dp.cvResults.orderBy("candidate_id")
       .select("mean_test_score").collect().map(_.getDouble(0))
     assert(s(1) > s(0) + 0.1, s.toSeq.toString)
+  }
+
+  test("data-parallel forest: shared-pass trees recover planted rule") {
+    val (x, y0) = planted()
+    // 10% label noise: leaves go impure, so bootstrap reweighting shows up
+    // in per-tree leaf proportions (a noise-free rule yields identical
+    // pure trees under ANY bootstrap — no diversity to observe).
+    val rng = new Random(5)
+    val y = y0.map(v => if (rng.nextDouble() < 0.1) rng.nextInt(3).toDouble else v)
+    val df = toDF(x, y)
+    val forest = DataParallelCART.fitForest(df, "x", "y",
+      Map("max_depth" -> 3.0), seed = 42, nTrees = 12,
+      classification = true, bootstrap = true)
+    assert(forest.trees.length == 12)
+    // majority vote denoises: predictions match the CLEAN rule
+    val acc = x.indices.count(i => forest.predict(x(i)) == y0(i)).toDouble / x.length
+    assert(acc >= 0.95, s"forest accuracy vs clean rule: $acc")
+    // bootstrap diversity: some probe row gets different leaf
+    // probabilities across trees
+    val probe = x(0)
+    val perTree = forest.trees.map(t => t.predictProba(probe).toSeq).distinct
+    assert(perTree.size > 1, "bootstrap produced 12 identical trees")
+  }
+
+  test("data-parallel forest without bootstrap on full features = N copies of the CART tree") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val forest = DataParallelCART.fitForest(df, "x", "y",
+      Map("max_depth" -> 4.0), seed = 42, nTrees = 3,
+      classification = true, bootstrap = false)
+    val bc = graft.exec.CART.grow(x, y, null, Map("max_depth" -> 4.0), 42, 3)
+    forest.trees.foreach { t =>
+      x.indices.foreach(i => assert(t.predict(x(i)) == bc.predict(x(i))))
+    }
+  }
+
+  test("DistForest auto-route: over-budget fit runs data-parallel, same model type") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val model = new DistForest(nEstimators = 8,
+      params = Map("max_depth" -> 5.0), classification = true, seed = 42)
+      .withBroadcastBudget(1L)
+      .fit(spark, df, "x", "y")
+    assert(model.isInstanceOf[ForestModel])
+    assert(model.trees.length == 8)
+    val acc = x.indices.count(i => model.predict(x(i)) == y(i)).toDouble / x.length
+    assert(acc >= 0.95, s"auto-routed forest accuracy $acc")
+    // extra-trees cannot data-parallelize: loud failure, not silent fallback
+    assertThrows[IllegalArgumentException] {
+      new DistForest(nEstimators = 4, classification = true, extraTrees = true,
+        bootstrap = false, seed = 1)
+        .withBroadcastBudget(1L).fit(spark, df, "x", "y")
+    }
   }
 
   test("distributed scoring matches driver-side Metrics math") {

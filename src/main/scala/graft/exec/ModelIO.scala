@@ -80,6 +80,10 @@ object ModelIO {
       "weights" -> JArray(weights.map(w => JArray(w.map(JDouble).toList)).toList))
     case ConstantModel(v, k) => JObject(
       "type" -> JString("constant"), "value" -> JDouble(v), "nClasses" -> JInt(k))
+    case LinearSVCModel(weights, k) => JObject(
+      "type" -> JString("linear_svc"),
+      "nClasses" -> JInt(k),
+      "weights" -> JArray(weights.map(w => JArray(w.map(JDouble).toList)).toList))
     case t: CART.TreeModel => treeToJson(t)
     case graft.search.ForestModel(trees, k) => JObject(
       "type" -> JString("forest"),
@@ -99,6 +103,9 @@ object ModelIO {
       (j \ "weights").asInstanceOf[JArray].arr.map(dblArr).toArray,
       intOf(j \ "nClasses"))
     case "constant" => ConstantModel(dblOf(j \ "value"), intOf(j \ "nClasses"))
+    case "linear_svc" => LinearSVCModel(
+      (j \ "weights").asInstanceOf[JArray].arr.map(dblArr).toArray,
+      intOf(j \ "nClasses"))
     case "tree" => treeFromJson(j)
     case "forest" => graft.search.ForestModel(
       (j \ "trees").asInstanceOf[JArray].arr.map(treeFromJson).toArray,

@@ -107,6 +107,24 @@ object EncodeQueries {
         .orderBy("vec_id")
     }),
 
+    // SVC margin surface: squared-hinge loss + functional margin of a
+    // fixed linear decision function (the quantity LinearSVC minimizes)
+    // per class — codegen'd LinearScore, no UDFs; oracled against DuckDB
+    // list_dot_product.
+    "q70_svc_hinge" -> ((s, d) => {
+      val w = Array.tabulate(64)(j => (j * 53 % 17 - 8) / 20.0)
+      val dec = graft.functions.LinearScore(
+        col("embedding").cast("array<double>"), w, bias = 0.1)
+      val t = when(col("label") < 5, lit(1.0)).otherwise(lit(-1.0))
+      val hinge = pow(greatest(lit(0.0), lit(1.0) - t * dec), 2)
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(hinge), 4).as("avg_sq_hinge"),
+          round(avg(t * dec), 4).as("avg_margin"))
+        .orderBy("label")
+    }),
+
     // Fixed-weight linear model through the UDF-free Predict projection
     // (codegen'd LinearScore per class + argmax).
     "q46_linear_predict" -> ((s, d) => {
@@ -119,6 +137,9 @@ object EncodeQueries {
         .orderBy("vec_id")
     })
   )
+
+  private val q70Weights: String =
+    (0 until 64).map(j => (j * 53 % 17 - 8) / 20.0).mkString("[", ", ", "]")
 
   private val q47Weights: String =
     (0 until 64).map(j => (j * 37 % 19 - 9) / 10.0).mkString("[", ", ", "]")
@@ -151,6 +172,18 @@ object EncodeQueries {
         |    ELSE 0.0 END, 6) AS f_score
         |FROM f
         |ORDER BY f_score DESC, feature_idx ASC LIMIT 5""".stripMargin,
+
+    "q70_svc_hinge" ->
+      s"""WITH s AS (
+         |  SELECT label,
+         |    0.1 + list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST($q70Weights AS DOUBLE[])) AS dec,
+         |    CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS t
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_rows,
+         |  round(avg(pow(greatest(0, 1 - t * dec), 2)), 4) AS avg_sq_hinge,
+         |  round(avg(t * dec), 4) AS avg_margin
+         |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     "q47_linear_score" ->
       s"""SELECT vec_id,

@@ -77,19 +77,23 @@ class DistOneVsRest(learner: Learner,
     } else fitDataParallel(spark, df, featuresCol, labelCol)
   }
 
-  /** Broadcast-overflow route: one DISTRIBUTED Spark ML logistic fit per
-    * class (the task axis is driver-sequenced — each fit already uses the
-    * whole cluster), negatives capped by the same `_negatives_mask` plan
-    * as the broadcast path, models converted losslessly so the returned
-    * OvRModel is indistinguishable from the broadcast route's.
+  /** Broadcast-overflow route: one DISTRIBUTED fit per class (the task
+    * axis is driver-sequenced — each fit already uses the whole cluster):
+    * Spark ML logistic (converted losslessly) for the logistic learners,
+    * histogram CART (`DataParallelCART`) for tree learners. Negatives are
+    * capped by the same `_negatives_mask` plan as the broadcast path, so
+    * the returned OvRModel is indistinguishable from the broadcast
+    * route's.
     */
   private def fitDataParallel(spark: SparkSession, df: DataFrame,
                               featuresCol: String, labelCol: String): OvRModel = {
-    learner match {
-      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS => ()
+    val treeLearner = learner match {
+      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS => false
+      case _: graft.exec.CART.Classifier => true
       case other => throw new IllegalArgumentException(
-        s"data-parallel auto-route supports the logistic learners, not $other; " +
-          "for tree ensembles over broadcast-overflow data use DataParallelForest")
+        s"data-parallel auto-route supports the logistic and CART learners, " +
+          s"not $other; for tree ensembles over broadcast-overflow data use " +
+          "DataParallelForest")
     }
     import org.apache.spark.sql.functions.{col, lit, when}
     val labeled = df.select(col(featuresCol), col(labelCol).cast("double").as("_y"))
@@ -105,6 +109,9 @@ class DistOneVsRest(learner: Learner,
         when(col("_y") === lit(c), 1.0).otherwise(0.0))
       val nClasses = bin.select("_y").distinct().count()
       if (nClasses < 2) ConstantModel(1.0, 2) // single-class: constant positive
+      else if (treeLearner)
+        DataParallelCART.fitClassifier(bin, featuresCol, "_y",
+          Map.empty, seed + c.toLong, nClasses = 2)
       else {
         val fitted = new org.apache.spark.ml.classification.LogisticRegression()
           .setFeaturesCol("_features").setLabelCol("_label")

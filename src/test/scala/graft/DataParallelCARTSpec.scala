@@ -193,6 +193,22 @@ class DataParallelCARTSpec extends AnyFunSuite {
     }
   }
 
+  test("OvR auto-route: tree base learner over budget fits per-class distributed trees") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    val dp = new graft.search.DistOneVsRest(CART.Classifier, seed = 42)
+      .withBroadcastBudget(1L).fit(spark, df, "x", "y")
+    val bc = new graft.search.DistOneVsRest(CART.Classifier, seed = 42)
+      .fit(spark, df, "x", "y")
+    assert(dp.classes.toSeq == bc.classes.toSeq)
+    // unlimited-depth CART separates the planted rule exactly per class
+    val acc = x.indices.count(i => dp.predict(x(i)) == y(i)).toDouble / x.length
+    assert(acc >= 0.99, s"OvR data-parallel accuracy $acc")
+    x.indices.take(50).foreach { i =>
+      assert(dp.predict(x(i)) == bc.predict(x(i)), s"row $i regime disagreement")
+    }
+  }
+
   test("distributed scoring matches driver-side Metrics math") {
     val (x, y) = planted()
     val df = toDF(x, y)

@@ -98,6 +98,11 @@ class PersistenceStatsSpec extends AnyFunSuite {
     assert(ovr2.classes.toSeq == ovr.classes.toSeq && ovr2.norm == ovr.norm)
     assert(probes.forall(x => ovr.predictProba(x).toSeq == ovr2.predictProba(x).toSeq))
 
+    val svc = graft.exec.LinearSVC.fit(m.x, m.y, Map("c" -> 1.0), 0L)
+    ModelIO.save(svc, s"$dir/svc.json")
+    val svc2 = ModelIO.loadModel(s"$dir/svc.json")
+    assert(probes.forall(x => svc.predictProba(x).toSeq == svc2.predictProba(x).toSeq))
+
     val ml = new DistMultilabelOvR(LogisticRegressionGD)
       .fitSets(spark, m.x, m.y.map(v => Set(s"c$v")))
     ModelIO.save(ml, s"$dir/ml.json")

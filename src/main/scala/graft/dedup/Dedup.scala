@@ -129,6 +129,42 @@ object Dedup {
   private def array_filter_nonempty(arr: Column): Column =
     filter(arr, s => length(s) > 0)
 
+  /** Cross-corpus contamination check — the benchmark-decontamination
+    * scan of LLM training pipelines (n-gram-collision screening of the
+    * training corpus against held-out evaluation sets): for every `bench`
+    * document, count the `corpus` documents sharing at least `minShared`
+    * distinct word n-grams, plus the largest such overlap. Bench docs with
+    * no qualifying collision are absent (clean).
+    *
+    * Scale design: the benchmark side is tiny relative to a 100 TB corpus,
+    * so its exploded shingle index is BROADCAST — the corpus is scanned
+    * once, shingled in place, and hash-joined against the broadcast index
+    * with no shuffle of corpus-derived rows before the (bench, corpus)
+    * pair aggregation, whose input is bounded by true collisions, not by
+    * corpus size. Same InferFiltersFromGenerate dodge as the dedup plans.
+    */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def shingles(df: DataFrame, name: String, fanOut: Boolean): DataFrame = {
+      val base = df.select(col(idCol).as(name), col(textCol).as("text"))
+      val src = if (fanOut) Par.fanOut(base) else base
+      src.select(col(name),
+          explode_outer(array_filter_nonempty(
+            TextFunctions.distinctWordNGrams(col("text"), n))).as("s"))
+        .filter(col("s").isNotNull)
+    }
+    shingles(corpus, "corpus_id", fanOut = true)
+      .join(broadcast(shingles(bench, "bench_id", fanOut = false)), "s")
+      .groupBy("bench_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(col("n_shared")).as("max_shared"))
+  }
+
   /** MinHash LSH near-dup pairs, engine-native: per-table signature
     * h_t = min over shingles of xxhash64(shingle, seed_t) (all codegen'd
     * higher-order functions), candidates from an equi-join on the LONG

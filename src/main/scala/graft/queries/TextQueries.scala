@@ -72,6 +72,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Benchmark decontamination: every 50th document plays the held-out
+    // eval set; count corpus documents sharing >= 2 distinct word
+    // trigrams with each bench doc. Bench shingles broadcast — the
+    // corpus-side index never shuffles before the pair aggregation.
+    "q71_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      Dedup.contaminationStats(corpus, bench, "text", "doc_id",
+        n = 3, minShared = 2)
+        .orderBy("bench_id")
+    }),
+
     // SimHash banding near-dups, FULLY ORACLED on a planted corpus: 40
     // synthetic token documents (a deterministic formula of doc_id), each
     // with a verbatim copy at doc_id+1000. Copies share every band and sit
@@ -332,6 +345,22 @@ object TextQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q71_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id, count(*) AS n_shared
+        |  FROM sh b JOIN sh c ON b.s = c.s
+        |  WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT bench_id, count(*) AS n_contaminating, max(n_shared) AS max_shared
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Planted truth: one pair per original (the verbatim copy), hamming 0.
     "q37_simhash_pairs" ->

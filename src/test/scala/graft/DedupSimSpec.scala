@@ -50,6 +50,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.filter(p => p._2 >= 100L).forall(_._3 >= 0.5))
   }
 
+  test("contamination scan flags corpus docs overlapping the bench set") {
+    // bench doc 0's text is copied verbatim into corpus doc 100 (28 shared
+    // trigrams) and near-copied into none; unrelated random docs share
+    // trigrams only by chance (12-word vocab → some 2-gram noise, so pin
+    // with a high minShared)
+    val bench = corpus.filter(col("doc_id") === 0L || col("doc_id") === 5L)
+    val rest = corpus.filter(col("doc_id") =!= 0L && col("doc_id") =!= 5L)
+    val hits = Dedup.contaminationStats(rest, bench, "text", "doc_id",
+      n = 3, minShared = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hits.exists { case (b, nc, mx) => b == 0L && nc >= 1 && mx >= 20 },
+      s"verbatim copy not flagged: $hits")
+    assert(!hits.exists(_._1 == 5L), s"clean bench doc flagged: $hits")
+    // plan shape: bench side broadcast — corpus index never shuffles
+    // before the pair aggregation
+    val plan = Dedup.contaminationStats(rest, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("minhash LSH recalls the planted dups") {
     val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
       n = 3, numHashTables = 8, minJaccard = 0.4)

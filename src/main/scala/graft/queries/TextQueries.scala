@@ -72,6 +72,25 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // PII scrubbing: plant deterministic emails/IPv4s into the corpus,
+    // then count and redact them (codegen'd regexp built-ins; RE2-safe
+    // patterns so DuckDB reproduces the scan verbatim).
+    "q72_pii_redact" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).withColumn("text2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".17")))
+          .otherwise(lit(""))))
+      seeded.select(col("doc_id"),
+          TextFunctions.piiCount(col("text2")).as("n_pii"),
+          length(TextFunctions.redactPii(col("text2"))).as("redacted_len"))
+        .filter(col("n_pii") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: every 50th document plays the held-out
     // eval set; count corpus documents sharing >= 2 distinct word
     // trigrams with each bench doc. Bench shingles broadcast — the
@@ -345,6 +364,25 @@ object TextQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q72_pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' from 10.0.' || (doc_id % 256) || '.17' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(t, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS INT) AS n_pii,
+        |  CAST(length(regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g')) AS INT) AS redacted_len
+        |FROM seeded
+        |WHERE len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q71_contamination" ->
       """WITH toks AS (

@@ -100,6 +100,24 @@ object TextFunctions {
   }
 
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercased text. */
+  /** PII scrubbing (the redaction pass of a training-data pipeline):
+    * emails and IPv4 literals replaced by type tokens. Patterns are
+    * RE2-compatible (no lookaround) so an external SQL engine reproduces
+    * them verbatim — the q72 oracle relies on this. All codegen'd
+    * regexp built-ins; no UDFs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+
   def fingerprint(text: Column): Column =
     md5(lower(concat_ws(" ", tokens(text))))
 

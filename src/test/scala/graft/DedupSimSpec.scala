@@ -255,6 +255,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Dedup.minhashPairs(df, "text", "doc_id", 3, 8, 0.1).count() == 0)
   }
 
+  test("PII redaction replaces emails and IPv4s, counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 192.168.1.254 thanks"),
+      (2L, "no pii here, just words and numbers like 12345"),
+      (3L, "two mails a@b.io c@d.co and ip 10.0.0.1")).toDF("id", "text")
+    val rows = df.select(col("id"),
+        graft.text.TextFunctions.piiCount(col("text")).as("n"),
+        graft.text.TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(rows(0)._2 == 2 && rows(0)._3 ==
+      "reach me at <EMAIL> or <IP> thanks")
+    assert(rows(1)._2 == 0 &&
+      rows(1)._3 == "no pii here, just words and numbers like 12345")
+    assert(rows(2)._2 == 3 && rows(2)._3 == "two mails <EMAIL> <EMAIL> and ip <IP>")
+  }
+
   test("langId spots language by stopword profile") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is the best of all"),

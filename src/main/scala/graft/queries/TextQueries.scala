@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.sim.Similarity
-import graft.text.TextFunctions
+import graft.text.{Corpus, TextFunctions}
 
 /** Text-analysis / dedup / similarity queries over the documents and
   * embeddings tables. SQL-expressible semantics get DuckDB oracles;
@@ -102,6 +102,48 @@ object TextQueries {
       Dedup.contaminationStats(corpus, bench, "text", "doc_id",
         n = 3, minShared = 2)
         .orderBy("bench_id")
+    }),
+
+    // Gopher-style quality-rule battery, aggregated per source: how many
+    // documents pass the published filter heuristics, and which rule
+    // kills the failures.
+    "q73_quality_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.gopherRules(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1).otherwise(0)).as("n_pass"),
+          sum(when(!col("r_words"), 1).otherwise(0)).as("fail_words"),
+          sum(when(!col("r_word_len"), 1).otherwise(0)).as("fail_word_len"),
+          sum(when(!col("r_stopwords"), 1).otherwise(0)).as("fail_stopwords"),
+          sum(when(!col("r_repetition"), 1).otherwise(0)).as("fail_repetition"))
+        .orderBy("source")
+    }),
+
+    // Token-budgeted corpus slice: per-source 800-token cap applied in
+    // doc_id order (training-mix composition).
+    "q74_token_budget" -> ((s, d) => {
+      Corpus.tokenBudget(Tables.documents(s, d), "text", "doc_id",
+          "source", budget = 800L)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          max("cum_tokens").as("tokens_kept"))
+        .orderBy("source")
+    }),
+
+    // Deterministic source-weighted mix sampling: 60/30/10 % rates by
+    // source index residue, systematic on doc_id.
+    "q75_mix_sample" -> ((s, d) => {
+      val idx = expr("CAST(substring(source, 4, 18) AS INT)")
+      val pct = when(pmod(idx, lit(3)) === 0, 60)
+        .when(pmod(idx, lit(3)) === 1, 30).otherwise(10)
+      Corpus.mixSample(Tables.documents(s, d), "doc_id", pct)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("tokens_kept"))
+        .orderBy("source")
     }),
 
     // SimHash banding near-dups, FULLY ORACLED on a planted corpus: 40
@@ -399,6 +441,52 @@ object TextQueries {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT bench_id, count(*) AS n_contaminating, max(n_shared) AS max_shared
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q73_quality_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |rep AS (
+         |  SELECT doc_id, max(c) * 1.0 / any_value(n) AS tr FROM (
+         |    SELECT doc_id, w, count(*) AS c, any_value(n) AS n FROM (
+         |      SELECT doc_id, unnest(tk) AS w, len(tk) AS n FROM t)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |flags AS (
+         |  SELECT t.source,
+         |    len(tk) BETWEEN 20 AND 90 AS r_words,
+         |    (length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(tk))
+         |      BETWEEN 3.0 AND 10.0 AS r_word_len,
+         |    len(list_filter(tk, x -> x IN ($stop))) >= 2 AS r_stopwords,
+         |    coalesce(tr <= 0.12, false) AS r_repetition
+         |  FROM t LEFT JOIN rep USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN r_words AND r_word_len AND r_stopwords
+         |                     AND r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+         |  CAST(sum(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+         |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+         |  CAST(sum(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+
+    "q74_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_kept, CAST(max(cum) AS BIGINT) AS tokens_kept
+        |FROM c WHERE cum <= 800 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q75_mix_sample" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens_kept
+        |FROM documents
+        |WHERE doc_id % 100 < CASE CAST(substr(source, 4) AS INT) % 3
+        |  WHEN 0 THEN 60 WHEN 1 THEN 30 ELSE 10 END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Planted truth: one pair per original (the verbatim copy), hamming 0.
     "q37_simhash_pairs" ->

@@ -33,6 +33,76 @@ object Corpus {
       .withColumn("crosses", col("pack_off") + col("n_tokens") > budget)
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling Language
+    * Models" — the published document-filter heuristics, thresholds scaled
+    * to the corpus at hand): word-count bounds, mean-word-length bounds, a
+    * minimum stopword presence, and a repetition cap on the most frequent
+    * token. Returns one row per document with each rule's verdict and the
+    * conjunctive `pass`.
+    *
+    * Scale: the three scalar rules are a narrow codegen'd projection over
+    * the scan; the repetition ratio reuses the exploded two-phase
+    * aggregation of [[repetitionStats]] (map-side partial combine, the
+    * per-document key cannot run hot) and joins back on the id — one
+    * equi-join shuffle, no row ever carries the token array through it.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 20, maxWords: Int = 90,
+                  minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+                  minStopwordHits: Int = 2,
+                  maxTopTokenRatio: Double = 0.12): DataFrame = {
+    val scalars = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("n_words"),
+      TextFunctions.avgWordLen(col(textCol)).as("_awl"),
+      TextFunctions.stopwordCount(col(textCol)).as("_stop"))
+    val rep = repetitionStats(df, textCol, idCol, maxTopTokenRatio)
+      .select(col(idCol), col("top_tok_ratio"))
+    scalars.join(rep, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_words"),
+        (col("_awl") >= minAvgWordLen && col("_awl") <= maxAvgWordLen)
+          .as("r_word_len"),
+        (col("_stop") >= minStopwordHits).as("r_stopwords"),
+        // empty docs produce no repetition row: fail them explicitly
+        coalesce(col("top_tok_ratio") <= maxTopTokenRatio, lit(false))
+          .as("r_repetition"))
+      .withColumn("pass",
+        col("r_words") && col("r_word_len") &&
+          col("r_stopwords") && col("r_repetition"))
+  }
+
+  /** Token-budgeted corpus slice: within each `streamCol` stream, keep
+    * documents in `idCol` order while the running token total stays within
+    * `budget` — the standard way a per-source cap is applied when
+    * composing a training mix. Returns the kept rows with their running
+    * total `cum_tokens`.
+    *
+    * Scale: same per-stream window as [[packOffsets]] — the sort is
+    * partitioned by the stream key, never global; a stream's documents
+    * are the unit of parallelism, so pre-shard giant streams.
+    */
+  def tokenBudget(df: DataFrame, textCol: String, idCol: String,
+                  streamCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy(streamCol).orderBy(idCol)
+    df.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic source-weighted mix sampling: keep a row iff
+    * `id mod 100 < pct` where `pct` is the caller-supplied per-row
+    * sampling percentage (typically a CASE over the source column — the
+    * mix weights). Systematic sampling on a uniform id is reproducible
+    * run-over-run and join-free; at 100 TB substitute
+    * `pmod(xxhash64(id), 100)` when ids are not uniformly distributed.
+    * A narrow filter over the scan — no shuffle, pushdown-friendly.
+    */
+  def mixSample(df: DataFrame, idCol: String, pctCol: Column): DataFrame =
+    df.filter(pmod(col(idCol), lit(100)) < pctCol)
+
   /** Per-document repetition stats: top-token frequency ratio and distinct
     * ratio — the classic boilerplate/degenerate-text detectors. Exploded
     * two-phase aggregation (doc,token) -> doc; partial aggregation

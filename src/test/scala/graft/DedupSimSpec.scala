@@ -178,6 +178,53 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got(1).getAs[Double]("distinct_ratio") == 1.0)
   }
 
+  test("gopher rules: each rule kills exactly its planted violator") {
+    import graft.text.Corpus
+    val good = (("the of is " * 3) + ("tok%d " * 20).split(" ")
+      .zipWithIndex.map { case (w, i) => w.format(i) }.mkString(" ")).trim
+    val docs = Seq(
+      (1L, good),                                  // passes all rules
+      (2L, "the of is"),                           // too short
+      (3L, ("uniq%d " * 40).split(" ").zipWithIndex // no stopwords
+        .map { case (w, i) => w.format(i) }.mkString(" ").trim),
+      (4L, "the of is " + ("spam " * 30).trim)     // repetitive
+    ).toDF("doc_id", "text")
+    val got = Corpus.gopherRules(docs, "text", "doc_id",
+        minWords = 10, maxWords = 90, minStopwordHits = 2,
+        maxTopTokenRatio = 0.2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("pass"), s"doc 1 should pass: ${got(0)}")
+    assert(!got(1).getAs[Boolean]("r_words") && !got(1).getAs[Boolean]("pass"))
+    assert(!got(2).getAs[Boolean]("r_stopwords") && !got(2).getAs[Boolean]("pass"))
+    assert(!got(3).getAs[Boolean]("r_repetition") && !got(3).getAs[Boolean]("pass"))
+  }
+
+  test("token budget keeps a prefix per stream and stops at the cap") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, "a", ("w " * 300).trim), // cum 300: kept
+      (2L, "a", ("w " * 300).trim), // cum 600: kept
+      (3L, "a", ("w " * 300).trim), // cum 900: over budget
+      (4L, "b", ("w " * 50).trim)   // own stream, cum 50: kept
+    ).toDF("doc_id", "stream", "text")
+    val got = Corpus.tokenBudget(docs, "text", "doc_id", "stream", 700L)
+      .select("doc_id", "cum_tokens").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 300L), (2L, 600L), (4L, 50L)))
+  }
+
+  test("mix sampling keeps exactly the sub-threshold id residues") {
+    import graft.text.Corpus
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("doc_id", "source")
+    val pct = when(col("source") === "x", 30).otherwise(10)
+    val kept = Corpus.mixSample(docs, "doc_id", pct)
+      .collect().map(_.getLong(0)).toSet
+    val expect = (0L until 200L).filter(i =>
+      i % 100 < (if (i % 2 == 0) 30 else 10)).toSet
+    assert(kept == expect)
+  }
+
   test("simhash: identical docs have hamming 0 and band join finds them") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 3, bands = 4)

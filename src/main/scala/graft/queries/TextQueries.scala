@@ -146,6 +146,25 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // SemDeDup semantic dedup, FULLY ORACLED via planted copies: verbatim
+    // duplicates of the first 25 vectors are appended at vec_id+100000.
+    // Identical vectors quantize to the same KMeans cell regardless of
+    // the seed, and cos=1.0 passes any threshold, so every copy is
+    // removed (the original has the smaller id); the max NATURAL pairwise
+    // cosine in this corpus is 0.60 at every scale factor (measured), so
+    // minCosine=0.9 admits no other pair. Survivors = the original table,
+    // which DuckDB states without reproducing the quantizer.
+    "q76_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val planted = e.unionByName(
+        e.filter(col("vec_id") < 25)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Similarity.semanticDedup(planted, "embedding", "vec_id",
+          nClusters = 8, minCosine = 0.9)
+        .groupBy("label").agg(count(lit(1)).as("n_survivors"))
+        .orderBy("label")
+    }),
+
     // SimHash banding near-dups, FULLY ORACLED on a planted corpus: 40
     // synthetic token documents (a deterministic formula of doc_id), each
     // with a verbatim copy at doc_id+1000. Copies share every band and sit
@@ -468,6 +487,11 @@ object TextQueries {
          |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
          |  CAST(sum(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+
+    // Planted truth: copies removed, originals kept (see the query doc).
+    "q76_semantic_dedup" ->
+      """SELECT label, count(*) AS n_survivors
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "q74_token_budget" ->
       """WITH t AS (

@@ -204,4 +204,50 @@ object Similarity {
         round(cosine(col("_va"), col("_vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): a KMeans coarse quantizer over L2-normalized
+    * embeddings buckets the corpus into cells; only WITHIN-cell pairs are
+    * cosine-scored, pairs >= `minCosine` form a duplicate graph, and one
+    * survivor (smallest id) is kept per connected component — plus every
+    * vector in no pair. Identical vectors quantize to the same cell
+    * whatever the seeded centroids, so recall on true duplicates is
+    * structural; distant cells are never compared, which is the point:
+    * candidate volume is E[cell²], not n².
+    *
+    * Scale: the cell id is the partition key — candidates come from an
+    * equi-join on it (a hot cell streams its pairs as rows, never a
+    * bucket-collect). The cost law is sum of squared cell sizes; raise
+    * `nClusters` with corpus size to keep cells bounded (the paper runs
+    * ~100k clusters at billions of docs).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    nClusters: Int = 16, minCosine: Double = 0.9,
+                    seed: Long = 42, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // Same spherical-quantizer trick as ivfTopK: cluster NORMALIZED
+    // vectors so Euclidean cell geometry is monotone in cosine.
+    def normalized(c: Column): Column =
+      transform(c, e => e / sqrt(aggregate(
+        transform(c, x => x * x), lit(0.0), (a, v) => a + v)))
+    val vecs = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_nv", array_to_vector(normalized(col("_v"))))
+      .persist()
+    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_nv").setPredictionCol("_cell")
+    val assigned = km.fit(vecs).transform(vecs)
+      .select(col("id"), col("_v"), col("_cell"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val cellP = assigned.repartition(p, col("_cell"))
+    val pairs = cellP.as("a").hint("shuffle_hash")
+      .join(cellP.as("b"),
+        col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a._v"), col("b._v")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.survivors(df, pairs, idCol)
+  }
 }

@@ -267,6 +267,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.length < 5, "random 64-dim vectors should not be near-dups")
   }
 
+  test("semantic dedup removes planted copies and keeps every original") {
+    // 30 pseudo-random vectors + verbatim copies of the first 5: copies
+    // land in their original's cell whatever the quantizer seed, score
+    // cos=1.0, and lose the min-id survivor rule.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 30L).map(i =>
+      (i, Seq.fill(32)(rnd.nextGaussian().toFloat)))
+    val planted = base ++ base.take(5).map { case (i, v) => (i + 1000L, v) }
+    val df = planted.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "embedding", "vec_id",
+        nClusters = 4, minCosine = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 30L).toSet, s"got $kept")
+  }
+
   test("IVF topK recalls most brute-force neighbors on clustered vectors") {
     val rng = new Random(13)
     val centers = Seq.fill(4)(Array.fill(16)(rng.nextGaussian() * 3))

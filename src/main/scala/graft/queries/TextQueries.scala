@@ -146,6 +146,20 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Corpus-unigram LM quality score (CCNet-perplexity shape): mean
+    // ln p(token) per document under the corpus unigram distribution.
+    "q77_unigram_logprob" -> ((s, d) => {
+      Corpus.unigramLogProb(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Per-document top-3 TF-IDF terms (rounded-score ranking, term
+    // tie-break — cross-engine-stable).
+    "q78_tfidf_terms" -> ((s, d) => {
+      Corpus.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // SemDeDup semantic dedup, FULLY ORACLED via planted copies: verbatim
     // duplicates of the first 25 vectors are appended at vec_id+100000.
     // Identical vectors quantize to the same KMeans cell regardless of
@@ -487,6 +501,32 @@ object TextQueries {
          |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
          |  CAST(sum(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+
+    "q77_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS t FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(c * 1.0 / t)), 4) AS avg_logp
+        |FROM toks JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q78_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * ln(n * 1.0 / df), 4) AS score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(n * 1.0 / df), 4) DESC, term ASC) AS INT) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score, rank FROM scored
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Planted truth: copies removed, originals kept (see the query doc).
     "q76_semantic_dedup" ->

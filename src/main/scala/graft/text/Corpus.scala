@@ -92,6 +92,59 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Corpus-unigram log-probability quality score (the shape of CCNet's
+    * LM-perplexity filter with the corpus itself as the LM): a document's
+    * score is the mean ln p(w) of its tokens under the corpus unigram
+    * distribution. Degenerate/boilerplate text scores HIGH (its tokens
+    * are globally frequent), rare-garble scores LOW — both tails are
+    * filter targets.
+    *
+    * Scale: two exploded aggregations (map-side partial combine) plus one
+    * join of the token stream against the vocabulary-sized frequency
+    * table — vocabulary is orders of magnitude smaller than the corpus,
+    * so AQE broadcasts it when it fits and falls back to a token-key
+    * shuffle join when it does not. The grand total rides a broadcast
+    * 1-row cross join, never a collect.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("_w"))
+    val freq = toks.groupBy("_w").agg(count(lit(1)).as("_c"))
+    val total = freq.agg(sum("_c").as("_t"))
+    toks.join(freq, "_w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("_c").cast("double") / col("_t"))), 4).as("avg_logp"))
+  }
+
+  /** Per-document top-k TF-IDF terms: tf = in-document count, idf =
+    * ln(N / df_w) over the corpus, ranked per document by the ROUNDED
+    * score (a cross-engine-stable ordering — ties broken by term) —
+    * classic keyword extraction / relevance surfacing.
+    *
+    * Scale: (doc, term) counts and document frequencies are the same
+    * two-phase exploded aggregations as [[unigramLogProb]]; the rank
+    * window partitions by document, never global.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val nDocs = df.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(
+        col("tf") * log(col("_n").cast("double") / col("_df")), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
+
   /** Deterministic source-weighted mix sampling: keep a row iff
     * `id mod 100 < pct` where `pct` is the caller-supplied per-row
     * sampling percentage (typically a CASE over the source column — the

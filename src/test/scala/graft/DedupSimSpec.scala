@@ -213,6 +213,37 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 300L), (2L, 600L), (4L, 50L)))
   }
 
+  test("unigram log-prob scores common-token docs above rare-token docs") {
+    import graft.text.Corpus
+    // corpus: 'common' appears 6x of 8 tokens, each rare word once
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val got = Corpus.unigramLogProb(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val p1 = got(0).getAs[Double]("avg_logp") // ln(6/8)
+    val p2 = got(1).getAs[Double]("avg_logp") // mean(ln(6/8),ln(6/8),ln(1/8),ln(1/8))
+    assert(math.abs(p1 - math.log(6.0 / 8)) < 1e-3, s"got $p1")
+    assert(p1 > p2, "all-common doc must outscore the rare-token doc")
+    assert(got(0).getAs[Long]("n_tokens") == 4L)
+  }
+
+  test("tfidf ranks a document's distinctive term above ubiquitous ones") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared shared unique2"),
+      (3L, "shared shared unique3")
+    ).toDF("doc_id", "text")
+    // 'shared' has df=3 -> idf=ln(1)=0; each unique term df=1 -> idf=ln(3)
+    val got = Corpus.tfidfTopTerms(docs, "text", "doc_id", k = 1)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("term")).toSeq ==
+      Seq("unique1", "unique2", "unique3"))
+    assert(math.abs(got(0).getAs[Double]("score") - math.log(3.0)) < 1e-3)
+  }
+
   test("mix sampling keeps exactly the sub-threshold id residues") {
     import graft.text.Corpus
     val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "x" else "y"))

@@ -288,10 +288,60 @@ object Dedup {
     * chains in practice.
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20,
+                 driverEdgeBudget: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()
+    // Auto-route on size (the same regime switch as the broadcast vs
+    // data-parallel fit paths): a near-dup pair graph is usually ORDERS
+    // smaller than the corpus — when it fits a driver budget (default
+    // 2^20 directed edges ≈ 16 MB), exact union-find on the driver
+    // replaces O(diameter) distributed rounds whose per-round job
+    // overhead dwarfs the data. Big graphs keep the data-parallel loop.
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeBudget) {
+      import scala.collection.mutable
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val members = mutable.HashSet.empty[Any]
+      edges.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        members += a; members += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+      // comp = MIN member id, matching the propagation fixpoint; ids are
+      // long or string in every call path (fingerprints, vec ids)
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Long, b: Long)     => a < b
+        case (a: Int, b: Int)       => a < b
+        case (a: String, b: String) => a < b
+        case _ => x.toString < y.toString
+      }
+      val minOfRoot = mutable.HashMap.empty[Any, Any]
+      members.foreach { m =>
+        val r = find(m)
+        if (!minOfRoot.contains(r) || lt(m, minOfRoot(r))) minOfRoot(r) = m
+      }
+      val idType = edges.schema.head.dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("comp", idType)))
+      val rows = members.toSeq.map(m =>
+        org.apache.spark.sql.Row(m, minOfRoot(find(m))))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
+        schema)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
     var converged = false

@@ -174,7 +174,7 @@ object TextQueries {
         e.filter(col("vec_id") < 25)
           .withColumn("vec_id", col("vec_id") + 100000))
       Similarity.semanticDedup(planted, "embedding", "vec_id",
-          nClusters = 8, minCosine = 0.9)
+          minCosine = 0.9)
         .groupBy("label").agg(count(lit(1)).as("n_survivors"))
         .orderBy("label")
     }),

@@ -107,6 +107,11 @@ class DedupSimSpec extends AnyFunSuite {
     val surv = Dedup.survivors(docs, pairs, "doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(surv == Set(1L, 7L, 10L), "min per component + unpaired docs")
+    // the driver union-find fast path and the distributed propagation
+    // loop must compute the SAME fixpoint (auto-route equivalence)
+    val dist = Dedup.components(pairs, driverEdgeBudget = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == comp, s"distributed $dist != driver $comp")
   }
 
   test("autoPlanes scales bits with corpus at fixed bucket density") {

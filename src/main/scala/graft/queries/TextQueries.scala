@@ -309,18 +309,34 @@ object TextQueries {
 
     // IVF ANN: seeded coarse quantizer + probed-cell exact rerank
     // (seeded KMeans: rows-only check; recall pinned vs q40 in ScalaTest).
+    // IVF ANN, FULLY ORACLED via planted copies: every 50th vector is
+    // duplicated at vec_id+100000 and used as the query set against the
+    // ORIGINAL corpus. A copy's nearest probe cell is, by construction,
+    // exactly the cell its twin was assigned to (identical vector, same
+    // centroids, same metric), so with any nProbe >= 1 the twin is always
+    // a candidate and wins top-1 at cos 1.0 (max natural pairwise cosine
+    // is 0.60 at every SF — measured). Top-1 is therefore seed-free,
+    // while the query still runs the full quantize → probe → rerank path.
     "q62_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
-        "embedding", "vec_id", 5, maxIter = 5)
-        .orderBy("query_id", "rank")
+      val probesQ = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.ivfTopK(emb, probesQ, "embedding", "vec_id", 1, maxIter = 5)
+        .orderBy("query_id")
     }),
 
-    // SRP-LSH cosine near-dup pairs with exact rerank (seeded hyperplanes:
-    // rows-only check; planted-pair recall pinned in ScalaTest).
+    // SRP-LSH cosine near-dup pairs, FULLY ORACLED via planted copies:
+    // identical vectors produce identical sign sketches under ANY
+    // hyperplane set, so every copy pair is recalled structurally; the
+    // exact rerank scores it cos=1.0, and no natural pair reaches the
+    // 0.9 threshold (ceiling 0.60 measured at every SF).
     "q63_srp_pairs" -> ((s, d) => {
-      Similarity.cosinePairs(Tables.embeddings(s, d), "embedding", "vec_id",
-        minCosine = 0.5, planes = 24)
+      val emb = Tables.embeddings(s, d)
+      val planted = emb.unionByName(
+        emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Similarity.cosinePairs(planted, "embedding", "vec_id",
+        minCosine = 0.9, planes = 24)
         .orderBy("id_a", "id_b")
     }),
 
@@ -501,6 +517,16 @@ object TextQueries {
          |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
          |  CAST(sum(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+
+    // Planted truths (see the query docs): top-1/pair = the verbatim twin.
+    "q62_ivf_ann" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+        |  1.0 AS cos, CAST(1 AS INT) AS rank
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id""".stripMargin,
+
+    "q63_srp_pairs" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a""".stripMargin,
 
     "q77_unigram_logprob" ->
       """WITH toks AS (

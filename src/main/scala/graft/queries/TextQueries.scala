@@ -146,6 +146,27 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // End-to-end curation pipeline — the composition a reference user
+    // actually runs: Gopher-rule quality gate -> fingerprint dedup
+    // survivors -> per-source token budget -> final mix stats. Each
+    // stage is an operator oracled on its own (q73/q35/q74); this query
+    // oracles the COMPOSITION.
+    "q79_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pass = Corpus.gopherRules(docs, "text", "doc_id")
+        .filter(col("pass")).select("doc_id")
+      val clean = docs.join(pass, "doc_id")
+      val keep = clean
+        .groupBy(TextFunctions.prefixFingerprint(col("text"), 5).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = clean.join(keep, "doc_id")
+      Corpus.tokenBudget(deduped, "text", "doc_id", "source", budget = 600L)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          max("cum_tokens").as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // Corpus-unigram LM quality score (CCNet-perplexity shape): mean
     // ln p(token) per document under the corpus unigram distribution.
     "q77_unigram_logprob" -> ((s, d) => {
@@ -517,6 +538,35 @@ object TextQueries {
          |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
          |  CAST(sum(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+
+    "q79_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |rep AS (
+         |  SELECT doc_id, max(c) * 1.0 / any_value(n) AS tr FROM (
+         |    SELECT doc_id, w, count(*) AS c, any_value(n) AS n FROM (
+         |      SELECT doc_id, unnest(tk) AS w, len(tk) AS n FROM t)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |pass AS (
+         |  SELECT doc_id FROM t LEFT JOIN rep USING (doc_id)
+         |  WHERE len(tk) BETWEEN 20 AND 90
+         |    AND (length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(tk))
+         |      BETWEEN 3.0 AND 10.0
+         |    AND len(list_filter(tk, x -> x IN ($stop))) >= 2
+         |    AND coalesce(tr <= 0.12, false)),
+         |clean AS (SELECT t.* FROM t JOIN pass USING (doc_id)),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM clean
+         |  GROUP BY md5(lower(array_to_string(tk[1:5], ' ')))),
+         |dd AS (SELECT clean.* FROM clean JOIN keep USING (doc_id)),
+         |c AS (
+         |  SELECT source, doc_id, len(tk) AS n_tokens,
+         |    sum(len(tk)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM dd)
+         |SELECT source, count(*) AS n_docs, CAST(max(cum) AS BIGINT) AS n_tokens
+         |FROM c WHERE cum <= 600 GROUP BY source ORDER BY source""".stripMargin,
 
     // Planted truths (see the query docs): top-1/pair = the verbatim twin.
     "q62_ivf_ann" ->

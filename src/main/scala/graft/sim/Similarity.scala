@@ -257,6 +257,11 @@ object Similarity {
         cosine(col("a._v"), col("b._v")).as("cos"))
       .filter(col("cos") >= minCosine)
       .select("id_a", "id_b")
-    graft.dedup.Dedup.survivors(df, pairs, idCol)
+    val out = graft.dedup.Dedup.survivors(df, pairs, idCol)
+    // components() has materialized the pair graph by now (its label
+    // frame is persisted or driver-built); dropping the vector cache
+    // only costs a recompute if labels are later evicted.
+    vecs.unpersist(blocking = false)
+    out
   }
 }

@@ -39,7 +39,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => (k, e) }
     val errs = failed.map { case (k, e) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // control chars (AnalysisException messages span lines) would make
+      // the emitted line unparseable JSON — flatten them to spaces
+      val esc = e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ")
+      "\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")

@@ -20,8 +20,6 @@ object ModelIO {
   // ---- tree flattening ------------------------------------------------
 
   private def treeToJson(t: CART.TreeModel): JObject = {
-    val nodes = scala.collection.mutable.ArrayBuffer.empty[CART.Node]
-    def index(n: CART.Node): Int = { nodes += n; nodes.length - 1 }
     // pre-order walk recording child slots after allocation
     val feature = scala.collection.mutable.ArrayBuffer.empty[Int]
     val threshold = scala.collection.mutable.ArrayBuffer.empty[Double]

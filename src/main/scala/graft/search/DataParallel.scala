@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -70,15 +69,26 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
                             bestModel: org.apache.spark.ml.classification.LogisticRegressionModel,
                             bestCandidateId: Int)
 
-  private def mkEstimator(params: Map[String, Double]): LogisticRegression =
+  private def mkEstimator(params: Map[String, Double], nTrain: Long): LogisticRegression = {
+    // The engine's `c` is INVERSE L2 strength over the objective
+    // meanNLL + ||w||^2 / (2*c*n) (LogisticRegressionLBFGS.scala:23);
+    // Spark ML minimizes meanLoss + regParam/2 * ||w||^2, so the lossless
+    // translation is regParam = 1/(c*nTrain) — per fit, because n differs
+    // between a fold fit and the full-data refit. A bare 1/c would
+    // regularize n times stronger than the broadcast regime.
+    val reg = params.get("c") match {
+      case Some(c) => if (c > 0) 1.0 / (c * math.max(1L, nTrain)) else 0.0
+      case None    => params.getOrElse("reg_param", 0.0)
+    }
     new LogisticRegression()
       .setFeaturesCol("_features").setLabelCol("_label")
       // multinomial even for 2 classes: k coefficient rows, so the fitted
       // model converts losslessly to the engine's k x (d+1) LogRegModel
       .setFamily("multinomial")
-      .setRegParam(params.getOrElse("reg_param", 0.0))
+      .setRegParam(reg)
       .setElasticNetParam(params.getOrElse("elastic_net", 0.0))
-      .setMaxIter(params.getOrElse("max_iter", 50.0).toInt)
+      .setMaxIter(params.getOrElse("max_iter", 100.0).toInt)
+  }
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): DpResult = {
@@ -88,43 +98,65 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
     fitCandidates(spark, df, featuresCol, labelCol, cands)
   }
 
-  /** Same search over an EXPLICIT candidate list (already in Spark ML
-    * param names: reg_param / elastic_net / max_iter) — the entry point
-    * the broadcast-path searches auto-route through, so candidate_id
-    * stays aligned with the caller's own candidate ordering.
+  /** Same search over an EXPLICIT candidate list (engine param names —
+    * `c` / `max_iter` — or raw Spark ML `reg_param` / `elastic_net`) —
+    * the entry point the broadcast-path searches auto-route through, so
+    * candidate_id stays aligned with the caller's own candidate ordering.
+    *
+    * Scoring goes through [[DistributedScore]] against the losslessly
+    * bridged engine model, NOT a Spark ML evaluator: the metric NAMES and
+    * MATH ("accuracy", "f1_weighted", "neg_log_loss", …) are then
+    * identical across the two fit regimes, and `iid`/`extraScorings`
+    * produce the same cv_results schema the broadcast route emits.
     */
   def fitCandidates(spark: SparkSession, df: DataFrame,
                     featuresCol: String, labelCol: String,
-                    cands: Seq[Map[String, Double]]): DpResult = {
+                    cands: Seq[Map[String, Double]],
+                    iid: Boolean = false,
+                    extraScorings: Seq[String] = Nil): DpResult = {
     require(cands.nonEmpty, "empty candidate list")
     val prepared = df.select(
+      // keep the array form alongside the vector: Spark ML fits on the
+      // vector, DistributedScore's engine-model UDFs read the array
+      col(featuresCol).cast("array<double>").as("_xs"),
       array_to_vector(col(featuresCol).cast("array<double>")).as("_features"),
       col(labelCol).cast("double").as("_label"))
       // fold by hashed row position, NOT the label (fold-label correlation
       // would skew CV); stable within a job, which is all CV needs
       .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
       .cache() // scanned once per (candidate, fold) fit — keep it hot
-    prepared.count()
+    val nTotal = prepared.count()
+    // Fold sizes in ONE pass: n_test per fold and the per-fit nTrain for
+    // the regularization translation — no per-(candidate, fold) count jobs.
+    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    val evaluator = new MulticlassClassificationEvaluator()
-      .setLabelCol("_label").setMetricName(scoring)
-
+    val allMetrics = scoring +: extraScorings
     val scoreRows = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
     } yield {
       val train = prepared.filter(col("_fold") =!= fold)
       val test = prepared.filter(col("_fold") === fold)
-      val model = mkEstimator(params).fit(train)
-      val score = evaluator.evaluate(model.transform(test))
-      (ci, fold, score, test.count())
+      val nTest = foldSizes.getOrElse(fold, 0L)
+      val model = SparkMLBridge.toLogRegModel(
+        mkEstimator(params, nTotal - nTest).fit(train))
+      val ms = DistributedScore.scoreMany(allMetrics, model, test, "_xs", "_label")
+      (ci, fold, ms(scoring), nTest, ms)
     }
     import spark.implicits._
-    val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
-    val agg = CvResults.aggregate(scores, Seq("candidate_id")).cache()
+    val agg = (if (extraScorings.isEmpty) {
+      val scores = scoreRows.map { case (ci, f, s, n, _) => (ci, f, s, n) }
+        .toDF("candidate_id", "fold_id", "score", "n_test")
+      CvResults.aggregate(scores, Seq("candidate_id"), iid = iid)
+    } else {
+      val scores = scoreRows
+        .toDF("candidate_id", "fold_id", "score", "n_test", "scores")
+      CvResults.aggregateMulti(scores, Seq("candidate_id"), allMetrics)
+    }).cache()
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
     val bestId = bestRow.getAs[Int]("candidate_id")
-    val best = mkEstimator(cands(bestId)).fit(prepared)
+    val best = mkEstimator(cands(bestId), nTotal).fit(prepared)
     prepared.unpersist()
     DpResult(agg.orderBy("candidate_id"), cands(bestId),
       bestRow.getAs[Double]("mean_test_score"), best, bestId)
@@ -144,11 +176,46 @@ object DistributedScore {
             featuresCol: String, labelCol: String): Double = scoring match {
     case "accuracy" | "f1_weighted" =>
       fromConfusion(scoring, confusion(model, test, featuresCol, labelCol))
+    case "neg_log_loss" =>
+      negLogLoss(model, test, featuresCol, labelCol)
     case "r2" | "neg_mean_squared_error" =>
       regression(scoring, model, test, featuresCol, labelCol)
     case other => throw new IllegalArgumentException(
-      s"data-parallel scoring supports accuracy/f1_weighted/r2/" +
-        s"neg_mean_squared_error, not $other")
+      s"data-parallel scoring supports accuracy/f1_weighted/neg_log_loss/" +
+        s"r2/neg_mean_squared_error, not $other")
+  }
+
+  /** Several metrics over one fitted model — the multi-metric twin of
+    * `Metrics.multi`. The confusion matrix is computed ONCE and reused by
+    * every confusion-derived metric; only proba/regression metrics add a
+    * scan of their own.
+    */
+  def scoreMany(scorings: Seq[String], model: Model, test: DataFrame,
+                featuresCol: String, labelCol: String): Map[String, Double] = {
+    lazy val cells = confusion(model, test, featuresCol, labelCol)
+    scorings.distinct.map {
+      case s @ ("accuracy" | "f1_weighted") => s -> fromConfusion(s, cells)
+      case s => s -> apply(s, model, test, featuresCol, labelCol)
+    }.toMap
+  }
+
+  /** Matches `Metrics.negLogLoss` exactly: mean log of the true-class
+    * probability, eps-clipped at 1e-15, 0.0 on an empty fold.
+    */
+  private def negLogLoss(model: Model, test: DataFrame,
+                         featuresCol: String, labelCol: String): Double = {
+    val eps = 1e-15
+    val lp = udf((xs: Seq[Double], y: Double) => {
+      val p = model.predictProba(xs.toArray)
+      val yi = y.toInt
+      val pi = if (yi >= 0 && yi < p.length) p(yi) else eps
+      math.log(math.max(eps, math.min(1 - eps, pi)))
+    })
+    val r = test.select(lp(col(featuresCol).cast("array<double>"),
+        col(labelCol).cast("double")).as("_ll"))
+      .agg(count(lit(1)), sum(col("_ll"))).head()
+    val n = r.getLong(0)
+    if (n == 0) 0.0 else r.getDouble(1) / n
   }
 
   /** (label, prediction, count) cells — one shuffle, k^2 rows collected. */

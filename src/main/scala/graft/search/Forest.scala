@@ -54,16 +54,7 @@ class DistForest(nEstimators: Int = 100,
                  classification: Boolean = true,
                  bootstrap: Boolean = true,
                  extraTrees: Boolean = false,
-                 seed: Long = 42) extends Serializable {
-
-  /** Broadcast budget for the auto-routed `fit`: above this estimated
-    * matrix size the forest switches to data-parallel histogram induction
-    * (`DataParallelCART.fitForest`) instead of driver-collect + broadcast.
-    */
-  protected var broadcastBudgetBytes: Long = 1L << 30
-  def withBroadcastBudget(bytes: Long): this.type = {
-    broadcastBudgetBytes = bytes; this
-  }
+                 seed: Long = 42) extends Serializable with BroadcastBudgeted {
 
   /** Auto-routed fit: task-parallel trees against the broadcast matrix
     * while it fits the budget (the reference's regime — each tree sees all

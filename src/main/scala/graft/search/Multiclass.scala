@@ -57,16 +57,7 @@ class DistOneVsRest(learner: Learner,
                     norm: Option[String] = None,
                     maxNegatives: Option[Double] = None,
                     negMethod: String = "ratio",
-                    seed: Long = 42) extends Serializable {
-
-  /** Broadcast budget for the auto-routed `fit` — above it, each class's
-    * binary problem becomes a distributed Spark ML fit instead of a
-    * task against a driver-collected broadcast matrix.
-    */
-  private var broadcastBudgetBytes: Long = 1L << 30
-  def withBroadcastBudget(bytes: Long): this.type = {
-    broadcastBudgetBytes = bytes; this
-  }
+                    seed: Long = 42) extends Serializable with BroadcastBudgeted {
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvRModel = {
@@ -95,7 +86,7 @@ class DistOneVsRest(learner: Learner,
           s"not $other; for tree ensembles over broadcast-overflow data use " +
           "DataParallelForest")
     }
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{col, lit, when, min, max}
     val labeled = df.select(col(featuresCol), col(labelCol).cast("double").as("_y"))
     val classes = labeled.select("_y").distinct()
       .collect().map(_.getDouble(0)).sorted
@@ -107,8 +98,15 @@ class DistOneVsRest(learner: Learner,
       }
       val bin = capped.withColumn("_y",
         when(col("_y") === lit(c), 1.0).otherwise(0.0))
-      val nClasses = bin.select("_y").distinct().count()
-      if (nClasses < 2) ConstantModel(1.0, 2) // single-class: constant positive
+      // With >= 2 observed classes, both binary labels are guaranteed
+      // present UNLESS the negative cap sampled zero negatives — so the
+      // degenerate-binary check only runs under a cap (and as a min/max
+      // agg, not a full distinct-shuffle per class over the data).
+      val degenerate = classes.length < 2 || (maxNegatives.isDefined && {
+        val r = bin.agg(min("_y"), max("_y")).head()
+        r.getDouble(0) == r.getDouble(1)
+      })
+      if (degenerate) ConstantModel(1.0, 2) // single-class: constant positive
       else if (treeLearner)
         DataParallelCART.fitClassifier(bin, featuresCol, "_y",
           Map.empty, seed + c.toLong, nClasses = 2)

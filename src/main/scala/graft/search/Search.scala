@@ -17,6 +17,21 @@ import graft.plan.{Folds, ParamGrid, ParamSampler}
   * `CvResults.aggregate` (groupBy + window rank, fully distributed) →
   * best candidate → driver refit on the full matrix.
   */
+/** The broadcast-vs-data-parallel regime threshold shared by every
+  * auto-routed fit surface (SURVEY §7.4): above this estimated matrix
+  * size, `fit` switches from driver-collect + broadcast to a distributed
+  * data-parallel executor (which would otherwise OOM long before a user
+  * discovers the fallback exists). Default 1 GiB — roughly what a healthy
+  * driver/executor heap absorbs comfortably. One definition so the
+  * policy can't drift between the search, forest, and OvR surfaces.
+  */
+trait BroadcastBudgeted {
+  protected var broadcastBudgetBytes: Long = 1L << 30
+  def withBroadcastBudget(bytes: Long): this.type = {
+    broadcastBudgetBytes = bytes; this
+  }
+}
+
 final case class SearchResult(cvResults: DataFrame,
                               bestParams: Map[String, Double],
                               bestScore: Double,
@@ -30,7 +45,8 @@ class DistGridSearchCV(learner: Learner,
                        scoring: String = "accuracy",
                        iid: Boolean = false,
                        seed: Long = 42,
-                       errorScore: Option[Double] = None) extends Serializable {
+                       errorScore: Option[Double] = None)
+    extends Serializable with BroadcastBudgeted {
 
   /** Secondary metrics (reference scorer-dict): each task still fits once;
     * cv_results grows mean_test_<m>/std_test_<m> columns per metric while
@@ -47,17 +63,6 @@ class DistGridSearchCV(learner: Learner,
     */
   protected var preds: Boolean = false
   def withPreds(flag: Boolean = true): this.type = { preds = flag; this }
-
-  /** Broadcast budget for the auto-routed `fit`: above this estimated
-    * matrix size the search switches to the data-parallel executor
-    * instead of driver-collect + broadcast (which would OOM long before
-    * a user discovers the fallback exists). Default 1 GiB — roughly what
-    * a healthy driver/executor heap absorbs comfortably.
-    */
-  protected var broadcastBudgetBytes: Long = 1L << 30
-  def withBroadcastBudget(bytes: Long): this.type = {
-    broadcastBudgetBytes = bytes; this
-  }
 
   protected def candidates(): Seq[Map[String, Double]] =
     ParamGrid.expand(grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
@@ -79,9 +84,12 @@ class DistGridSearchCV(learner: Learner,
   /** Broadcast-overflow route: each (candidate, fold) is a distributed
     * Spark ML logistic fit over the full DataFrame; candidate ids (and so
     * cv_results/param columns) stay aligned with the broadcast path. The
-    * engine's `c` (inverse regularization) maps to reg_param = 1/c.
-    * `preds` is a broadcast-regime feature (OOF arrays are driver-sized)
-    * and stays empty here.
+    * engine's `c` passes through unchanged — the executor translates it
+    * to Spark ML's regParam per fit (regParam = 1/(c*nTrain), matching
+    * the engine objective's lambda = 1/(c*n)). Scoring, `iid` weighting
+    * and `extraScorings` run through the same engine metric surface as
+    * the broadcast route. `preds` is a broadcast-regime feature (OOF
+    * arrays are driver-sized) and stays empty here.
     */
   private def fitDataParallel(spark: SparkSession, df: DataFrame,
                               featuresCol: String, labelCol: String): SearchResult = {
@@ -102,11 +110,12 @@ class DistGridSearchCV(learner: Learner,
     require(cands.nonEmpty, "empty parameter grid")
     val translated = cands.map { m =>
       Map(
-        "reg_param" -> m.get("c").map(c => if (c > 0) 1.0 / c else 0.0).getOrElse(0.0),
-        "max_iter" -> m.getOrElse("max_iter", 50.0))
+        "c" -> m.getOrElse("c", 1.0),
+        "max_iter" -> m.getOrElse("max_iter", 100.0))
     }
     val dp = new DataParallelGridSearch(Map.empty, cv, scoring, seed)
-      .fitCandidates(spark, df, featuresCol, labelCol, translated)
+      .fitCandidates(spark, df, featuresCol, labelCol, translated,
+        iid = iid, extraScorings = extraScorings)
     val cvResults = dp.cvResults
       .join(broadcast(paramsFrame(spark, cands)), "candidate_id")
       .orderBy("candidate_id")

@@ -25,6 +25,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalize an array column — the shared quantizer-input transform
+    * of `ivfTopK` and `semanticDedup` (one definition so the two
+    * spherical quantizers can't silently diverge). An all-zero vector
+    * passes through unchanged rather than turning into NaNs (which would
+    * poison KMeans); it lands in some cell and reranks at cosine 0.
+    */
+  private[graft] def normalized(c: Column): Column = {
+    val n2 = aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v)
+    when(n2 > 0, transform(c, e => e / sqrt(n2))).otherwise(c)
+  }
+
   /** Cosine similarity via the custom codegen'd expression — one fused
     * loop; the HOF composition (three aggregate/zip_with chains) runs
     * interpreted with per-element boxing and dominates kNN/rerank cost.
@@ -88,9 +99,6 @@ object Similarity {
     // assignment and probing then agree with the cosine rerank metric.
     // (Clustering raw vectors and probing by cosine mixes two metrics and
     // costs ~20-30 recall points on near-uniform corpora.)
-    def normalized(c: Column): Column =
-      transform(c, e => e / sqrt(aggregate(
-        transform(c, x => x * x), lit(0.0), (a, v) => a + v)))
     val toVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_vec", array_to_vector(normalized(col("_cv"))))
@@ -229,9 +237,6 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // Same spherical-quantizer trick as ivfTopK: cluster NORMALIZED
     // vectors so Euclidean cell geometry is monotone in cosine.
-    def normalized(c: Column): Column =
-      transform(c, e => e / sqrt(aggregate(
-        transform(c, x => x * x), lit(0.0), (a, v) => a + v)))
     val vecs = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_nv", array_to_vector(normalized(col("_v"))))

@@ -251,4 +251,51 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(Metrics.r2(rfr, mr.x, mr.y) > 0.8)
     assert(Metrics.r2(etr, mr.x, mr.y) > 0.8)
   }
+
+  test("data-parallel route: engine c translates per-fit, regParam = 1/(c*n)") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    def weightNorm(model: Model): Double = {
+      val w = model.asInstanceOf[graft.exec.LogRegModel].weights
+      math.sqrt(w.map(_.dropRight(1).map(x => x * x).sum).sum)
+    }
+    // c = 1.0 on 120 separable rows: lambda = 1/(c*n) ~ 0.008 — near
+    // unregularized, so the margin weights grow well past 1. The wrong
+    // 1/c translation (regParam = 1.0) crushes them far below that.
+    val weak = new DistGridSearchCV(graft.exec.LogisticRegressionLBFGS,
+      Map("c" -> Seq(1.0), "max_iter" -> Seq(80.0)), cv = 3)
+      .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    assert(weightNorm(weak.bestModel) > 1.0,
+      s"near-unregularized fit expected, weight norm ${weightNorm(weak.bestModel)}")
+    // near-zero c: lambda = 1/(c*n) explodes and weights shrink to ~0
+    val strong = new DistGridSearchCV(graft.exec.LogisticRegressionLBFGS,
+      Map("c" -> Seq(1e-8), "max_iter" -> Seq(80.0)), cv = 3)
+      .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    assert(weightNorm(strong.bestModel) < 0.1,
+      s"crushing regularization expected, weight norm ${weightNorm(strong.bestModel)}")
+  }
+
+  test("data-parallel route honors engine scoring names, iid and extras") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    // f1_weighted/neg_log_loss are ENGINE names — Spark's evaluator would
+    // reject them; the route must score via DistributedScore instead
+    val r = new DistGridSearchCV(graft.exec.LogisticRegressionLBFGS,
+      Map("c" -> Seq(1.0, 0.1), "max_iter" -> Seq(60.0)),
+      cv = 3, scoring = "f1_weighted", iid = true)
+      .withExtraScorings(Seq("neg_log_loss"))
+      .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    assert(r.bestScore > 0.9, s"separable blobs, got ${r.bestScore}")
+    val cols = r.cvResults.columns.toSet
+    assert(Set("mean_test_f1_weighted", "mean_test_neg_log_loss",
+      "mean_test_score", "rank_test_score").subsetOf(cols), cols.toSeq.sorted)
+    val row = r.cvResults.orderBy("candidate_id").head()
+    assert(row.getAs[Double]("mean_test_score")
+      == row.getAs[Double]("mean_test_f1_weighted"), "primary = refit metric")
+    assert(row.getAs[Double]("mean_test_neg_log_loss") <= 0.0)
+  }
 }

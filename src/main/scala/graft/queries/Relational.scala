@@ -362,6 +362,25 @@ object Relational {
           col("p_type").like("%PROMO%"))
         .groupBy("p_brand").agg(count(lit(1)).as("n"))
         .orderBy("p_brand")
+    }),
+
+    // Range (point-in-interval) join: orders priced into OVERLAPPING
+    // bands (width 10k, stride 4k — each order lands in 2-3 bands), via
+    // the bucketized equi-join (no BroadcastNestedLoopJoin). Bands are
+    // half-open [lo, hi).
+    "q80_range_join" -> ((s, d) => {
+      val bands = s.range(0, 140).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 4000.0).as("lo"),
+        (col("id") * 4000.0 + 10000.0).as("hi"))
+      val points = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      graft.ops.RangeJoin.pointInInterval(points, bands,
+        pointCol = "o_totalprice", loCol = "lo", hiCol = "hi",
+        bucketWidth = 4000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("band_id")
     })
   )
 
@@ -595,6 +614,18 @@ object Relational {
       """SELECT p_brand, count(*) AS n FROM part
         |WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)s?$')
         |   OR p_type LIKE '%PROMO%'
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q80_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(range AS INT) AS band_id,
+        |         range * 4000.0 AS lo,
+        |         range * 4000.0 + 10000.0 AS hi
+        |  FROM range(0, 140))
+        |SELECT b.band_id, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS sum_price
+        |FROM bands b JOIN orders o
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AsOfJoin, Skew}
+import graft.ops.{AsOfJoin, RangeJoin, Skew}
 
 class OpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -54,5 +54,55 @@ class OpsSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum("v")).head()
     assert(plain.getLong(0) == salted.getLong(0))
     assert(plain.getLong(1) == salted.getLong(1))
+  }
+
+  test("range join equals the naive range predicate, half-open, keyed") {
+    val rng = new scala.util.Random(11)
+    // negatives, boundary values, and multi-bucket spans all present
+    val points = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "g1" else "g2",
+        math.floor(rng.nextDouble() * 400 - 200))).toDF("pid", "g", "v")
+    val intervals = (0 until 60).map { i =>
+      val lo = math.floor(rng.nextDouble() * 380 - 210)
+      // widths 0..3 buckets at width 25; includes empty (span 0) ones
+      (1000L + i, if (i % 2 == 0) "g1" else "g2", lo,
+        lo + math.floor(rng.nextDouble() * 75))
+    }.toDF("iid", "g", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "v", "lo", "hi", bucketWidth = 25.0, keyCols = Seq("g"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.as("p").join(intervals.as("i"),
+        col("p.g") === col("i.g") &&
+          col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "test data must produce matches")
+    // boundary semantics: v == lo matches, v == hi does not
+    val bp = Seq((1L, 0.0), (2L, 50.0)).toDF("pid", "v")
+    val bi = Seq((9L, 0.0, 50.0)).toDF("iid", "lo", "hi")
+    val edge = RangeJoin.pointInInterval(bp, bi, "v", "lo", "hi", 25.0)
+      .select("pid").as[Long].collect().toSet
+    assert(edge == Set(1L), "half-open [lo, hi)")
+  }
+
+  test("range join plans a hash equi-join, never a nested-loop cartesian") {
+    val points = (0 until 100).map(i => (i.toLong, i * 3.0)).toDF("pid", "v")
+    val intervals = (0 until 20).map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
+      .toDF("iid", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, intervals,
+      "v", "lo", "hi", bucketWidth = 20.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("range join fails loudly past the interval fan-out bound") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val bad = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, bad, "v", "lo", "hi",
+        bucketWidth = 1.0, maxFanout = 100).count()
+    }
+    assert(e.getMessage != null)
   }
 }

@@ -282,27 +282,31 @@ object TextQueries {
       // 4 -> 4.3s, 2 -> 3.9s, 1 -> 4.4s at sf0.1)
       s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
-        val dir = java.nio.file.Files.createTempDirectory("q66_sessions").toString
+        // Stream the RAW events parquet directly (no per-run copy of the
+        // corpus — the nanos rebuild happens in the stream projection);
         // floor ts to seconds; session_window merges boundary-inclusively
         // (an event exactly gapDuration after the last one EXTENDS the
         // session), so gap=1800s reproduces the batch rule "new session
         // when gap > 1800s" exactly
-        val ev = Tables.events(s, d)
+        val ev = graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet")
           .select(col("event_id"),
             col("ts").cast("long").cast("timestamp").as("ts"),
             col("user_id"), col("event_type"), col("value"))
-        val sentinel = s.range(1)
+        // The far-future sentinel arrives as a SECOND one-row file source
+        // unioned in: after the first microbatch the watermark passes
+        // every real session's end, and the no-data batch flushes them.
+        val sentinelDir = java.nio.file.Files.createTempDirectory("q66_sentinel").toString
+        s.range(1)
           .select(lit(-1L).as("event_id"),
             lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
             lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
             lit(0.0).as("value"))
-        ev.unionByName(sentinel).coalesce(4)
-          .write.mode("overwrite").parquet(dir)
-        val stream = s.readStream
+          .write.mode("overwrite").parquet(sentinelDir)
+        val sentinel = s.readStream
           .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
-          .parquet(dir)
+          .parquet(sentinelDir)
         val sessions = graft.streaming.Streams.sessionWindows(
-          stream, gap = "1800 seconds", watermark = "0 seconds")
+          ev.unionByName(sentinel), gap = "1800 seconds", watermark = "0 seconds")
         val out = graft.streaming.Streams.runToMemory(
           sessions, s"q66_sessions_${System.nanoTime}", "append")
         val w = org.apache.spark.sql.expressions.Window

@@ -27,14 +27,12 @@ object Similarity {
 
   /** L2-normalize an array column — the shared quantizer-input transform
     * of `ivfTopK` and `semanticDedup` (one definition so the two
-    * spherical quantizers can't silently diverge). An all-zero vector
-    * passes through unchanged rather than turning into NaNs (which would
-    * poison KMeans); it lands in some cell and reranks at cosine 0.
+    * spherical quantizers can't silently diverge). Codegen'd single-pass
+    * kernel; zero vectors pass through unchanged (see [[graft.functions
+    * .L2Normalize]]).
     */
-  private[graft] def normalized(c: Column): Column = {
-    val n2 = aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v)
-    when(n2 > 0, transform(c, e => e / sqrt(n2))).otherwise(c)
-  }
+  private[graft] def normalized(c: Column): Column =
+    graft.functions.L2Normalize(c)
 
   /** Cosine similarity via the custom codegen'd expression — one fused
     * loop; the HOF composition (three aggregate/zip_with chains) runs

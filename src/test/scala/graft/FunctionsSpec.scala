@@ -178,4 +178,27 @@ class FunctionsSpec extends AnyFunSuite {
       .select(CosineSim(col("a"), col("b"))).head().getDouble(0)
     assert(z == 0.0)
   }
+
+  test("l2_normalize matches driver-side math under forced codegen") {
+    import graft.functions.L2Normalize
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(50)(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), L2Normalize(col("v")).as("nv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.zip(got(id)).foreach { case (x, y) =>
+        assert(math.abs(x / n - y) < 1e-12, s"row $id")
+      }
+      assert(math.abs(got(id).map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    }
+    // zero vector passes through unchanged (no NaNs); null row stays null
+    val edge = Seq((0L, Some(Seq(0.0, 0.0))), (1L, None))
+      .toDF("id", "v").select(col("id"), L2Normalize(col("v")).as("nv"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edge(0L).get == Seq(0.0, 0.0))
+    assert(edge(1L).isEmpty)
+  }
 }

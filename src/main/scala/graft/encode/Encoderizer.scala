@@ -39,8 +39,13 @@ object Encoderizer {
       // try_cast, not cast: under ANSI mode a malformed string would throw
       // instead of yielding null.
       val base = df.schema(c).dataType match {
-        case _: ArrayType | _: MapType => lit(null).cast("double")
-        case _                         => expr(s"try_cast(`$c` as double)")
+        // try_cast only exists for LEGAL casts: date/binary/struct/… to
+        // double is an ANALYSIS error, not a runtime null — probe those
+        // as non-numeric instead of crashing fit on any frame with e.g.
+        // a date column.
+        case _: NumericType | StringType | BooleanType =>
+          expr(s"try_cast(`$c` as double)")
+        case _ => lit(null).cast("double")
       }
       Seq(
         count(col(c)).as(s"_nn_$c"),
@@ -91,7 +96,9 @@ object Encoderizer {
                                 std: Double) extends FittedStage {
     val width = 1
     def transform(df: DataFrame, outCol: String): DataFrame = {
-      val v = coalesce(col(name).cast("double"), lit(median))
+      // try_cast, matching fit: under ANSI a malformed value imputes the
+      // median (as the fit-side stats promised) instead of throwing.
+      val v = coalesce(expr(s"try_cast(`$name` as double)"), lit(median))
       val scaled = if (std == 0.0) v - mean else (v - mean) / std
       df.withColumn(outCol, array(scaled))
     }

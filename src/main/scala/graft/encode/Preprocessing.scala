@@ -64,18 +64,25 @@ object Preprocessing {
     */
   def varianceKeepIndices(df: DataFrame, arrCol: String,
                           threshold: Double = 0.0): Seq[Int] = {
-    val widthRow = df.select(size(col(arrCol))).limit(1).collect()
-    if (widthRow.isEmpty || widthRow(0).isNullAt(0)) return Seq.empty
-    val width = widthRow(0).getInt(0)
+    // Width = the LONGEST row (deterministic), not an arbitrary first row:
+    // a short probed row would silently hide trailing features.
+    val widthRow = df.agg(max(size(col(arrCol)))).head()
+    if (widthRow.isNullAt(0)) return Seq.empty
+    val width = widthRow.getInt(0)
+    if (width <= 0) return Seq.empty
     val agg = df.select(
       (0 until width).map(i =>
-        var_pop(element_at(col(arrCol), i + 1)).as(s"v$i")): _*).head()
+        // guard short rows: bare element_at past the end THROWS under
+        // ANSI; the when-null contributes nothing to var_pop
+        var_pop(when(size(col(arrCol)) >= i + 1,
+          element_at(col(arrCol), i + 1))).as(s"v$i")): _*).head()
     // var_pop of an all-null slot is NULL — treat as no variance, drop.
     (0 until width).filter(i => !agg.isNullAt(i) && agg.getDouble(i) > threshold)
   }
 
   def sliceIndices(c: Column, keep: Seq[Int]): Column =
-    array(keep.map(i => element_at(c, i + 1)): _*)
+    array(keep.map(i =>
+      when(size(c) >= i + 1, element_at(c, i + 1))): _*)
 
   /** `SelectorMem` univariate mode (f_classif): per-feature ANOVA F-score
     * against a class label, computed distributed — posexplode the feature
@@ -101,6 +108,12 @@ object Preprocessing {
         when(col("_k") > 1 && col("_ssw") > 0,
           ((col("_sb") - col("_st") * col("_st") / col("_nt")) / (col("_k") - 1)) /
             (col("_ssw") / (col("_nt") - col("_k"))))
+          // zero within-class variance with real between-class spread is
+          // PERFECT separation: f_classif yields +inf — ranked first,
+          // not discarded as 0
+          .when(col("_k") > 1 &&
+            (col("_sb") - col("_st") * col("_st") / col("_nt")) > 0,
+            lit(Double.PositiveInfinity))
           .otherwise(0.0).as("f_score"),
         // degrees of freedom, for the p-value modes below
         (col("_k") - 1).cast("double").as("df_between"),
@@ -112,7 +125,9 @@ object Preprocessing {
     */
   def fScoresP(df: DataFrame, arrCol: String, labelCol: String): DataFrame = {
     val pUdf = udf((f: Double, d1: Double, d2: Double) =>
-      if (d1 <= 0 || d2 <= 0) 1.0 else graft.exec.Stats.fSf(f, d1, d2))
+      if (d1 <= 0 || d2 <= 0) 1.0
+      else if (f.isPosInfinity) 0.0 // perfect separation
+      else graft.exec.Stats.fSf(f, d1, d2))
     fScores(df, arrCol, labelCol)
       .withColumn("p_value", pUdf(col("f_score"), col("df_between"), col("df_within")))
   }

@@ -128,12 +128,19 @@ object Similarity {
 
     val wk = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(assigned, "_cell")
+    val res = probes.join(assigned, "_cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("_cv"), col("_qv")), 6))
       .withColumn("rank", row_number().over(wk).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+    // The quantizer is already fit (KMeans materialized the cache); the
+    // remaining consumers cost at most two source re-scans if the cache
+    // drops before the caller materializes — bounded, vs pinning a full
+    // corpus copy in executor storage per serving call for the session's
+    // lifetime (same release pattern as semanticDedup).
+    toVec.unpersist(blocking = false)
+    res
   }
 
   /** Plane count for a target LSH bucket density: candidate volume is
@@ -144,9 +151,13 @@ object Similarity {
     * the standard LSH trade; raise `bands` to buy recall back.
     */
   def autoPlanes(n: Long, bands: Int = 4, targetBucket: Int = 1024): Int = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
     val bits = math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
-    bands * math.min(16, bits) // 16 bits/band caps sig at 64 planes
+    // the TOTAL signature is one long: bits/band is capped by 64/bands,
+    // not a flat 16 (8 bands x 16 bits would alias shifts mod 64 and
+    // silently corrupt every signature)
+    bands * math.max(1, math.min(64 / bands, bits))
   }
 
   /** Seeded random hyperplanes (driver-side, tiny). */
@@ -175,8 +186,21 @@ object Similarity {
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
                   minCosine: Double, planes: Int = 16, seed: Long = 42,
                   bands: Int = 4): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(bands >= 1 && planes >= bands && planes <= 64,
+      s"need 1 <= bands <= planes <= 64, got planes=$planes bands=$bands")
     val bits = planes / bands
+    // (1L << 64) wraps to 1 (Java shifts are mod 64): a 64-bit band mask
+    // must be -1L, not (1L << 64) - 1 == 0 — the zero mask would key
+    // EVERY vector into one bucket and cross-join the corpus
+    val bandMask = if (bits >= 64) -1L else (1L << bits) - 1
+    // max-size probe, not head(): head() throws on an empty corpus and
+    // NPEs on a null first vector — emptiness is a legitimate state for
+    // a pre-filtered pipeline stage
+    val dimRow = df.agg(max(size(col(vecCol).cast("array<double>")))).head()
+    if (dimRow.isNullAt(0) || dimRow.getInt(0) <= 0)
+      return df.limit(0).select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos"))
+    val dim = dimRow.getInt(0)
     // Consumed three times with divergent plans (signature build + the two
     // rerank joins) — persist; eager unpersist would break the lazy result.
     val vecs = graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
@@ -191,7 +215,7 @@ object Similarity {
       explode_outer(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * bits)
-            .bitwiseAND((1L << bits) - 1).as("key"))
+            .bitwiseAND(bandMask).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
     // Streaming self-join on (band, key) — a bucket-collect would build a

@@ -24,7 +24,11 @@ object Corpus {
   def packOffsets(df: DataFrame, textCol: String, idCol: String,
                   streamCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    // ROWS, not the default RANGE frame: duplicate id values are RANGE
+    // peers whose tokens would all fold into each tied row's cumsum,
+    // producing overlapping pack offsets.
     val w = Window.partitionBy(streamCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(streamCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
@@ -85,7 +89,9 @@ object Corpus {
   def tokenBudget(df: DataFrame, textCol: String, idCol: String,
                   streamCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    // ROWS frame for the same duplicate-id reason as packOffsets
     val w = Window.partitionBy(streamCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens",
         TextFunctions.tokenCount(col(textCol)).cast("long"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))

@@ -144,7 +144,14 @@ object TextFunctions {
       struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    // CJK text is unsegmented — whitespace tokens never equal the zh
+    // marker WORDS, so zh must be detected at the CHARACTER level first:
+    // majority-CJK-codepoint text is zh regardless of incidental Latin
+    // stopwords (which would otherwise mislabel it "en").
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** 64-bit simhash over whitespace tokens as ONE scalar expression: hash

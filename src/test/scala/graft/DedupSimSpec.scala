@@ -391,4 +391,49 @@ class DedupSimSpec extends AnyFunSuite {
     assert(q(1L) > q(2L), s"prose ${q(1L)} should beat degenerate ${q(2L)}")
     assert(q(1L) > q(3L), s"prose ${q(1L)} should beat punct-spam ${q(3L)}")
   }
+
+  test("langId detects unsegmented CJK at the character level") {
+    val df = Seq(
+      (1L, "我是一个人你好吗这是中文句子"),
+      // incidental Latin stopwords must not flip majority-CJK text to en
+      (2L, "这是中文的句子 the 我们都在这里"),
+      (3L, "the cat is on the mat and it is fine")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "zh" && got(2L) == "zh" && got(3L) == "en", got.toString)
+  }
+
+  test("packing and budget cumsum on ROWS: duplicate ids never overlap") {
+    import graft.text.Corpus
+    val docs = Seq((1L, "a", "w w w"), (1L, "a", "w w w"), (2L, "a", "w w"))
+      .toDF("doc_id", "stream", "text")
+    // RANGE (the window default) treats the tied ids as peers: both rows
+    // would cumsum to 6 and claim start 3 — overlapping token ranges
+    val offs = Corpus.packOffsets(docs, "text", "doc_id", "stream", budget = 100)
+      .select("start_off").as[Long].collect().sorted.toSeq
+    assert(offs == Seq(0L, 3L, 6L), s"got $offs")
+    val kept = Corpus.tokenBudget(docs, "text", "doc_id", "stream", budget = 4)
+    assert(kept.count() == 1, "exactly one tied doc fits the 4-token budget")
+  }
+
+  test("SRP banding never overflows the 64-bit signature") {
+    // 8 bands x 16 bits would alias shifts mod 64 into garbage buckets
+    assert(Similarity.autoPlanes(1L << 40, bands = 8) <= 64)
+    intercept[IllegalArgumentException](Similarity.autoPlanes(1000, bands = 0))
+    // bands=1, planes=64: the band mask must be -1L — (1L<<64)-1 is 0,
+    // which would key EVERY vector into one bucket (a corpus cross-join)
+    val rng = new Random(3)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("id", "vec")
+    val pairs = Similarity.cosinePairs(vecs, "vec", "id",
+      minCosine = -1.0, planes = 64, bands = 1)
+    assert(pairs.count() < 100,
+      "64-bit single band must separate random vectors (zero mask -> 780 pairs)")
+    intercept[IllegalArgumentException](
+      Similarity.cosinePairs(vecs, "vec", "id", 0.5, planes = 2, bands = 4))
+    // empty corpus is a legitimate pre-filtered pipeline state, not a crash
+    val empty = Similarity.cosinePairs(vecs.filter(col("id") < 0), "vec", "id", 0.5)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id_a", "id_b", "cos"))
+  }
 }

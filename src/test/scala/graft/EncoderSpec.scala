@@ -153,4 +153,51 @@ class EncoderSpec extends AnyFunSuite {
       .as[Seq[Double]].collect()
     assert(sliced.toSeq == Seq(Seq(1.0, 2.0), Seq(2.0, 4.0)))
   }
+
+  test("variance threshold survives jagged rows (ANSI element_at guard)") {
+    // width from the LONGEST row; short rows contribute nulls, not throws
+    val df = Seq(Tuple1(Seq(1.0, 7.0, 2.0)), Tuple1(Seq(2.0, 7.0)))
+      .toDF("arr")
+    val keep = Preprocessing.varianceKeepIndices(df, "arr")
+    // idx 0 varies; idx 1 constant; idx 2 has one value (var_pop 0)
+    assert(keep == Seq(0), s"got $keep")
+  }
+
+  test("perfect class separation ranks FIRST (infinite F), never last") {
+    import spark.implicits._
+    val rng = new scala.util.Random(8)
+    // feature 1 IS the label — f_classif gives F = inf, p = 0; mapping it
+    // to 0 would make the selector discard exactly the best feature
+    val rows = (0 until 60).map { i =>
+      val y = i % 2
+      (y, Seq(rng.nextGaussian(), y.toDouble))
+    }
+    val df = rows.toDF("label", "arr")
+    assert(Preprocessing.fTestKeepIndices(df, "arr", "label", k = 1) == Seq(1))
+    val p = Preprocessing.fScoresP(df, "arr", "label")
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("p_value")).toMap
+    assert(p(1) == 0.0, s"perfect separation p-value, got ${p(1)}")
+    Seq("fpr", "fdr", "fwe").foreach { mode =>
+      assert(Preprocessing.pValueKeepIndices(df, "arr", "label", mode).contains(1),
+        s"mode $mode must keep the perfectly-separating feature")
+    }
+  }
+
+  test("fit tolerates date columns; transform imputes malformed numerics") {
+    // try_cast(date as double) is an ANALYSIS error in Spark — fit must
+    // probe dates as non-numeric instead of crashing on any real frame
+    val df = Seq(("2024-01-01", "7.5"), ("2024-01-02", "8.5"),
+        ("2024-01-01", "9.5"), ("2024-01-02", "6.5"))
+      .toDF("d", "x").withColumn("d", to_date(col("d")))
+    val enc = Encoderizer.fit(df, Seq("d", "x"), catThreshold = 0.6)
+    assert(enc.width > 0)
+    // a malformed value arriving AT TRANSFORM TIME imputes the median
+    // (what fit promised), instead of throwing under ANSI
+    val dirty = Seq(("2024-01-01", "oops")).toDF("d", "x")
+      .withColumn("d", to_date(col("d")))
+    val out = enc.transform(dirty)
+      .select(org.apache.spark.ml.functions.vector_to_array(col("features")))
+      .as[Seq[Double]].head()
+    assert(!out.exists(_.isNaN), s"imputed row, got $out")
+  }
 }

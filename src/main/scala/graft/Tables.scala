@@ -43,6 +43,15 @@ object Tables {
     case None => handles.clear()
   }
 
+  /** Rebuild a TIMESTAMP(NANOS)-read-as-long column into a micros
+    * timestamp. Integer division — a double division would lose precision
+    * above 2^53 ns. The ONE definition of the nanos conversion, shared by
+    * this batch loader and `streaming.Streams.readEventsRaw`.
+    */
+  def rebuildNanosTs(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c,
+      org.apache.spark.sql.functions.expr(s"timestamp_micros(`$c` DIV 1000)"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // lazy sweep: entries of stopped sessions are unusable garbage that
     // would otherwise pin the session object for the JVM's lifetime
@@ -53,7 +62,7 @@ object Tables {
       tsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
         acc.schema.find(_.name == c) match {
           case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-            acc.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c DIV 1000)"))
+            rebuildNanosTs(acc, c)
           case _ => acc
         }
       }

@@ -22,7 +22,12 @@ final case class SimpleVoter(models: Seq[Model],
     case "hard" =>
       val votes = scala.collection.mutable.Map.empty[Double, Double].withDefaultValue(0.0)
       models.zip(w).foreach { case (m, wi) => votes(m.predict(x)) += wi }
-      votes.toSeq.minBy { case (label, cnt) => (-cnt, label) }._1
+      val win = votes.toSeq.minBy { case (label, cnt) => (-cnt, label) }._1
+      // the winner is an INTERNAL index — round-trip it through `classes`
+      // exactly like the soft path, or the two voting modes return
+      // different label spaces
+      val wi = win.toInt
+      if (wi >= 0 && wi < classes.size) classes(wi) else win
     case "soft" =>
       val p = predictProba(x)
       var b = 0; var i = 1

@@ -47,7 +47,10 @@ object Voting {
       weighted,
       transform(element_at(probs, 1), _ => lit(0.0)),
       (acc, p) => zip_with(acc, p, (a, x) => a + x))
-    transform(summed, x => x / totalW)
+    // zero total weight: pass the (all-zero) sums through instead of
+    // dividing into NaNs, which argmax would resolve to a garbage winner
+    // (same guard as normalize below)
+    transform(summed, x => when(totalW > 0, x / totalW).otherwise(x))
   }
 
   /** Argmax index (0-based, first max wins) of a score vector. */

@@ -41,10 +41,12 @@ final case class ConstantModel(value: Double, nClasses: Int) extends Model {
 object ConstantLearner extends Learner {
   def fit(X: Array[Array[Double]], y: Array[Double],
           params: Map[String, Double], seed: Long): Model = {
+    // loud, like every other learner — minBy on empty would die with an
+    // obscure "empty.minBy" from inside the task otherwise
+    require(y.nonEmpty, "empty training set")
     // Majority vote, ties to the smallest label (numpy bincount.argmax).
     val counts = y.groupBy(identity).view.mapValues(_.length)
     val best = counts.toSeq.minBy { case (v, n) => (-n, v) }._1
-    val k = if (y.isEmpty) 0 else y.max.toInt + 1
-    ConstantModel(best, k)
+    ConstantModel(best, y.max.toInt + 1)
   }
 }

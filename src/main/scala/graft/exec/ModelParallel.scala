@@ -147,15 +147,19 @@ object ModelParallel {
         val (trainX, trainY) = m.trainOf(t.fold)
         val (testX, testY) = m.testOf(t.fold)
         val t0 = System.nanoTime()
-        try {
-          val model = learner.fit(trainX, trainY, t.params, seed + t.taskId)
-          val t1 = System.nanoTime()
-          val score = scorer(model, testX, testY)
-          val t2 = System.nanoTime()
-          TaskResult(t.candidateId, t.fold, score, testX.length.toLong,
-            (t1 - t0) / 1e6, (t2 - t1) / 1e6)
-        } catch {
-          case e: Exception => errorScore match {
+        // error_score contains FIT failures only (sklearn semantics):
+        // a scorer exception is a bug to surface, not a score to fake
+        val fitted =
+          try Right(learner.fit(trainX, trainY, t.params, seed + t.taskId))
+          catch { case e: Exception => Left(e) }
+        fitted match {
+          case Right(model) =>
+            val t1 = System.nanoTime()
+            val score = scorer(model, testX, testY)
+            val t2 = System.nanoTime()
+            TaskResult(t.candidateId, t.fold, score, testX.length.toLong,
+              (t1 - t0) / 1e6, (t2 - t1) / 1e6)
+          case Left(e) => errorScore match {
             case Some(v) => TaskResult(t.candidateId, t.fold, v, 0L, 0.0, 0.0)
             case None    => throw e
           }
@@ -181,15 +185,18 @@ object ModelParallel {
         val (trainX, trainY) = m.trainOf(t.fold)
         val (testX, testY) = m.testOf(t.fold)
         val t0 = System.nanoTime()
-        try {
-          val model = learner.fit(trainX, trainY, t.params, seed + t.taskId)
-          val t1 = System.nanoTime()
-          val s = scorer(model, testX, testY)
-          val t2 = System.nanoTime()
-          TaskResultMulti(t.candidateId, t.fold, s, testX.length.toLong,
-            (t1 - t0) / 1e6, (t2 - t1) / 1e6)
-        } catch {
-          case e: Exception => errorScore match {
+        // fit failures only, as in run(): scorer errors re-raise
+        val fitted =
+          try Right(learner.fit(trainX, trainY, t.params, seed + t.taskId))
+          catch { case e: Exception => Left(e) }
+        fitted match {
+          case Right(model) =>
+            val t1 = System.nanoTime()
+            val s = scorer(model, testX, testY)
+            val t2 = System.nanoTime()
+            TaskResultMulti(t.candidateId, t.fold, s, testX.length.toLong,
+              (t1 - t0) / 1e6, (t2 - t1) / 1e6)
+          case Left(e) => errorScore match {
             case Some(v) =>
               TaskResultMulti(t.candidateId, t.fold,
                 names.map(_ -> v).toMap, 0L, 0.0, 0.0)

@@ -177,27 +177,32 @@ object Multimodal {
         if (encoded != null) (encoded, true) else (subsample(b), false)
       }
     })
+    // collision-free temp name (AsOfJoin/RangeJoin convention): a
+    // hard-coded "_rs" would clobber and then drop a caller's column
+    val rsC = Iterator.iterate("_rs")(_ + "_")
+      .find(!df.columns.contains(_)).get
+    val wasImage = col(rsC).getField("_2")
     // metadata truth: only rows actually re-encoded as images assert the
     // target pixel dimensions; byte-subsampled fallbacks and null payloads
     // keep their original (or absent) dims — same gating as format below.
     def gatedDim(c: String, target: Int)(d: DataFrame): DataFrame =
       if (d.columns.contains(c))
-        d.withColumn(c, when(col("_rs._2") === true, lit(target)).otherwise(col(c)))
+        d.withColumn(c, when(wasImage === true, lit(target)).otherwise(col(c)))
       else
-        d.withColumn(c, when(col("_rs._2") === true, lit(target)))
+        d.withColumn(c, when(wasImage === true, lit(target)))
     val out = gatedDim("height", targetH)(gatedDim("width", targetW)(
-      df.withColumn("_rs", resample(col(mediaCol)))
-        .withColumn(mediaCol, col("_rs._1"))))
+      df.withColumn(rsC, resample(col(mediaCol)))
+        .withColumn(mediaCol, col(rsC).getField("_1"))))
     // keep the format column TRUE: re-encodes are PNG; byte-subsampled
     // fallbacks are no longer any codec's format; null payloads keep theirs
     val withFormat =
       if (df.columns.contains("format"))
         out.withColumn("format",
-          when(col("_rs._2") === true, lit("image/png"))
-            .when(col("_rs._2") === false, lit("application/octet-stream"))
+          when(wasImage === true, lit("image/png"))
+            .when(wasImage === false, lit("application/octet-stream"))
             .otherwise(col("format")))
       else out
-    withFormat.drop("_rs")
+    withFormat.drop(rsC)
   }
 
   /** STUB frame sampling for video: emits every `everyN`-th fixed-size
@@ -206,6 +211,10 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, mediaCol: String, idCol: String,
                    frameBytes: Int, everyN: Int): DataFrame = {
+    // fail fast on the driver — inside the UDF these surface as opaque
+    // per-task ArithmeticException/IllegalArgumentException after retries
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val chunks = udf((b: Array[Byte]) =>
       if (b == null) Seq.empty[Array[Byte]]
       else b.grouped(frameBytes).zipWithIndex

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  // collision-free temp name (same convention as AsOfJoin/RangeJoin) —
+  // a hard-coded "_salt" would silently overwrite a caller's column
+  private def saltName(taken: Iterable[String]): String = {
+    val set = taken.toSet
+    Iterator.iterate("_salt")(_ + "_").find(!set.contains(_)).get
+  }
+
   /** Two-phase aggregation for hot group keys: partial-aggregate on
     * (key, salt) then final-aggregate on key. `partialAggs` must be
     * reaggregatable (sum/count/min/max — NOT avg; compute avg as
@@ -18,10 +25,11 @@ object Skew {
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salt: Int,
                 partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val salted = df.withColumn("_salt",
+    val sC = saltName(df.columns)
+    val salted = df.withColumn(sC,
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
     val partial = salted
-      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .groupBy((keyCols.map(col) :+ col(sC)): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial.groupBy(keyCols.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
@@ -35,10 +43,11 @@ object Skew {
   def saltedJoin(skewedLeft: DataFrame, smallRight: DataFrame,
                  keyCol: String, salt: Int, seed: Long = 42): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val l = skewedLeft.withColumn("_salt",
+    val sC = saltName(skewedLeft.columns ++ smallRight.columns)
+    val l = skewedLeft.withColumn(sC,
       (rand(seed) * salt).cast("int"))
-    val r = smallRight.withColumn("_salt",
+    val r = smallRight.withColumn(sC,
       explode(sequence(lit(0), lit(salt - 1))))
-    l.join(broadcast(r), Seq(keyCol, "_salt")).drop("_salt")
+    l.join(broadcast(r), Seq(keyCol, sC)).drop(sC)
   }
 }

@@ -19,10 +19,14 @@ import graft.exec.Model
   */
 object Predict {
 
-  /** Integer class prediction column. */
+  /** Integer class prediction column. Null feature rows predict null —
+    * reference-typed UDF args are NOT null-skipped by Spark, so every
+    * UDF here guards explicitly instead of NPE-ing the executor.
+    */
   def predictUdf(spark: SparkSession, model: Model): Column => Column = {
     val bc = spark.sparkContext.broadcast(model)
-    val f = udf((v: Seq[Double]) => bc.value.predict(v.toArray).toInt)
+    val f = udf((v: Seq[Double]) =>
+      if (v == null) None else Some(bc.value.predict(v.toArray).toInt))
     (c: Column) => f(c.cast("array<double>"))
   }
 
@@ -32,8 +36,11 @@ object Predict {
     val bc = spark.sparkContext.broadcast(model)
     val lab = labels.toIndexedSeq
     val f = udf((v: Seq[Double]) => {
-      val i = bc.value.predict(v.toArray).toInt
-      if (i >= 0 && i < lab.size) lab(i) else null
+      if (v == null) null
+      else {
+        val i = bc.value.predict(v.toArray).toInt
+        if (i >= 0 && i < lab.size) lab(i) else null
+      }
     })
     (c: Column) => f(c.cast("array<double>"))
   }
@@ -41,7 +48,8 @@ object Predict {
   /** Probability-vector column (`predict_proba` → ArrayType(Double)). */
   def predictProbaUdf(spark: SparkSession, model: Model): Column => Column = {
     val bc = spark.sparkContext.broadcast(model)
-    val f = udf((v: Seq[Double]) => bc.value.predictProba(v.toArray).toSeq)
+    val f = udf((v: Seq[Double]) =>
+      if (v == null) null else bc.value.predictProba(v.toArray).toSeq)
     (c: Column) => f(c.cast("array<double>"))
   }
 
@@ -84,7 +92,8 @@ object Predict {
                                 featuresCol: String,
                                 outCol: String = "pred_labels"): DataFrame = {
     val bc = spark.sparkContext.broadcast(model)
-    val f = udf((v: Seq[Double]) => bc.value.predictLabels(v.toArray).toSeq)
+    val f = udf((v: Seq[Double]) =>
+      if (v == null) null else bc.value.predictLabels(v.toArray).toSeq)
     df.withColumn(outCol, f(col(featuresCol).cast("array<double>")))
   }
 }

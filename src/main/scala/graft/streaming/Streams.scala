@@ -43,10 +43,11 @@ object Streams {
   def readEventsRaw(spark: SparkSession, dir: String,
                     glob: String = "*.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", glob) // streaming sources need a DIRECTORY
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.Tables.rebuildNanosTs(
+      spark.readStream.schema(rawEventSchema)
+        .option("pathGlobFilter", glob) // streaming sources need a DIRECTORY
+        .parquet(dir),
+      "ts")
   }
 
   /** Windowed rollup (shared shape with batch q11): tumbling window +
@@ -103,13 +104,17 @@ object Streams {
     * `Dedup.exact`'s batch hash-groupBy).
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
-                  watermark: String = "10 minutes"): DataFrame =
+                  watermark: String = "10 minutes"): DataFrame = {
+    // collision-free temp name: a hard-coded "fingerprint" would clobber
+    // and then drop a caller's own fingerprint column
+    val fpC = Iterator.iterate("_fp")(_ + "_")
+      .find(!docs.columns.contains(_)).get
     docs
-      .withColumn("fingerprint",
-        graft.text.TextFunctions.fingerprint(col(textCol)))
+      .withColumn(fpC, graft.text.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
-      .drop("fingerprint") // batch/stream parity: Dedup.exact returns the original schema
+      .dropDuplicatesWithinWatermark(fpC)
+      .drop(fpC) // batch/stream parity: Dedup.exact returns the original schema
+  }
 
   /** Run a streaming frame to completion against static files via the
     * memory sink (the local test harness; on a cluster this would be a

@@ -108,6 +108,19 @@ class EncoderSpec extends AnyFunSuite {
     val probas = Predict.withProbabilities(spark, df, model, "f")
       .select("scores").as[Seq[Double]].collect()
     assert(probas.forall(p => p.length == 2 && math.abs(p.sum - 1.0) < 1e-9))
+    // null feature rows predict null (reference-typed UDF args are not
+    // null-skipped — an unguarded UDF NPEs the whole job)
+    val withNull = Seq((1L, Some(Seq(3.0, 1.0))), (2L, None)).toDF("id", "f")
+    val np = Predict.withPredictions(spark, withNull, model, "f")
+      .select("id", "preds").as[(Long, Option[Int])].collect().toMap
+    assert(np(1L).contains(0) && np(2L).isEmpty)
+    val nl = Predict.withPredictions(spark, withNull, model, "f", "lab",
+      labels = Some(Seq("neg", "pos")))
+      .select("id", "lab").as[(Long, Option[String])].collect().toMap
+    assert(nl(2L).isEmpty)
+    val nprob = Predict.withProbabilities(spark, withNull, model, "f")
+      .select("scores").as[Option[Seq[Double]]].collect()
+    assert(nprob.count(_.isEmpty) == 1)
   }
 
   test("SimpleVoter hard and soft semantics") {
@@ -125,6 +138,11 @@ class EncoderSpec extends AnyFunSuite {
     assert(soft.predictProba(x).toSeq == Seq(0.5, 0.5))
     intercept[IllegalArgumentException](
       SimpleVoter(Seq(m0), Seq(0.0), voting = "bogus"))
+    // non-identity classes: BOTH voting modes return the ORIGINAL label
+    // space (LabelEncoder round-trip), not internal indices
+    val remap = Seq(10.0, 20.0)
+    assert(SimpleVoter(Seq(m0, m1, m1b), remap).predict(x) == 20.0)
+    assert(SimpleVoter(Seq(m0, m1, m1b), remap, voting = "soft").predict(x) == 20.0)
   }
 
   test("f_classif selection finds the label-dependent features") {

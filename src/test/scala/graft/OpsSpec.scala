@@ -56,6 +56,20 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.getLong(1) == salted.getLong(1))
   }
 
+  test("salting never clobbers a caller's _salt column") {
+    val left = (0L until 100L).map(i => ("k", i, i * 7)).toDF("key", "v", "_salt")
+    val agg = Skew.saltedAgg(left, Seq("key"), salt = 4,
+      partialAggs = Seq(sum("v").as("_s")),
+      finalAggs = Seq(sum("_s").as("s")))
+    assert(agg.head().getLong(1) == (0L until 100L).sum)
+    val right = Seq(("k", "dim")).toDF("key", "name")
+    val j = Skew.saltedJoin(left, right, "key", salt = 4)
+    assert(j.count() == 100)
+    assert(j.columns.contains("_salt"), "caller's _salt column preserved")
+    assert(j.select(sum("_salt")).head().getLong(0) == (0L until 100L).map(_ * 7).sum,
+      "caller's _salt VALUES untouched")
+  }
+
   test("range join equals the naive range predicate, half-open, keyed") {
     val rng = new scala.util.Random(11)
     // negatives, boundary values, and multi-bucket spans all present

@@ -252,6 +252,31 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(Metrics.r2(etr, mr.x, mr.y) > 0.8)
   }
 
+  test("error_score covers fit failures ONLY: scorer errors surface loudly") {
+    object UnscorableModel extends Model {
+      def predict(x: Array[Double]): Double =
+        throw new IllegalStateException("scorer boom")
+      def predictProba(x: Array[Double]): Array[Double] =
+        throw new IllegalStateException("scorer boom")
+    }
+    object FitsButUnscorable extends Learner {
+      def fit(x: Array[Array[Double]], y: Array[Double],
+              params: Map[String, Double], seed: Long): Model = UnscorableModel
+    }
+    // sklearn semantics: error_score fills FIT failures; a scoring
+    // exception is a bug that must not be laundered into a fake score
+    intercept[Exception] {
+      new DistGridSearchCV(FitsButUnscorable,
+        Map("c" -> Seq(1.0), "max_iter" -> Seq(10.0)), cv = 3,
+        errorScore = Some(0.0)).fitMatrix(spark, blobs())
+    }
+  }
+
+  test("constant learner fails loudly on an empty slice") {
+    intercept[IllegalArgumentException](
+      graft.exec.ConstantLearner.fit(Array.empty, Array.empty, Map.empty, 0L))
+  }
+
   test("data-parallel route: engine c translates per-fit, regParam = 1/(c*n)") {
     import spark.implicits._
     val m = blobs(n = 120)

@@ -49,6 +49,15 @@ class VotingSpec extends AnyFunSuite {
     assert(row.getInt(1) == 0, "ties go to the first index, numpy argmax")
   }
 
+  test("softVoteScores with zero total weight yields zeros, not NaNs") {
+    import spark.implicits._
+    val s = Seq((Seq(Seq(0.8, 0.2), Seq(0.4, 0.6)), Seq(0.0, 0.0)))
+      .toDF("probs", "w")
+      .select(Voting.softVoteScores(col("probs"), col("w")).as("s"))
+      .head().getSeq[Double](0)
+    assert(s.forall(x => !x.isNaN), s"NaN scores would argmax to garbage: $s")
+  }
+
   test("normalize l1/l2/max") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq(3.0, -1.0))).toDF("s")

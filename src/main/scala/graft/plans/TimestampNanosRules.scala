@@ -41,9 +41,16 @@ object PushTimestampNanosFilters extends Rule[LogicalPlan] {
     * Pre-epoch literals simply don't rewrite — correct, just unpruned.
     */
   private object TsLit {
+    // Upper bound: (t+1)*1000 must not overflow long nanos — a literal
+    // past 2262-04-11 (the nanos horizon) can't be rewritten; skip it
+    // (correct, just unpruned) instead of throwing from multiplyExact at
+    // plan time and crashing a query that compares against e.g. 9999-12-31.
+    private val MaxSafeMicros = Long.MaxValue / 1000 - 1
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampType) if v > 0 => Some(v)
-      case Cast(Literal(v: Long, TimestampType), TimestampType, _, _) if v > 0 => Some(v)
+      case Literal(v: Long, TimestampType)
+        if v > 0 && v <= MaxSafeMicros => Some(v)
+      case Cast(Literal(v: Long, TimestampType), TimestampType, _, _)
+        if v > 0 && v <= MaxSafeMicros => Some(v)
       case _ => None
     }
   }

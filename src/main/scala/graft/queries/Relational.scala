@@ -313,7 +313,10 @@ object Relational {
       val w = Window.partitionBy("o_custkey")
       Tables.orders(s, d)
         .withColumn("_avg", avg("o_totalprice").over(w))
-        .filter(col("o_totalprice") > col("_avg") * 1.5)
+        // float discipline applies to PREDICATES on aggregates too: both
+        // engines round the margin before comparing, so a ~1-ulp
+        // summation-order difference can't flip a boundary row
+        .filter(round(col("o_totalprice") - col("_avg") * 1.5, 4) > 0)
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("totalprice"))
         .orderBy("o_orderkey")
@@ -579,8 +582,8 @@ object Relational {
     "q53_above_customer_avg" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
         |FROM orders o
-        |WHERE o_totalprice > 1.5 * (
-        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |WHERE round(o_totalprice - 1.5 * (
+        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey), 4) > 0
         |ORDER BY o_orderkey""".stripMargin,
 
     "q55_date_parts" ->

@@ -224,6 +224,13 @@ object DataParallelCART {
     data.treeAggregate(new Array[Double](nSlots * d * stride * s))(
       seqOp = (acc, row) => {
         val (x, y, w0, rowId) = row
+        // loud, once per row: an out-of-range label (e.g. SVM-style -1/+1)
+        // would otherwise write into a NEIGHBORING bin's slot and build
+        // the whole tree from silently corrupted sufficient statistics
+        if (nClasses > 0 && (y < 0 || y >= nClasses))
+          throw new IllegalArgumentException(
+            s"label $y outside [0, $nClasses) — classification labels " +
+              "must be consecutive 0-based class indices")
         val nTrees = routes.value.length
         var t = 0
         while (t < nTrees) {

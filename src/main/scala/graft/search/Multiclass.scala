@@ -111,13 +111,20 @@ class DistOneVsRest(learner: Learner,
         DataParallelCART.fitClassifier(bin, featuresCol, "_y",
           Map.empty, seed + c.toLong, nClasses = 2)
       else {
+        val prepared = bin.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            col(featuresCol).cast("array<double>")).as("_features"),
+          col("_y").as("_label"))
+        // Regime parity: the broadcast route fits the engine learner with
+        // its default c=1 -> lambda = 1/n; Spark ML's default regParam=0
+        // would be UNREGULARIZED here (weights diverge on a separable
+        // class). Same translation as DataParallelGridSearch.mkEstimator.
+        val n = prepared.count()
         val fitted = new org.apache.spark.ml.classification.LogisticRegression()
           .setFeaturesCol("_features").setLabelCol("_label")
           .setFamily("multinomial").setMaxIter(100)
-          .fit(bin.select(
-            org.apache.spark.ml.functions.array_to_vector(
-              col(featuresCol).cast("array<double>")).as("_features"),
-            col("_y").as("_label")))
+          .setRegParam(1.0 / math.max(1L, n))
+          .fit(prepared)
         SparkMLBridge.toLogRegModel(fitted)
       }
     }
@@ -125,6 +132,7 @@ class DistOneVsRest(learner: Learner,
   }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvRModel = {
+    require(matrix.y.nonEmpty, "empty training set")
     val classes = matrix.y.distinct.sorted
     val bc = spark.sparkContext.broadcast(matrix)
     val lrn = learner
@@ -132,7 +140,7 @@ class DistOneVsRest(learner: Learner,
     val method = negMethod
     val baseSeed = seed
     val fitted = spark.sparkContext
-      .parallelize(classes.toSeq, classes.length)
+      .parallelize(classes.toSeq, math.max(1, classes.length))
       .map { c =>
         val m = bc.value
         val rng = new scala.util.Random(baseSeed + c.toLong)

@@ -157,6 +157,11 @@ class DistGridSearchCV(learner: Learner,
         DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
       else DataParallelCART.fitRegressor(train, "_x", "_y", params, seed)
 
+    // fold sizes are candidate-independent: ONE pass, not a count job
+    // inside the candidates x folds loop (same pattern as
+    // DataParallelGridSearch.fitCandidates)
+    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val scoreRows = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
@@ -165,7 +170,7 @@ class DistGridSearchCV(learner: Learner,
       val test = prepared.filter(col("_fold") === fold)
       val model = fitOne(train, params)
       val score = DistributedScore(scoring, model, test, "_x", "_y")
-      (ci, fold, score, test.count())
+      (ci, fold, score, foldSizes.getOrElse(fold, 0L))
     }
     import spark.implicits._
     val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
@@ -185,9 +190,18 @@ class DistGridSearchCV(learner: Learner,
     * `groupCol`, so no group's rows are split between train and test.
     */
   def fit(spark: SparkSession, df: DataFrame, featuresCol: String,
-          labelCol: String, groupCol: String): SearchResult =
+          labelCol: String, groupCol: String): SearchResult = {
+    // Group CV has no data-parallel executor (GroupKFold balancing is
+    // driver-side): enforce the broadcast budget LOUDLY instead of
+    // silently collecting an over-budget matrix and OOMing the driver.
+    val est = ModelParallel.estimateMatrixBytes(df, featuresCol)
+    require(est <= broadcastBudgetBytes,
+      s"group-aware fit is broadcast-only (estimated matrix ~$est bytes " +
+        s"exceeds the $broadcastBudgetBytes-byte budget); shrink the data, " +
+        "raise withBroadcastBudget, or drop groupCol for the auto-routed fit")
     fitMatrix(spark,
       ModelParallel.collectMatrixGrouped(df, featuresCol, labelCol, groupCol, cv))
+  }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): SearchResult = {
     val cands = candidates()
@@ -277,6 +291,9 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
                            cv: Int = 5,
                            scoring: String = "accuracy",
                            seed: Long = 42) extends Serializable {
+  require(models.map(_._1).distinct.size == models.size,
+    s"model names must be unique (they key the cv_results rows): " +
+      models.map(_._1).mkString(", "))
 
   final case class MultiResult(cvResults: DataFrame,
                                bestModelName: String,

@@ -134,11 +134,14 @@ object Similarity {
       .withColumn("rank", row_number().over(wk).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
-    // The quantizer is already fit (KMeans materialized the cache); the
-    // remaining consumers cost at most two source re-scans if the cache
-    // drops before the caller materializes — bounded, vs pinning a full
-    // corpus copy in executor storage per serving call for the session's
-    // lifetime (same release pattern as semanticDedup).
+      // Materialize the (small, <= queries x k rows) result WHILE the
+      // corpus cache is still alive, then release the corpus copy: the
+      // caller keeps a bounded cached frame instead of pinning full
+      // corpus vectors in executor storage for the session's lifetime
+      // (the unbounded-leak version of semanticDedup's release pattern),
+      // and nothing recomputes.
+      .cache()
+    res.count()
     toVec.unpersist(blocking = false)
     res
   }

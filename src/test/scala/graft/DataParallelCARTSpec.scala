@@ -227,4 +227,17 @@ class DataParallelCARTSpec extends AnyFunSuite {
       assert(math.abs(dist - drv) < 1e-9, s"$m: $dist vs $drv")
     }
   }
+
+  test("out-of-range labels fail loudly instead of corrupting histograms") {
+    import spark.implicits._
+    // SVM-style -1/+1: -1 would silently write into a NEIGHBORING bin's
+    // stat slot; the histogram pass must reject it
+    val df = (0 until 50).map(i => (Seq(i.toDouble), if (i % 2 == 0) -1.0 else 1.0))
+      .toDF("x", "y")
+    val e = intercept[org.apache.spark.SparkException] {
+      DataParallelCART.fitClassifier(df, "x", "y",
+        Map("max_depth" -> 2.0), seed = 1, nClasses = 2)
+    }
+    assert(e.getMessage != null)
+  }
 }

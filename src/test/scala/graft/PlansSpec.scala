@@ -43,6 +43,12 @@ class PlansSpec extends AnyFunSuite {
     val one = all.head
     val gotEq = events.filter(col("ts") === lit(one)).count()
     assert(gotEq == all.count(_ == one).toLong && gotEq >= 1)
+    // a literal past the nanos horizon (2262-04-11) cannot be rewritten
+    // to long nanos: the rule must SKIP it (returning all rows), not
+    // crash plan-time on multiplyExact overflow
+    val far = events.filter(
+      col("ts") <= lit("9999-12-31 00:00:00").cast("timestamp")).count()
+    assert(far == all.length.toLong, "far-future upper bound keeps all rows")
   }
 
   test("bucketed tables join without a shuffle") {

@@ -277,6 +277,31 @@ class SearchExtrasSpec extends AnyFunSuite {
       graft.exec.ConstantLearner.fit(Array.empty, Array.empty, Map.empty, 0L))
   }
 
+  test("multi-model search rejects duplicate model names") {
+    intercept[IllegalArgumentException] {
+      new DistMultiModelSearch(Seq(
+        ("lr", LogisticRegressionGD, Map("c" -> Seq(1.0))),
+        ("lr", graft.exec.LogisticRegressionLBFGS, Map("c" -> Seq(0.1)))))
+    }
+  }
+
+  test("group-aware fit enforces the broadcast budget loudly") {
+    import spark.implicits._
+    val m = blobs(n = 60)
+    val df = m.x.zip(m.y).zipWithIndex
+      .map { case ((x, y), i) => (x.toSeq, y, (i % 7).toLong) }
+      .toSeq.toDF("features", "label", "grp")
+    // group CV has no data-parallel executor: over budget must be a clear
+    // error, not a silent driver-collect of an over-budget matrix
+    val e = intercept[IllegalArgumentException] {
+      new DistGridSearchCV(LogisticRegressionGD,
+        Map("c" -> Seq(1.0), "max_iter" -> Seq(10.0)), cv = 3)
+        .withBroadcastBudget(1L)
+        .fit(spark, df, "features", "label", "grp")
+    }
+    assert(e.getMessage.contains("broadcast-only"))
+  }
+
   test("data-parallel route: engine c translates per-fit, regParam = 1/(c*n)") {
     import spark.implicits._
     val m = blobs(n = 120)

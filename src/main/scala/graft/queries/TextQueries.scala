@@ -321,6 +321,35 @@ object TextQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // REAL stream-stream interval join (click -> purchase attribution
+    // within 30 min): two watermarked file sources over the same raw
+    // events parquet, inner-joined on (user, time range) — the join
+    // state is watermark-bounded; matches emit eagerly in append mode.
+    "q81_stream_attribution" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        def evs = graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet")
+          .select(col("event_id"),
+            col("ts").cast("long").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+            col("user_id"))
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+            col("user_id").as("_p_user"))
+        val joined = graft.streaming.Streams.streamIntervalJoin(
+          clicks, purchases, "user_id", "_p_user", "c_ts", "p_ts",
+          maxGap = "30 minutes", watermark = "1 hour")
+        val out = graft.streaming.Streams.runToMemory(
+          joined, s"q81_attr_${System.nanoTime}", "append")
+        out.select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_ts").cast("long") - col("c_ts").cast("long")).as("gap_sec"))
+          .orderBy("click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // End-to-end near-dup dedup: Jaccard pairs -> connected components ->
     // one survivor per component; survivors counted per language.
     "q64_neardup_survivors" -> ((s, d) => {
@@ -689,6 +718,21 @@ object TextQueries {
         | max(sec) - min(sec) AS duration_sec
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // The streaming interval join must reproduce the batch self-join
+    // truth exactly (event-time semantics; inner join emits eagerly).
+    "q81_stream_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS s
+        |  FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.s - c.s AS gap_sec
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.s >= c.s AND p.s <= c.s + 1800
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q64_neardup_survivors" ->
       """WITH RECURSIVE toks AS (

@@ -116,6 +116,30 @@ object Streams {
       .drop(fpC) // batch/stream parity: Dedup.exact returns the original schema
   }
 
+  /** Stream-stream interval (attribution) join: each left event pairs
+    * with every right event of the same key at-or-after it within
+    * `maxGap` — the click→purchase attribution shape. The time-range
+    * condition plus BOTH watermarks are what bound the join state: Spark
+    * derives each side's eviction horizon from them and drops buffered
+    * rows once the watermark passes their reachable window; without
+    * either, a stream-stream join buffers both streams forever. INNER
+    * join semantics emit matches eagerly (no watermark flush needed for
+    * results — only for state cleanup).
+    *
+    * Caller renames columns so the two sides are disjoint (`leftKey` /
+    * `rightKey` are compared, both kept).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         maxGap: String = "30 minutes",
+                         watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $maxGap"))
+
   /** Run a streaming frame to completion against static files via the
     * memory sink (the local test harness; on a cluster this would be a
     * kafka/delta sink).

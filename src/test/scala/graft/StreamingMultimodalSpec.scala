@@ -71,6 +71,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       (2L, 1L, 8.0, 0L)), s"got ${out.toSeq}")
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    val dir = java.nio.file.Files.createTempDirectory("attr_stream").toString
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offMs: Long, typ: String) =
+      (id, new java.sql.Timestamp(t0 + offMs), user, typ)
+    Seq(
+      ev(1, 1, 0, "click"),
+      ev(2, 1, 100000, "purchase"),        // +100s: in the 30-min window
+      ev(3, 1, 2000000, "purchase"),       // +2000s: past the window
+      ev(4, 2, 0, "purchase"),             // purchase with no click
+      ev(5, 3, 500000, "click"),           // click with no purchase
+      ev(6, 1, 50000, "click")             // second click: also pairs with id 2
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(dir)
+    def src = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string")
+      .parquet(dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"), col("user_id"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("user_id").as("_pu"))
+    val out = Streams.runToMemory(
+      Streams.streamIntervalJoin(clicks, purchases,
+        "user_id", "_pu", "c_ts", "p_ts", maxGap = "30 minutes"),
+      "attr_test", "append")
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both clicks of user 1 attribute to purchase 2; nothing else pairs
+    assert(out == Set((1L, 2L), (6L, 2L)), s"got $out")
+  }
+
   test("multimodal feature extraction is deterministic with fixed width") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001"))

@@ -103,6 +103,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (6L, 2L)), s"got $out")
   }
 
+  test("checkpointed restart resumes exactly-once with dedup state intact") {
+    val src = java.nio.file.Files.createTempDirectory("ck_src").toString
+    val out = java.nio.file.Files.createTempDirectory("ck_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("ck_chk").toString
+    val t0 = 1700000000000L
+    def docs(rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, text, offMs) =>
+        (id, text, new java.sql.Timestamp(t0 + offMs)) }
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+      // long watermark: dedup state must survive the restart, not evict
+      val q = Streams.dedupStream(stream, "text", "ts", watermark = "30 days")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    docs(Seq((1L, "alpha beta", 0L), (2L, "gamma delta", 1000L)))
+    run()
+    // second batch arrives AFTER a full stop: id 3 duplicates id 1's
+    // fingerprint and must be dropped by the RECOVERED state store; the
+    // already-emitted rows must not re-emit (exactly-once file sink)
+    docs(Seq((3L, "alpha beta", 2000L), (4L, "epsilon zeta", 3000L)))
+    run()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L),
+      s"restart must neither re-emit nor forget dedup state, got $got")
+  }
+
   test("multimodal feature extraction is deterministic with fixed width") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001"))

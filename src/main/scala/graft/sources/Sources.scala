@@ -46,4 +46,16 @@ object Sources {
     df.write.mode("overwrite").json(path)
     graft.Tables.invalidate(Some(df.sparkSession))
   }
+
+  /** ORC round-trip — the other columnar format Spark ships natively.
+    * Same pushdown/pruning properties as parquet (predicate pushdown via
+    * ORC's row-group stats, column pruning via the reader schema).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").orc(path)
+    graft.Tables.invalidate(Some(df.sparkSession))
+  }
 }

@@ -92,6 +92,18 @@ class PlansSpec extends AnyFunSuite {
     val backJson = graft.sources.Sources.readJsonLines(spark, s"$base/ev_json", slim.schema)
     assert(backCsv.count() == slim.count() && backJson.count() == slim.count())
     assert(backCsv.schema == slim.schema)
+
+    // ORC: schema round-trips and predicates push down to the scan
+    graft.sources.Sources.writeOrc(slim, s"$base/ev_orc")
+    val backOrc = graft.sources.Sources.readOrc(spark, s"$base/ev_orc")
+    assert(backOrc.count() == slim.count())
+    assert(backOrc.schema.fieldNames.sorted.toSeq ==
+      slim.schema.fieldNames.sorted.toSeq)
+    val orcPlan = backOrc
+      .filter(org.apache.spark.sql.functions.col("value") > 100.0)
+      .queryExecution.executedPlan.toString
+    assert(orcPlan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,"),
+      s"ORC predicate pushdown:\n${orcPlan.take(1200)}")
   }
 
   test("dimension joins broadcast; fact scans prune columns") {

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * IMAGE kernels are REAL: the JDK's ImageIO decodes PNG/JPEG/BMP/GIF
   * with no external codecs (headless-safe raster ops), so decode,
   * resize (bilinear resample + PNG re-encode) and feature extraction
-  * (luminance-grid embedding) operate on actual pixels. Bytes that are
-  * not a decodable image fall back to the deterministic byte-level
-  * kernels (`fakeDecode`, subsampling) so every operator stays total —
-  * audio/video codecs are not in the JDK, so those stay stubs behind the
-  * same operator shapes.
+  * (luminance-grid embedding) operate on actual pixels. AUDIO covers
+  * PCM WAV plus the G.711 mu-law/A-law companded formats (pure-formula
+  * expansion); VIDEO covers MJPEG (concatenated JPEGs — marker-scan
+  * frame extraction + ImageIO decode). Bytes outside those formats fall
+  * back to the deterministic byte-level kernels (`fakeDecode`,
+  * subsampling) so every operator stays total — other codecs are not in
+  * the JDK.
   *
   * Scale: media rows are large; these operators never shuffle the binary
   * payload — decode/extract are narrow map transformations, and the
@@ -223,6 +225,53 @@ object Multimodal {
     df.select(col(idCol), posexplode(chunks(col(mediaCol))).as(Seq("frame_idx", "frame")))
   }
 
+  /** REAL video frame sampling for MJPEG — the one video container
+    * decodable with zero external codecs, because it is literally
+    * concatenated JPEGs and ImageIO decodes JPEG. Frames are located by
+    * scanning SOI (FFD8) / EOI (FFD9) marker pairs; inside a well-formed
+    * scan 0xFF is escaped (FF00) or a restart marker, so the pair scan
+    * is sound for streams whose frames do not embed thumbnail JPEGs
+    * (typical camera MJPEG). Every `everyN`-th frame is emitted with its
+    * DECODED pixel dimensions; non-MJPEG payloads emit no rows (compose
+    * with [[sampleFrames]] for the byte-level fallback).
+    */
+  def sampleFramesMjpeg(df: DataFrame, mediaCol: String, idCol: String,
+                        everyN: Int = 1): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val frames = udf((b: Array[Byte]) =>
+      mjpegFrameOffsets(b).zipWithIndex
+        .collect { case ((s, e), i) if i % everyN == 0 =>
+          java.util.Arrays.copyOfRange(b, s, e) }
+        .flatMap { fb =>
+          val img = decodeImage(fb)
+          if (img == null) None else Some((fb, img.getWidth, img.getHeight))
+        })
+    df.select(col(idCol),
+      posexplode(frames(col(mediaCol))).as(Seq("frame_idx", "_f")))
+      .select(col(idCol), col("frame_idx"),
+        col("_f._1").as("frame"), col("_f._2").as("width"),
+        col("_f._3").as("height"))
+  }
+
+  /** (start, end) byte ranges of SOI..EOI frames in an MJPEG stream. */
+  private[graft] def mjpegFrameOffsets(b: Array[Byte]): Seq[(Int, Int)] = {
+    if (b == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var start = -1
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m == 0xd8 && start < 0) { start = i; i += 2 }
+        else if (m == 0xd9 && start >= 0) {
+          out += ((start, i + 2)); start = -1; i += 2
+        }
+        else i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** Decoded PCM audio: sample rate, channel count, and samples mixed to
     * mono floats in [-1, 1].
     */
@@ -232,13 +281,13 @@ object Multimodal {
     * uncompressed; 8/16-bit integer PCM). Returns null for anything that
     * is not a well-formed PCM WAV, so callers branch to byte fallbacks.
     */
-  private[multimodal] def decodeWav(bytes: Array[Byte]): WavData = try {
+  private[graft] def decodeWav(bytes: Array[Byte]): WavData = try {
     if (bytes == null || bytes.length < 44) return null
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
     var pos = 12
-    var fmt: (Int, Int, Int) = null // (channels, sampleRate, bitsPerSample)
+    var fmt: (Int, Int, Int, Int) = null // (formatCode, channels, sampleRate, bitsPerSample)
     var data: (Int, Int) = null     // (offset, length)
     while (pos + 8 <= bytes.length && (fmt == null || data == null)) {
       val id = tag(pos)
@@ -247,15 +296,21 @@ object Multimodal {
       // bounds check, not overflow past it into an OOM-sized allocation
       if (len < 0 || pos.toLong + 8L + len > bytes.length) return null
       if (id == "fmt ") {
-        if (len < 16 || bb.getShort(pos + 8) != 1) return null // PCM only
-        fmt = (bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
+        if (len < 16) return null
+        val code = bb.getShort(pos + 8).toInt
+        // 1 = integer PCM; 6/7 = G.711 A-law/mu-law (REAL compressed-
+        // audio decode — the G.711 expansion is a pure public formula)
+        if (code != 1 && code != 6 && code != 7) return null
+        fmt = (code, bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
           bb.getShort(pos + 22).toInt)
       } else if (id == "data") data = (pos + 8, len)
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (fmt == null || data == null) return null
-    val (channels, rate, bits) = fmt
-    if (channels < 1 || (bits != 8 && bits != 16)) return null
+    val (code, channels, rate, bits) = fmt
+    if (channels < 1) return null
+    if (code == 1 && bits != 8 && bits != 16) return null
+    if (code != 1 && bits != 8) return null // G.711 is always 8-bit bytes
     val bytesPerFrame = channels * bits / 8
     val n = data._2 / bytesPerFrame
     val out = new Array[Float](n)
@@ -265,8 +320,13 @@ object Multimodal {
       var c = 0
       while (c < channels) {
         val off = data._1 + i * bytesPerFrame + c * bits / 8
-        acc += (if (bits == 16) bb.getShort(off) / 32768.0f
-                else ((bytes(off) & 0xff) - 128) / 128.0f)
+        acc += (code match {
+          case 1 =>
+            if (bits == 16) bb.getShort(off) / 32768.0f
+            else ((bytes(off) & 0xff) - 128) / 128.0f
+          case 6 => alawToLinear(bytes(off)) / 32768.0f
+          case 7 => ulawToLinear(bytes(off)) / 32768.0f
+        })
         c += 1
       }
       out(i) = acc / channels
@@ -274,6 +334,25 @@ object Multimodal {
     }
     WavData(rate, channels, out)
   } catch { case scala.util.control.NonFatal(_) => null } // totality: bad bytes -> null
+
+  /** G.711 mu-law expansion (ITU-T G.711; the standard public-domain
+    * formula): 8-bit companded byte -> 16-bit linear sample.
+    */
+  private[graft] def ulawToLinear(u: Byte): Int = {
+    val x = (~u) & 0xff
+    val t0 = (((x & 0x0f) << 3) + 0x84) << ((x & 0x70) >> 4)
+    if ((x & 0x80) != 0) 0x84 - t0 else t0 - 0x84
+  }
+
+  /** G.711 A-law expansion (ITU-T G.711). */
+  private[graft] def alawToLinear(a0: Byte): Int = {
+    val a = (a0 ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    t += (if (seg == 0) 8 else 0x108)
+    if (seg > 1) t <<= (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
 
   /** REAL audio feature kernel: dim/2 equal windows over the mono signal,
     * each contributing (RMS energy, zero-crossing rate) — the classic

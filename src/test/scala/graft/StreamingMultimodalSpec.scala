@@ -257,6 +257,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"zcr 2kHz ${high.drop(4).head} vs 440Hz ${low.drop(4).head}")
   }
 
+  test("REAL compressed kernels: G.711 WAV decode, MJPEG frame sampling") {
+    // G.711 expansion against the standard's test points
+    assert(Multimodal.ulawToLinear(0x00.toByte) == -32124)
+    assert(Multimodal.ulawToLinear(0xff.toByte) == 0)
+    assert(Multimodal.alawToLinear(0x55.toByte) == -8)
+    assert(Multimodal.alawToLinear(0xD5.toByte) == 8)
+    // a mu-law WAV (format code 7, 8-bit) decodes through the same parser
+    def g711Wav(code: Short, data: Array[Byte], rate: Int = 8000): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(code).putShort(1)
+        .putInt(rate).putInt(rate).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(data.length)
+      bb.put(data)
+      bb.array()
+    }
+    val mu = Multimodal.decodeWav(g711Wav(7, Array(0x00.toByte, 0xff.toByte)))
+    assert(mu != null && mu.sampleRate == 8000 && mu.samples.length == 2)
+    assert(math.abs(mu.samples(0) - (-32124 / 32768.0f)) < 1e-6, mu.samples(0))
+    assert(mu.samples(1) == 0.0f)
+    val al = Multimodal.decodeWav(g711Wav(6, Array(0x55.toByte, 0xD5.toByte)))
+    assert(al != null && math.abs(al.samples(0) + 8 / 32768.0f) < 1e-6)
+
+    // MJPEG = concatenated REAL JPEGs (ImageIO-encoded); sample every 2nd
+    def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val stream = jpegBytes(8, 6, 0xff0000) ++ jpegBytes(10, 4, 0x00ff00) ++
+      jpegBytes(12, 2, 0x0000ff)
+    assert(Multimodal.mjpegFrameOffsets(stream).size == 3)
+    val df = Seq((1L, stream), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val frames = Multimodal.sampleFramesMjpeg(df, "media", "media_id", everyN = 2)
+      .select("media_id", "frame_idx", "width", "height")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // frames 0 and 2 of row 1 with their DECODED dimensions; row 2 none
+    assert(frames.toSet == Set((1L, 0, 8, 6), (1L, 1, 12, 2)), frames.toSeq.toString)
+  }
+
   test("resize updates metadata and shrinks payload; frame sampling explodes") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001")).limit(10)

@@ -253,20 +253,57 @@ object Multimodal {
         col("_f._3").as("height"))
   }
 
-  /** (start, end) byte ranges of SOI..EOI frames in an MJPEG stream. */
+  /** (start, end) byte ranges of SOI..EOI frames in an MJPEG stream.
+    *
+    * Length-aware segment walk, NOT a naive FFD9 byte scan: header
+    * segment payloads (DQT/DHT/APPn/EXIF blobs) may contain raw FF D9
+    * bytes — only entropy-coded scan data escapes FF. Each marker's
+    * length-prefixed payload is skipped wholesale; after SOS the
+    * entropy-coded region is scanned for the next real marker (FF
+    * followed by anything but 00/RST), which is either EOI or a further
+    * header segment (progressive scans). Malformed frames resync at the
+    * next SOI instead of corrupting subsequent frame indices.
+    */
   private[graft] def mjpegFrameOffsets(b: Array[Byte]): Seq[(Int, Int)] = {
     if (b == null) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val n = b.length
+    @inline def u(idx: Int): Int = b(idx) & 0xff
     var i = 0
-    var start = -1
-    while (i + 1 < b.length) {
-      if ((b(i) & 0xff) == 0xff) {
-        val m = b(i + 1) & 0xff
-        if (m == 0xd8 && start < 0) { start = i; i += 2 }
-        else if (m == 0xd9 && start >= 0) {
-          out += ((start, i + 2)); start = -1; i += 2
+    while (i + 1 < n) {
+      if (u(i) == 0xff && u(i + 1) == 0xd8) {
+        val start = i
+        var j = i + 2
+        var end = -1
+        var ok = true
+        while (ok && end < 0 && j + 1 < n) {
+          if (u(j) != 0xff) ok = false // expected a marker
+          else u(j + 1) match {
+            case 0xd9 => end = j + 2                      // EOI
+            case 0xd8 => ok = false                       // nested SOI
+            case 0xff => j += 1                           // fill byte
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+              j += 2                                      // standalone marker
+            case 0xda =>                                  // SOS
+              if (j + 3 >= n) ok = false
+              else {
+                var k = j + 2 + ((u(j + 2) << 8) | u(j + 3))
+                var found = false
+                while (!found && k + 1 < n) {
+                  if (u(k) == 0xff && u(k + 1) != 0x00 &&
+                      !(u(k + 1) >= 0xd0 && u(k + 1) <= 0xd7)) {
+                    j = k; found = true
+                  } else k += 1
+                }
+                if (!found) ok = false
+              }
+            case _ =>                                     // length-prefixed
+              if (j + 3 >= n) ok = false
+              else j += 2 + ((u(j + 2) << 8) | u(j + 3))
+          }
         }
-        else i += 1
+        if (end > 0) { out += ((start, end)); i = end }
+        else i += 2 // malformed frame: resync at the next SOI
       } else i += 1
     }
     out.toSeq

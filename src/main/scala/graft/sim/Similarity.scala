@@ -137,14 +137,23 @@ object Similarity {
       // Materialize the (small, <= queries x k rows) result WHILE the
       // corpus cache is still alive, then release the corpus copy: the
       // caller keeps a bounded cached frame instead of pinning full
-      // corpus vectors in executor storage for the session's lifetime
-      // (the unbounded-leak version of semanticDedup's release pattern),
+      // corpus vectors in executor storage for the session's lifetime,
       // and nothing recomputes.
       .cache()
     res.count()
     toVec.unpersist(blocking = false)
+    // Bound the RESULT caches too: a serving loop calling ivfTopK per
+    // request would otherwise accumulate one pinned (small) frame per
+    // call forever. Keep exactly one live result per session — evicting
+    // the previous call's cache only costs it a recompute if someone
+    // still holds and re-reads it.
+    val prev = lastIvfResult.put(corpus.sparkSession, res)
+    if (prev != null) prev.unpersist(blocking = false)
     res
   }
+
+  private val lastIvfResult =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   /** Plane count for a target LSH bucket density: candidate volume is
     * Σ bucket², and buckets hold ~n / 2^(planes/bands) vectors, so planes

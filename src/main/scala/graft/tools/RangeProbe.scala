@@ -36,9 +36,13 @@ object RangeProbe {
     println(f"BUCKETIZED n=$n m=$m matched=$rows%d in $tBucket%.1f s")
 
     // naive BNL at 1/20 the size (it is quadratic; full size would not
-    // finish) — the per-pair rate scales the comparison
-    val pS = points.limit(n / 20).cache(); pS.count()
-    val iS = intervals.limit(m / 20).cache(); iS.count()
+    // finish) — the per-pair rate scales the comparison. Subset by
+    // MODULO filter: limit() collapses to one partition (and a
+    // contiguous id filter lands in the first range partitions), which
+    // would time the naive join nearly single-threaded while the
+    // bucketized run uses every core — an unfair comparison.
+    val pS = points.filter(pmod(col("pid"), lit(20)) === 0).cache(); pS.count()
+    val iS = intervals.filter(pmod(col("iid"), lit(20)) === 0).cache(); iS.count()
     val (rS, tNaive) = time {
       pS.join(iS, col("v") >= col("lo") && col("v") < col("hi")).count()
     }

@@ -293,6 +293,15 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val stream = jpegBytes(8, 6, 0xff0000) ++ jpegBytes(10, 4, 0x00ff00) ++
       jpegBytes(12, 2, 0x0000ff)
     assert(Multimodal.mjpegFrameOffsets(stream).size == 3)
+    // header payloads may contain raw FF D9 — a naive byte scan would
+    // truncate at the false EOI; the length-aware walk must not. Inject
+    // an APP15 segment whose payload is literally FF D9 after SOI.
+    val base = jpegBytes(8, 6, 0x123456)
+    val app15 = Array(0xFF, 0xEF, 0x00, 0x04, 0xFF, 0xD9).map(_.toByte)
+    val tricky = base.take(2) ++ app15 ++ base.drop(2)
+    val offs = Multimodal.mjpegFrameOffsets(tricky)
+    assert(offs == Seq((0, tricky.length)),
+      s"false EOI in APP payload must not truncate the frame: $offs")
     val df = Seq((1L, stream), (2L, "not a video".getBytes("UTF-8")))
       .toDF("media_id", "media")
     val frames = Multimodal.sampleFramesMjpeg(df, "media", "media_id", everyN = 2)

@@ -132,6 +132,14 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Token-window chunking (RAG/embedding prep): 16-token windows with
+    // 8-token overlap, final partial window kept.
+    "q82_chunk_tokens" -> ((s, d) => {
+      Corpus.chunkTokens(Tables.documents(s, d), "text", "doc_id",
+          window = 16, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Deterministic source-weighted mix sampling: 60/30/10 % rates by
     // source index residue, systematic on doc_id.
     "q75_mix_sample" -> ((s, d) => {
@@ -652,6 +660,21 @@ object TextQueries {
         |  FROM t)
         |SELECT source, count(*) AS n_kept, CAST(max(cum) AS BIGINT) AS tokens_kept
         |FROM c WHERE cum <= 800 GROUP BY source ORDER BY source""".stripMargin,
+
+    // 16-token windows, stride 8, final partial window kept; DuckDB list
+    // slicing is 1-based inclusive, so [i*8+1 : i*8+16] = 16 elements.
+    "q82_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, CAST(u.i AS INT) AS chunk_idx
+        |  FROM t, unnest(range(0, 1 + greatest(0,
+        |    CAST(ceil((len(toks) - 16) / 8.0) AS BIGINT)))) AS u(i))
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx*8+1 : chunk_idx*8+16], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_idx*8+1 : chunk_idx*8+16]) AS INT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q75_mix_sample" ->
       """SELECT source, count(*) AS n_kept,

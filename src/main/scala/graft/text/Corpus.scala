@@ -86,6 +86,35 @@ object Corpus {
     * partitioned by the stream key, never global; a stream's documents
     * are the unit of parallelism, so pre-shard giant streams.
     */
+  /** Token-window document chunking — the RAG/embedding-prep primitive:
+    * each document's tokens split into windows of `window` tokens at
+    * stride `window - overlap` (the final partial window is kept;
+    * empty/whitespace-only documents emit no chunks). Output one row per
+    * chunk: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    *
+    * Scale: a narrow generate — rows multiply by ~n/stride with no
+    * shuffle; the token array is built once per document and sliced per
+    * chunk (all codegen'd built-ins, no UDFs).
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  window: Int, overlap: Int = 0): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap")
+    val stride = window - overlap
+    val n = size(col("_toks"))
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((n - lit(window)).cast("double") / lit(stride)).cast("int"))
+    val start = col("chunk_idx") * stride + 1 // slice() is 1-based
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_toks"), start, lit(window)), " ").as("chunk_text"),
+        size(slice(col("_toks"), start, lit(window))).as("n_chunk_tokens"))
+  }
+
   def tokenBudget(df: DataFrame, textCol: String, idCol: String,
                   streamCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")

@@ -416,6 +416,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(kept.count() == 1, "exactly one tied doc fits the 4-token budget")
   }
 
+  test("token chunking: windows, overlap, final partial, empty docs") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, "   "),                                    // whitespace-only
+      (4L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkTokens(docs, "text", "doc_id", window = 8, overlap = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0,4,8,12 -> windows of 8,8,8,8 (12..19 fits exactly)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.length == 4, s"got ${d1.toSeq}")
+    assert(d1(0)._3.startsWith("t1 t2") && d1(0)._4 == 8)
+    assert(d1(1)._3.startsWith("t5 t6"), "stride 4 = 8 - overlap 4")
+    assert(d1(3)._4 == 8 && d1(3)._3.endsWith("t20"))
+    // doc 2: one partial chunk of its 3 tokens
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    // empty/whitespace docs emit nothing
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("SRP banding never overflows the 64-bit signature") {
     // 8 bands x 16 bits would alias shifts mod 64 into garbage buckets
     assert(Similarity.autoPlanes(1L << 40, bands = 8) <= 64)

@@ -303,7 +303,12 @@ object Multimodal {
           }
         }
         if (end > 0) { out += ((start, end)); i = end }
-        else i += 2 // malformed frame: resync at the next SOI
+        // Malformed frame: resync where the walk STOPPED, never inside
+        // payloads it already skipped — restarting at start+2 would
+        // byte-scan an APPn payload and could emit an embedded EXIF
+        // thumbnail's SOI..EOI as a spurious frame, shifting every
+        // subsequent frame index.
+        else i = math.max(start + 2, j)
       } else i += 1
     }
     out.toSeq

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -115,7 +116,10 @@ object Similarity {
     // are tiny — broadcast literal table)
     val centroidDf = broadcast(
       corpus.sparkSession.createDataFrame(cells).toDF("_cell", "_centroid"))
-    val w = Window.partitionBy("query_id").orderBy(col("_cdist").asc)
+    // _cell tiebreak: equidistant centroids must rank deterministically
+    // (a recompute after cache eviction then probes identical cells)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cdist").asc, col("_cell").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
       .crossJoin(centroidDf)
@@ -146,7 +150,12 @@ object Similarity {
     // request would otherwise accumulate one pinned (small) frame per
     // call forever. Keep exactly one live result per session — evicting
     // the previous call's cache only costs it a recompute if someone
-    // still holds and re-reads it.
+    // still holds and re-reads it (concurrent same-session calls may
+    // therefore evict each other; the probe ordering is fully
+    // tie-broken, so a recompute returns the same rows). Entries of
+    // stopped sessions are swept lazily, as in Tables.load.
+    lastIvfResult.keys.asScala
+      .filter(_.sparkContext.isStopped).foreach(lastIvfResult.remove)
     val prev = lastIvfResult.put(corpus.sparkSession, res)
     if (prev != null) prev.unpersist(blocking = false)
     res

@@ -86,6 +86,18 @@ object Corpus {
     * partitioned by the stream key, never global; a stream's documents
     * are the unit of parallelism, so pre-shard giant streams.
     */
+  def tokenBudget(df: DataFrame, textCol: String, idCol: String,
+                  streamCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    // ROWS frame for the same duplicate-id reason as packOffsets
+    val w = Window.partitionBy(streamCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Token-window document chunking — the RAG/embedding-prep primitive:
     * each document's tokens split into windows of `window` tokens at
     * stride `window - overlap` (the final partial window is kept;
@@ -113,18 +125,6 @@ object Corpus {
       .select(col(idCol), col("chunk_idx"),
         array_join(slice(col("_toks"), start, lit(window)), " ").as("chunk_text"),
         size(slice(col("_toks"), start, lit(window))).as("n_chunk_tokens"))
-  }
-
-  def tokenBudget(df: DataFrame, textCol: String, idCol: String,
-                  streamCol: String, budget: Long): DataFrame = {
-    require(budget > 0, s"token budget must be positive, got $budget")
-    // ROWS frame for the same duplicate-id reason as packOffsets
-    val w = Window.partitionBy(streamCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens",
-        TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .filter(col("cum_tokens") <= budget)
   }
 
   /** Corpus-unigram log-probability quality score (the shape of CCNet's

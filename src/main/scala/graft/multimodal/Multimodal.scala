@@ -59,7 +59,7 @@ object Multimodal {
     * null/empty/undecodable bytes — callers branch to byte-level
     * fallbacks. Pure raster ops, headless-safe.
     */
-  private[multimodal] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
     if (bytes == null || bytes.isEmpty) null
     else try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -439,6 +439,42 @@ class DedupSimSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
   }
 
+  test("token chunking properties: coverage and overlap across shapes") {
+    import graft.text.Corpus
+    val rng = new Random(17)
+    // random doc lengths x random (window, overlap) shapes
+    val docs = (1L to 30L).map(id => (id,
+      (1 to (1 + rng.nextInt(60))).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((w, o) <- Seq((8, 0), (8, 4), (5, 4), (16, 1))) {
+      val stride = w - o
+      val chunks = Corpus.chunkTokens(docs, "text", "doc_id", w, o)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      docs.collect().foreach { row =>
+        val id = row.getLong(0)
+        val n = row.getString(1).split(" ").length
+        val cs = chunks(id).sortBy(_._2)
+        // every token covered: chunk i starts at i*stride; the last
+        // chunk must reach token n
+        assert(cs.head._2 == 0 && cs.map(_._2).toSeq == cs.indices.toSeq)
+        val lastStart = (cs.length - 1) * stride
+        assert(lastStart + cs.last._4 == n,
+          s"(w=$w o=$o id=$id): last chunk must end at $n")
+        // every non-final chunk is full width; starts advance by stride
+        assert(cs.dropRight(1).forall(_._4 == w))
+        // token-level reassembly: concatenating chunks at stride
+        // boundaries reproduces the document exactly
+        val rebuilt = cs.map(_._3.split(" ")).zipWithIndex.flatMap {
+          case (toks, 0) => toks
+          case (toks, _) => toks.drop(o)
+        }
+        assert(rebuilt.toSeq == row.getString(1).split(" ").toSeq,
+          s"(w=$w o=$o id=$id): chunks must tile the document")
+      }
+    }
+  }
+
   test("SRP banding never overflows the 64-bit signature") {
     // 8 bands x 16 bits would alias shifts mod 64 into garbage buckets
     assert(Similarity.autoPlanes(1L << 40, bands = 8) <= 64)

@@ -302,6 +302,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val offs = Multimodal.mjpegFrameOffsets(tricky)
     assert(offs == Seq((0, tricky.length)),
       s"false EOI in APP payload must not truncate the frame: $offs")
+    // property: any concatenation of k valid JPEGs (with junk between
+    // them) yields exactly k frames at the right offsets
+    val rng2 = new scala.util.Random(5)
+    (1 to 5).foreach { _ =>
+      val k = 1 + rng2.nextInt(5)
+      val parts = (0 until k).map(i =>
+        jpegBytes(4 + rng2.nextInt(12), 2 + rng2.nextInt(10), rng2.nextInt()))
+      val junk = Array.fill(rng2.nextInt(8))(rng2.nextInt(256).toByte)
+        .filterNot(b => (b & 0xff) == 0xff) // junk without marker prefixes
+      val cat = parts.reduce(_ ++ junk ++ _)
+      val found = Multimodal.mjpegFrameOffsets(cat)
+      assert(found.size == k, s"expected $k frames, got ${found.size}")
+      found.foreach { case (s, e) =>
+        assert(Multimodal.decodeImage(
+          java.util.Arrays.copyOfRange(cat, s, e)) != null)
+      }
+    }
     val df = Seq((1L, stream), (2L, "not a video".getBytes("UTF-8")))
       .toDF("media_id", "media")
     val frames = Multimodal.sampleFramesMjpeg(df, "media", "media_id", everyN = 2)

@@ -164,6 +164,65 @@ object Similarity {
   private val lastIvfResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
+  /** Materialize the IVF scale path ivfTopK's doc promises: the corpus
+    * written HIVE-PARTITIONED BY QUANTIZER CELL (`dir/cells/_cell=N/…`)
+    * with the centroids as a tiny JSON sidecar. A probe then reads ONLY
+    * its nProbe cells' directories — partition pruning turns cell
+    * selection into skipped IO, which is what makes IVF serving work
+    * against a 100 TB corpus (cost ~ nProbe/nClusters of the data,
+    * before any row is read).
+    */
+  def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    dir: String, nClusters: Int = 16,
+                    seed: Long = 42, maxIter: Int = 20): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    // same spherical quantizer as ivfTopK: cluster L2-normalized vectors
+    val toVec = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("_nv", array_to_vector(normalized(col("vec"))))
+      .persist()
+    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_nv").setPredictionCol("_cell")
+      .fit(toVec)
+    km.transform(toVec).select(col("id"), col("vec"), col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
+    toVec.unpersist(blocking = false)
+    val cents = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    spark.createDataFrame(cents).toDF("_cell", "centroid")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
+  }
+
+  /** Serve one query from an on-disk IVF index: rank centroids on the
+    * driver (the sidecar is tiny), then an exact cosine top-k over ONLY
+    * the nProbe matching cell partitions — `.explain` shows
+    * PartitionFilters on `_cell`, i.e. non-probed cells are never read.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    query: Seq[Double], k: Int, nProbe: Int = 3): DataFrame = {
+    val cents = spark.read.json(s"$dir/centroids")
+      .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, s"no centroids sidecar under $dir")
+    // probe by the SAME metric that assigned cells: Euclidean on the
+    // L2-normalized query against the (already normalized-space) centroids
+    val qn = {
+      val n2 = math.sqrt(query.map(x => x * x).sum)
+      if (n2 == 0) query else query.map(_ / n2)
+    }
+    val cells = cents.sortBy { case (c, cent) =>
+      (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+    }.take(math.max(1, nProbe)).map(_._1)
+    spark.read.parquet(s"$dir/cells")
+      .filter(col("_cell").isin(cells.map(Int.box): _*))
+      .select(col("id").as("neighbor_id"),
+        round(cosine(col("vec"), typedlit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .limit(k)
+  }
+
   /** Plane count for a target LSH bucket density: candidate volume is
     * Σ bucket², and buckets hold ~n / 2^(planes/bands) vectors, so planes
     * must GROW with the corpus — planes = bands × ceil(log2(n/target)).

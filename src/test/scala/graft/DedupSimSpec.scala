@@ -475,6 +475,41 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("on-disk IVF index: cell-partitioned layout, pruned probes, recall") {
+    // clustered vectors so cells are meaningful and recall is testable
+    val rng = new Random(21)
+    val centers = Array.tabulate(4)(c => Array.tabulate(8)(d =>
+      if (d == c * 2) 3.0 else 0.0))
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, centers(c).map(_ + rng.nextGaussian() * 0.2).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.writeIvfIndex(vecs, "embedding", "vec_id", dir,
+      nClusters = 4, seed = 11)
+    // layout: hive directories per cell
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("_cell=")).map(_.getName).sorted
+    assert(cellDirs.length == 4, cellDirs.toSeq.toString)
+
+    val q = vecs.filter(col("vec_id") === 7L)
+      .head().getSeq[Double](1)
+    val probed = Similarity.probeIvfIndex(spark, dir, q, k = 5, nProbe = 1)
+    // the probe plan PRUNES: only the query's cell partition is read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
+      s"probe must prune cell partitions:\n${plan.take(1500)}")
+    // recall vs exact: on well-separated clusters, 1-probe top-5 equals
+    // the brute-force top-5 (all true neighbors share the query's cell)
+    val got = probed.collect().map(_.getLong(0)).toSet
+    val want = Similarity.topKForVector(vecs, "embedding", "vec_id", q, k = 6)
+      .filter(col("vec_id") =!= 7L).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    // probe includes the query itself (id 7) — compare minus it
+    assert((got - 7L).subsetOf(want + 7L) && (want -- got).size <= 1,
+      s"probe $got vs exact $want")
+  }
+
   test("SRP banding never overflows the 64-bit signature") {
     // 8 bands x 16 bits would alias shifts mod 64 into garbage buckets
     assert(Similarity.autoPlanes(1L << 40, bands = 8) <= 64)

@@ -91,7 +91,6 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 3,
               seed: Long = 42, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // Spherical-KMeans approximation: the quantizer clusters L2-NORMALIZED
     // vectors, so its Euclidean cell geometry is monotone in cosine —
@@ -104,9 +103,7 @@ object Similarity {
       .cache()
     // maxIter trades quantizer quality for fit time; recall comes from
     // nProbe overlap, so even a coarse quantizer keeps recall high
-    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_vec").setPredictionCol("_cell")
-    val model = km.fit(toVec)
+    val model = fitSphericalKMeans(toVec, "_vec", nClusters, seed, maxIter)
     val cells = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     val assigned = model.transform(toVec).select("neighbor_id", "_cv", "_cell")
@@ -175,17 +172,21 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     dir: String, nClusters: Int = 16,
                     seed: Long = 42, maxIter: Int = 20): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    // same spherical quantizer as ivfTopK: cluster L2-normalized vectors
-    val toVec = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("_nv", array_to_vector(normalized(col("vec"))))
+    // vectors keep their ORIGINAL element type on disk (array<float>
+    // corpora would double in size as array<double>; the probe's cosine
+    // casts at read time) — only the quantizer input is cast
+    val toVec = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("_nv",
+        array_to_vector(normalized(col("vec").cast("array<double>"))))
       .persist()
-    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_nv").setPredictionCol("_cell")
-      .fit(toVec)
+    // loud empty check — KMeans.fit on zero rows dies with an opaque
+    // MLlib stack; an index over nothing is a caller bug, not a no-op
+    require(toVec.limit(1).count() > 0,
+      s"cannot build an IVF index over an empty corpus ($vecCol all null/empty?)")
+    val km = fitSphericalKMeans(toVec, "_nv", nClusters, seed, maxIter)
     km.transform(toVec).select(col("id"), col("vec"), col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
     toVec.unpersist(blocking = false)
@@ -193,7 +194,28 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     spark.createDataFrame(cents).toDF("_cell", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
+    centroidCache.remove(dir) // a rebuild invalidates any cached sidecar
   }
+
+  /** The ONE spherical-quantizer configuration — shared by ivfTopK,
+    * semanticDedup and the on-disk index so the quantizers can't
+    * silently diverge (init/metric changes apply everywhere at once).
+    */
+  private def fitSphericalKMeans(df: DataFrame, nvCol: String, k: Int,
+                                 seed: Long, maxIter: Int,
+                                 initMode: Option[String] = None) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol(nvCol).setPredictionCol("_cell")
+    initMode.foreach(km.setInitMode)
+    km.fit(df)
+  }
+
+  // dir -> centroid sidecar, loaded once: the sidecar is immutable and
+  // tiny, and the per-query serving path must not pay a Spark JSON job
+  // per probe. Rebuilds via writeIvfIndex invalidate their entry.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()
 
   /** Serve one query from an on-disk IVF index: rank centroids on the
     * driver (the sidecar is tiny), then an exact cosine top-k over ONLY
@@ -202,10 +224,17 @@ object Similarity {
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     query: Seq[Double], k: Int, nProbe: Int = 3): DataFrame = {
-    val cents = spark.read.json(s"$dir/centroids")
-      .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val cents = centroidCache.computeIfAbsent(dir, d =>
+      spark.read.json(s"$d/centroids")
+        .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))))
     require(cents.nonEmpty, s"no centroids sidecar under $dir")
+    // a dimension mismatch would otherwise TRUNCATE silently (zip and
+    // the cosine kernel both stop at the shorter length) and return
+    // confidently-scored nonsense
+    require(query.length == cents.head._2.length,
+      s"query dimension ${query.length} != index dimension " +
+        s"${cents.head._2.length} (index at $dir)")
     // probe by the SAME metric that assigned cells: Euclidean on the
     // L2-normalized query against the (already normalized-space) centroids
     val qn = {
@@ -335,7 +364,6 @@ object Similarity {
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     nClusters: Int = 0, minCosine: Double = 0.9,
                     seed: Long = 42, maxIter: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // Same spherical-quantizer trick as ivfTopK: cluster NORMALIZED
     // vectors so Euclidean cell geometry is monotone in cosine.
@@ -350,10 +378,10 @@ object Similarity {
     val k =
       if (nClusters > 0) nClusters
       else math.max(4, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("_nv").setPredictionCol("_cell")
-    val assigned = km.fit(vecs).transform(vecs)
+    val assigned = fitSphericalKMeans(vecs, "_nv", k, seed, maxIter,
+        initMode = Some("random")) // bounded cells suffice for dedup;
+      // random init skips kmeans|| passes (each a full corpus scan)
+      .transform(vecs)
       .select(col("id"), col("_v"), col("_cell"))
     val p = df.sparkSession.sparkContext.defaultParallelism
     val cellP = assigned.repartition(p, col("_cell"))

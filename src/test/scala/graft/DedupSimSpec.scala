@@ -485,6 +485,7 @@ class DedupSimSpec extends AnyFunSuite {
       (i, centers(c).map(_ + rng.nextGaussian() * 0.2).toSeq)
     }.toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
     Similarity.writeIvfIndex(vecs, "embedding", "vec_id", dir,
       nClusters = 4, seed = 11)
     // layout: hive directories per cell
@@ -508,6 +509,10 @@ class DedupSimSpec extends AnyFunSuite {
     // probe includes the query itself (id 7) — compare minus it
     assert((got - 7L).subsetOf(want + 7L) && (want -- got).size <= 1,
       s"probe $got vs exact $want")
+    } finally { // the written index is real parquet — don't leak it
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 
   test("SRP banding never overflows the 64-bit signature") {

@@ -89,6 +89,46 @@ object PushTimestampNanosFilters extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushTimestampNanosFilters)
+    GraftFunctions.registerAll(e)
+  }
+}
+
+/** SQL registration for the engine's codegen'd Catalyst expressions, so
+  * `spark.sql("SELECT cosine_sim(a, b) …")` works exactly like the
+  * Column API — the same Expression node, the same generated code.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  def registerAll(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes (array, array)")
+        graft.functions.CosineSim(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(a) - unit-norm an array<double>; zero vectors pass through"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "l2_normalize takes (array)")
+        graft.functions.L2Normalize(args(0))
+      }))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit simhash fold of an array<bigint> of token hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 takes (array<bigint>)")
+        graft.functions.Simhash64(args(0))
+      }))
+    e.injectFunction((FunctionIdentifier("intersect_count"),
+      info("intersect_count", "intersect_count(a, b) - distinct-overlap count of two arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "intersect_count takes (array, array)")
+        graft.functions.IntersectCount(args(0), args(1))
+      }))
+  }
 }

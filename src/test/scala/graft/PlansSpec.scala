@@ -51,6 +51,29 @@ class PlansSpec extends AnyFunSuite {
     assert(far == all.length.toLong, "far-future upper bound keeps all rows")
   }
 
+  test("custom expressions are SQL-registered via the extensions") {
+    // same Expression nodes as the Column API, reachable from SQL
+    assert(spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c")
+      .head().getDouble(0) == 1.0)
+    val nv = spark.sql("SELECT l2_normalize(array(3.0d, 4.0d)) v")
+      .head().getSeq[Double](0)
+    assert(nv.zip(Seq(0.6, 0.8)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 }, nv.toString)
+    assert(spark.sql(
+      "SELECT intersect_count(array('a','b','c'), array('b','c','d')) n")
+      .head().getInt(0) == 2)
+    val sh = spark.sql(
+      "SELECT simhash64(transform(array('a','b'), t -> xxhash64(t))) s")
+      .head().getLong(0)
+    // parity with the Column API on the same input
+    import spark.implicits._
+    val want = Seq(Tuple1(Seq("a", "b"))).toDF("t")
+      .select(graft.functions.Simhash64(
+        transform(col("t"), t => xxhash64(t)))).head().getLong(0)
+    assert(sh == want)
+  }
+
   test("bucketed tables join without a shuffle") {
     // disable broadcast so the join strategy would otherwise shuffle
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

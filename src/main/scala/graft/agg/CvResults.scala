@@ -60,15 +60,29 @@ object CvResults {
     * input has a `scores` map column; every metric gets
     * mean_test_<m>/std_test_<m>; the FIRST metric also populates the
     * standard mean/std/rank columns (the reference's `refit` metric).
+    * `iid=true` applies the same fold-size weighting as `aggregate` to
+    * EVERY metric (the reference weights each scorer's fold scores
+    * identically, `search.py:509-519` looped over the scorer dict).
     */
   def aggregateMulti(scores: DataFrame, candidateCols: Seq[String],
-                     metrics: Seq[String], roundTo: Int = 6): DataFrame = {
+                     metrics: Seq[String], nTestCol: String = "n_test",
+                     iid: Boolean = false, roundTo: Int = 6): DataFrame = {
     require(metrics.nonEmpty, "need at least one metric")
     val keyCols = candidateCols.map(col)
+    val w = col(nTestCol)
     val aggs = metrics.flatMap { m =>
       val s = element_at(col("scores"), m)
-      Seq(round(avg(s), roundTo).as(s"mean_test_$m"),
-        round(stddev_pop(s), roundTo).as(s"std_test_$m"))
+      if (!iid)
+        Seq(round(avg(s), roundTo).as(s"mean_test_$m"),
+          round(stddev_pop(s), roundTo).as(s"std_test_$m"))
+      else {
+        // weighted mean/population-std, identical math to `aggregate`
+        val wmean = sum(s * w) / sum(w)
+        val wm2 = sum(w * s * s) / sum(w)
+        Seq(round(wmean, roundTo).as(s"mean_test_$m"),
+          round(sqrt(greatest(wm2 - wmean * wmean, lit(0.0))), roundTo)
+            .as(s"std_test_$m"))
+      }
     } :+ count(lit(1)).as("n_folds")
     val primary = metrics.head
     scores.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)

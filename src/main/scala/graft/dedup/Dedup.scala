@@ -300,7 +300,19 @@ object Dedup {
     // replaces O(diameter) distributed rounds whose per-round job
     // overhead dwarfs the data. Big graphs keep the data-parallel loop.
     val nEdges = edges.count()
-    if (nEdges <= driverEdgeBudget) {
+    // the driver route's min-member ordering is hand-rolled; only take it
+    // for id types whose driver comparison provably matches Spark's
+    // (integrals, string) — anything else (decimal, date, …) falls
+    // through to the distributed loop, whose least() is correct for every
+    // orderable type, instead of silently ordering by toString
+    val driverOrderable = {
+      import org.apache.spark.sql.types._
+      edges.schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      }
+    }
+    if (nEdges <= driverEdgeBudget && driverOrderable) {
       import scala.collection.mutable
       val parent = mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
@@ -317,13 +329,16 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(rb) = ra
       }
-      // comp = MIN member id, matching the propagation fixpoint; ids are
-      // long or string in every call path (fingerprints, vec ids)
+      // comp = MIN member id, matching the propagation fixpoint; the
+      // driverOrderable gate above guarantees ids are integral or string
       def lt(x: Any, y: Any): Boolean = (x, y) match {
         case (a: Long, b: Long)     => a < b
         case (a: Int, b: Int)       => a < b
+        case (a: Short, b: Short)   => a < b
+        case (a: Byte, b: Byte)     => a < b
         case (a: String, b: String) => a < b
-        case _ => x.toString < y.toString
+        case _ => throw new IllegalStateException(
+          s"unorderable id pair on the driver route: $x / $y")
       }
       val minOfRoot = mutable.HashMap.empty[Any, Any]
       members.foreach { m =>

@@ -42,8 +42,10 @@ object Encoderizer {
         // try_cast only exists for LEGAL casts: date/binary/struct/… to
         // double is an ANALYSIS error, not a runtime null — probe those
         // as non-numeric instead of crashing fit on any frame with e.g.
-        // a date column.
-        case _: NumericType | StringType | BooleanType =>
+        // a date column. Timestamp→double IS legal (epoch seconds), so
+        // timestamp columns keep probing numeric as they did before the
+        // legal-cast restriction.
+        case _: NumericType | StringType | BooleanType | TimestampType =>
           expr(s"try_cast(`$c` as double)")
         case _ => lit(null).cast("double")
       }

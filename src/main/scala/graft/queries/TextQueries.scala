@@ -289,6 +289,10 @@ object TextQueries {
       // microbatch; measured floor at this corpus size is 2 (16 -> 5.5s,
       // 4 -> 4.3s, 2 -> 3.9s, 1 -> 4.4s at sf0.1)
       s.conf.set("spark.sql.shuffle.partitions", "2")
+      // declared outside the try so the finally can reclaim it: the
+      // memory sink holds the results, so the sentinel parquet is dead
+      // the moment the (synchronous) runToMemory returns
+      var sentinelDir: String = null
       try {
         // Stream the RAW events parquet directly (no per-run copy of the
         // corpus — the nanos rebuild happens in the stream projection);
@@ -303,7 +307,7 @@ object TextQueries {
         // The far-future sentinel arrives as a SECOND one-row file source
         // unioned in: after the first microbatch the watermark passes
         // every real session's end, and the no-data batch flushes them.
-        val sentinelDir = java.nio.file.Files.createTempDirectory("q66_sentinel").toString
+        sentinelDir = java.nio.file.Files.createTempDirectory("q66_sentinel").toString
         s.range(1)
           .select(lit(-1L).as("event_id"),
             lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
@@ -326,7 +330,16 @@ object TextQueries {
             round(col("sum_value"), 2).as("sum_value"),
             col("duration_sec"))
           .orderBy("user_id", "session_idx")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        if (sentinelDir != null) {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(sentinelDir)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
     }),
 
     // REAL stream-stream interval join (click -> purchase attribution

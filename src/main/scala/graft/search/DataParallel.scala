@@ -152,7 +152,8 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
     } else {
       val scores = scoreRows
         .toDF("candidate_id", "fold_id", "score", "n_test", "scores")
-      CvResults.aggregateMulti(scores, Seq("candidate_id"), allMetrics)
+      CvResults.aggregateMulti(scores, Seq("candidate_id"), allMetrics,
+        iid = iid)
     }).cache()
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
     val bestId = bestRow.getAs[Int]("candidate_id")

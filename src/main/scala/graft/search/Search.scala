@@ -225,7 +225,7 @@ class DistGridSearchCV(learner: Learner,
           CvResults.aggregateMulti(
             ModelParallel.runMulti(spark, tasks, bc, learner,
               scoring +: extraScorings, seed, errorScore),
-            Seq("candidate_id"), scoring +: extraScorings)
+            Seq("candidate_id"), scoring +: extraScorings, iid = iid)
       a.cache()
     }
 

@@ -211,11 +211,24 @@ object Similarity {
     km.fit(df)
   }
 
-  // dir -> centroid sidecar, loaded once: the sidecar is immutable and
-  // tiny, and the per-query serving path must not pay a Spark JSON job
-  // per probe. Rebuilds via writeIvfIndex invalidate their entry.
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()
+  // dir -> (sidecar fingerprint, centroids), loaded once per index
+  // VERSION: the per-query serving path must not pay a Spark JSON job per
+  // probe, but an index rebuilt by ANOTHER process would otherwise leave
+  // this JVM probing with stale centroids against new cell files forever.
+  // The fingerprint (name, length, mtime of every sidecar file) is one
+  // cheap listStatus RPC per probe; same-JVM rebuilds also remove their
+  // entry directly.
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Int, Seq[Double])])]()
+
+  private def sidecarStamp(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(",")
+  }
 
   /** Serve one query from an on-disk IVF index: rank centroids on the
     * driver (the sidecar is tiny), then an exact cosine top-k over ONLY
@@ -224,10 +237,12 @@ object Similarity {
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     query: Seq[Double], k: Int, nProbe: Int = 3): DataFrame = {
-    val cents = centroidCache.computeIfAbsent(dir, d =>
-      spark.read.json(s"$d/centroids")
+    val stamp = sidecarStamp(spark, dir)
+    val cents = centroidCache.compute(dir, (d, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, spark.read.json(s"$d/centroids")
         .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))))._2
     require(cents.nonEmpty, s"no centroids sidecar under $dir")
     // a dimension mismatch would otherwise TRUNCATE silently (zip and
     // the cosine kernel both stop at the shorter length) and return
@@ -337,6 +352,9 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
+      // pin the rerank's parallelism (as minhashPairs does): candidate
+      // bytes are small, so AQE would coalesce the cosine-heavy stage
+      .repartition(p, col("id_a"))
       .join(vecs.select(col("id").as("id_a"), col("_v").as("_va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("_v").as("_vb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -363,7 +381,8 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     nClusters: Int = 0, minCosine: Double = 0.9,
-                    seed: Long = 42, maxIter: Int = 4): DataFrame = {
+                    seed: Long = 42, maxIter: Int = 4,
+                    nRows: Long = -1L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     // Same spherical-quantizer trick as ivfTopK: cluster NORMALIZED
     // vectors so Euclidean cell geometry is monotone in cosine.
@@ -375,9 +394,22 @@ object Similarity {
     // duplicate recall is structural (identical vectors share any cell),
     // so random init + few iterations beats k-means||'s extra passes —
     // each iteration is a full corpus pass at scale.
+    // auto-k needs n, but a dedicated corpus pass just to size the
+    // quantizer is waste at 100 TB. In preference order: the caller's
+    // known count (pipelines that track doc stats already have it), the
+    // optimizer's EXACT row-count stats when present (CBO/ANALYZE), and
+    // only then a count() — which doubles as the cache-materialization
+    // pass the KMeans fit would otherwise pay itself.
     val k =
       if (nClusters > 0) nClusters
-      else math.max(4, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
+      else {
+        val n: Long =
+          if (nRows > 0) nRows
+          else df.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong).filter(_ > 0)
+            .getOrElse(vecs.count())
+        math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
     val assigned = fitSphericalKMeans(vecs, "_nv", k, seed, maxIter,
         initMode = Some("random")) // bounded cells suffice for dedup;
       // random init skips kmeans|| passes (each a full corpus scan)

@@ -114,6 +114,19 @@ class DedupSimSpec extends AnyFunSuite {
     assert(dist == comp, s"distributed $dist != driver $comp")
   }
 
+  test("components with non-integral/string ids bypass the driver route") {
+    // decimal ids 9 and 10: toString ordering would pick "10" < "9" and
+    // the old driver fallback would mislabel the component min; the
+    // driver-orderable gate must route these to the distributed loop,
+    // whose least() orders decimals numerically
+    val pairs = Seq((BigDecimal(9), BigDecimal(10)))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs) // well under the driver budget
+      .collect().map(r => r.getDecimal(0).intValue() -> r.getDecimal(1).intValue())
+      .toMap
+    assert(comp == Map(9 -> 9, 10 -> 9), s"got $comp")
+  }
+
   test("autoPlanes scales bits with corpus at fixed bucket density") {
     import graft.sim.Similarity.autoPlanes
     assert(autoPlanes(1000) == 16, "small corpus floors at 4-bit bands")
@@ -512,6 +525,44 @@ class DedupSimSpec extends AnyFunSuite {
     } finally { // the written index is real parquet — don't leak it
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("IVF probe picks up an index rebuilt by another process") {
+    // the centroid cache is keyed by dir; an EXTERNAL rebuild (another
+    // JVM) never calls this JVM's invalidation, so freshness must come
+    // from the sidecar fingerprint. Simulate: build dim-8 index, warm the
+    // cache, then file-copy a dim-4 index over it (bypassing
+    // writeIvfIndex's same-JVM invalidation). A stale cache would reject
+    // the dim-4 query against the remembered dim-8 centroids.
+    val rng = new Random(5)
+    def mk(dim: Int) = (0L until 60L).map(i =>
+      (i, Seq.fill(dim)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val dirA = java.nio.file.Files.createTempDirectory("ivf_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf_b").toString
+    try {
+      Similarity.writeIvfIndex(mk(8), "embedding", "vec_id", dirA, nClusters = 2)
+      Similarity.writeIvfIndex(mk(4), "embedding", "vec_id", dirB, nClusters = 2)
+      val q8 = Seq.fill(8)(0.5)
+      assert(Similarity.probeIvfIndex(spark, dirA, q8, k = 3).count() == 3)
+      // external rebuild: copy B over A on the filesystem only
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val (a, b) = (Paths.get(dirA), Paths.get(dirB))
+      Files.walk(a).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .filter(_ != a).foreach(Files.deleteIfExists(_))
+      Files.walk(b).iterator().asScala.toSeq.filter(_ != b).foreach { p =>
+        val t = a.resolve(b.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      val q4 = Seq.fill(4)(0.5)
+      val fresh = Similarity.probeIvfIndex(spark, dirA, q4, k = 3)
+      assert(fresh.count() == 3, "probe must reload externally rebuilt centroids")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirB)).deleteRecursively()
     }
   }
 

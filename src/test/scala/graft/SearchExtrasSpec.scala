@@ -348,4 +348,30 @@ class SearchExtrasSpec extends AnyFunSuite {
       == row.getAs[Double]("mean_test_f1_weighted"), "primary = refit metric")
     assert(row.getAs[Double]("mean_test_neg_log_loss") <= 0.0)
   }
+
+  test("aggregateMulti iid weights every metric by fold size") {
+    import spark.implicits._
+    // two folds, unequal sizes: weighted mean differs from plain mean for
+    // BOTH metrics, matching aggregate()'s single-metric math exactly
+    val scores = Seq(
+      (0, 0, Map("acc" -> 1.0, "nll" -> -0.2), 30L),
+      (0, 1, Map("acc" -> 0.5, "nll" -> -0.8), 10L))
+      .toDF("candidate_id", "fold_id", "scores", "n_test")
+    val plain = graft.agg.CvResults
+      .aggregateMulti(scores, Seq("candidate_id"), Seq("acc", "nll")).head()
+    assert(plain.getAs[Double]("mean_test_acc") == 0.75)
+    val iid = graft.agg.CvResults
+      .aggregateMulti(scores, Seq("candidate_id"), Seq("acc", "nll"),
+        iid = true).head()
+    // (1.0*30 + 0.5*10) / 40 = 0.875 ; (-0.2*30 + -0.8*10) / 40 = -0.35
+    assert(iid.getAs[Double]("mean_test_acc") == 0.875, iid.toString)
+    assert(iid.getAs[Double]("mean_test_nll") == -0.35, iid.toString)
+    // population-std parity with the single-metric weighted formula
+    val single = graft.agg.CvResults.aggregate(
+      scores.withColumn("score", org.apache.spark.sql.functions
+        .element_at(org.apache.spark.sql.functions.col("scores"), "acc")),
+      Seq("candidate_id"), iid = true).head()
+    assert(iid.getAs[Double]("std_test_acc")
+      == single.getAs[Double]("std_test_score"))
+  }
 }

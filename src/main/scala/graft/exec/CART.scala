@@ -12,8 +12,34 @@ import scala.util.Random
   * `max_features` (0<f<=1 fraction of features per split; 0/absent → all),
   * `random_splits` (!=0 → extra-trees style random thresholds). Seeded and
   * deterministic per (params, seed).
+  *
+  * All node-level randomness (feature subsets, extra-trees thresholds)
+  * derives from the node's stable uid (root 1, children 2*uid / 2*uid+1)
+  * rather than one sequential RNG threaded through the recursion: the
+  * data-parallel inducer grows the SAME node set breadth-first, so
+  * uid-keyed draws are the only scheme both regimes can reproduce — with
+  * it, broadcast and histogram extra-trees draw identical thresholds.
   */
 object CART {
+
+  /** Per-node RNG shared by both training regimes (feature subsets). */
+  def nodeRng(seed: Long, uid: Long): Random =
+    new Random(seed ^ (uid * 0x9E3779B97F4A7C15L))
+
+  /** Deterministic uniform in [0,1) for (node, feature): splitmix64 mix.
+    * Keyed by feature (not draw order), so the value is independent of
+    * feature iteration order — the property that lets the level-parallel
+    * inducer match the recursive one draw-for-draw.
+    */
+  def nodeUniform(seed: Long, uid: Long, f: Int): Double = {
+    var z = seed ^ (uid * 0x9E3779B97F4A7C15L) ^
+      ((f + 1).toLong * 0xC2B2AE3D27D4EB4FL)
+    z += 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z >>> 11).toDouble * 1.1102230246251565e-16 // [0, 1)
+  }
 
   final class Node(val feature: Int, val threshold: Double,
                    val left: Node, val right: Node,
@@ -79,7 +105,6 @@ object CART {
     val minSplit = math.max(2, params.getOrElse("min_samples_split", 2.0).toInt)
     val maxFeatures = params.getOrElse("max_features", 0.0)
     val randomSplits = params.getOrElse("random_splits", 0.0) != 0.0
-    val rng = new Random(seed)
     val nFeat =
       if (maxFeatures <= 0 || maxFeatures > 1) d
       else math.max(1, math.round(maxFeatures * d).toInt)
@@ -117,7 +142,7 @@ object CART {
       new Node(-1, 0.0, null, null, leafValue(idx), leafCount - 1)
     }
 
-    def build(idx: Array[Int], depth: Int): Node = {
+    def build(idx: Array[Int], depth: Int, uid: Long): Node = {
       val totW = if (w == null) idx.length.toDouble else idx.map(w).sum
       val pure = {
         var p = true; var i = 1
@@ -129,7 +154,8 @@ object CART {
 
       val feats =
         if (nFeat >= d) (0 until d).toArray
-        else rng.shuffle((0 until d).toVector).take(nFeat).toArray
+        else nodeRng(seed, uid).shuffle((0 until d).toVector)
+          .take(nFeat).sorted.toArray
 
       var bestFeat = -1; var bestThr = 0.0; var bestScore = Double.MaxValue
       feats.foreach { f =>
@@ -138,7 +164,7 @@ object CART {
           var lo = Double.MaxValue; var hi = Double.MinValue
           idx.foreach { i => val v = X(i)(f); if (v < lo) lo = v; if (v > hi) hi = v }
           if (hi > lo) {
-            val thr = lo + rng.nextDouble() * (hi - lo)
+            val thr = lo + nodeUniform(seed, uid, f) * (hi - lo)
             val score = splitScore(idx, f, thr)
             if (score < bestScore) { bestScore = score; bestFeat = f; bestThr = thr }
           }
@@ -198,8 +224,8 @@ object CART {
       if (bestFeat < 0) return mkLeaf(idx)
       val (l, r) = idx.partition(i => X(i)(bestFeat) <= bestThr)
       if (l.isEmpty || r.isEmpty) return mkLeaf(idx)
-      val left = build(l, depth + 1)
-      val right = build(r, depth + 1)
+      val left = build(l, depth + 1, uid * 2)
+      val right = build(r, depth + 1, uid * 2 + 1)
       new Node(bestFeat, bestThr, left, right, null, -1)
     }
 
@@ -230,7 +256,7 @@ object CART {
     }
 
     val rootIdx = (0 until n).filter(i => w == null || w(i) > 0).toArray
-    val root = build(if (rootIdx.isEmpty) (0 until n).toArray else rootIdx, 0)
+    val root = build(if (rootIdx.isEmpty) (0 until n).toArray else rootIdx, 0, 1L)
     TreeModel(root, nClasses, leafCount)
   }
 }

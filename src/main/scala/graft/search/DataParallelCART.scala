@@ -42,11 +42,23 @@ import graft.exec.CART
   *    driver memory at any tree width (PLANET's node-queue memory budget).
   *
   * Params (matching `CART.grow`): `max_depth` (<=0 unlimited),
-  * `min_samples_split`, `max_features` (per-node feature subsets, seeded
-  * per (tree, node) rather than by one sequential driver RNG — documented
-  * divergence). `random_splits` (extra-trees) is broadcast-regime-only and
-  * rejected here: random thresholds need per-node value ranges, which the
-  * shared-histogram pass deliberately does not materialize.
+  * `min_samples_split`, `max_features`, `random_splits`. ALL node-level
+  * randomness is uid-keyed through `CART.nodeRng`/`CART.nodeUniform` —
+  * the same derivation the broadcast learner uses — so the two regimes
+  * pick identical feature subsets and identical extra-trees thresholds
+  * for the same node.
+  *
+  * Extra-trees (`random_splits`): the level pass additionally accumulates
+  * per-(node, feature, bin) value min/max — PLANET's bounded extra
+  * statistics (2 doubles per histogram cell). The node's exact value
+  * range is the min/max over its non-empty bins, the driver draws the
+  * seeded uniform threshold from it, and the threshold is scored from the
+  * same histogram by prefix-summing the bins wholly at or below it
+  * (exact whenever bins are per-distinct-value, i.e. on low-cardinality
+  * features; boundary-approximate on the quantile path, where a bin
+  * straddling the threshold scores on its right side — the standard
+  * histogram approximation, which affects split CHOICE only: routing and
+  * leaf statistics always recompute from true row values).
   */
 object DataParallelCART {
 
@@ -209,19 +221,26 @@ object DataParallelCART {
 
   /** (tree, node, feature, bin) sufficient statistics for ONE frontier
     * window [lo, hi). Flat tensor layout: ((slot * d + f) * stride + bin)
-    * * s + stat where slot = frontierIdx - lo, s = nClasses + 1 class
+    * * cs + stat where slot = frontierIdx - lo, s = nClasses + 1 class
     * weights + raw count (classification) or 4 = (w, wy, wy2, count)
-    * (regression). Map-side combine happens inside each partition's
-    * accumulator; only the window tensor shuffles, never rows.
+    * (regression), and cs = s, or s + 2 under `trackRanges` — the
+    * extra-trees cells append the bin's value (min, max) over
+    * positive-weight rows (zero-weight rows never influence splits in the
+    * broadcast learner either: its root index drops them). Map-side
+    * combine happens inside each partition's accumulator; only the window
+    * tensor shuffles, never rows.
     */
   private[graft] def aggregateStats(
       data: RDD[(Array[Double], Double, Double, Long)],
       routes: Broadcast[Array[PNode]], lo: Int, hi: Int,
       cands: Broadcast[Array[Array[Double]]],
       d: Int, stride: Int, s: Int, nClasses: Int,
-      bootstrap: Boolean, seed: Long): Array[Double] = {
+      bootstrap: Boolean, seed: Long,
+      trackRanges: Boolean = false): Array[Double] = {
     val nSlots = hi - lo
-    data.treeAggregate(new Array[Double](nSlots * d * stride * s))(
+    val cs = s + (if (trackRanges) 2 else 0)
+    val cntOff = s - 1 // positive-weight row count, both regimes
+    data.treeAggregate(new Array[Double](nSlots * d * stride * cs))(
       seqOp = (acc, row) => {
         val (x, y, w0, rowId) = row
         // loud, once per row: an out-of-range label (e.g. SVM-style -1/+1)
@@ -250,7 +269,16 @@ object DataParallelCART {
                 // bin = first candidate with x <= t (left side of that split)
                 var b = java.util.Arrays.binarySearch(ts, x(f))
                 if (b < 0) b = -b - 1
-                val base = ((base0 + f) * stride + b) * s
+                val base = ((base0 + f) * stride + b) * cs
+                if (trackRanges && w > 0) {
+                  val v = x(f)
+                  if (acc(base + cntOff) == 0) { // first row in this cell
+                    acc(base + s) = v; acc(base + s + 1) = v
+                  } else {
+                    if (v < acc(base + s)) acc(base + s) = v
+                    if (v > acc(base + s + 1)) acc(base + s + 1) = v
+                  }
+                }
                 if (nClasses == 0) { // regression: w, wy, wy2, count
                   acc(base) += w
                   acc(base + 1) += w * y
@@ -269,8 +297,26 @@ object DataParallelCART {
         acc
       },
       combOp = (a, b) => {
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
+        if (!trackRanges) {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+        } else {
+          // cell-aware merge: stats add; ranges combine only where BOTH
+          // sides saw rows (an untouched cell's 0-valued range slots must
+          // not clamp a real minimum)
+          var cell = 0
+          while (cell < a.length) {
+            val aCnt = a(cell + cntOff); val bCnt = b(cell + cntOff)
+            var j = 0
+            while (j < s) { a(cell + j) += b(cell + j); j += 1 }
+            if (aCnt == 0) { a(cell + s) = b(cell + s); a(cell + s + 1) = b(cell + s + 1) }
+            else if (bCnt > 0) {
+              if (b(cell + s) < a(cell + s)) a(cell + s) = b(cell + s)
+              if (b(cell + s + 1) > a(cell + s + 1)) a(cell + s + 1) = b(cell + s + 1)
+            }
+            cell += cs
+          }
+        }
         a
       })
   }
@@ -280,9 +326,7 @@ object DataParallelCART {
                          nClasses: Int, bins: Int,
                          weightCol: Option[String],
                          nTrees: Int, bootstrap: Boolean): Array[CART.TreeModel] = {
-    require(params.getOrElse("random_splits", 0.0) == 0.0,
-      "random_splits (extra-trees) is a broadcast-regime feature; " +
-        "the data-parallel inducer scores candidate thresholds exactly")
+    val randomSplits = params.getOrElse("random_splits", 0.0) != 0.0
     val maxDepth = params.getOrElse("max_depth", 0.0).toInt
     val minSplit = math.max(2, params.getOrElse("min_samples_split", 2.0).toInt)
     val maxFeatures = params.getOrElse("max_features", 0.0)
@@ -304,6 +348,7 @@ object DataParallelCART {
     val cands = spark.sparkContext.broadcast(candArr)
     val stride = math.max(1, candArr.map(_.length).max + 1)
     val s = if (nClasses > 0) nClasses + 1 else 4
+    val cs = s + (if (randomSplits) 2 else 0) // + per-bin value (min, max)
     val nFeat =
       if (maxFeatures <= 0 || maxFeatures > 1) d
       else math.max(1, math.round(maxFeatures * d).toInt)
@@ -312,7 +357,7 @@ object DataParallelCART {
     // levels aggregate in batches (extra passes, bounded memory).
     val maxStatsDoubles = 64L << 20
     val slotsPerPass =
-      math.max(1, (maxStatsDoubles / (d.toLong * stride * s)).toInt)
+      math.max(1, (maxStatsDoubles / (d.toLong * stride * cs)).toInt)
 
     val roots = Array.tabulate(nTrees)(t => new BNode(t, 0, 1L))
     var frontier: Vector[BNode] = roots.toVector
@@ -335,13 +380,13 @@ object DataParallelCART {
       while (lo < frontier.size) {
         val hi = math.min(frontier.size, lo + slotsPerPass)
         val stats = aggregateStats(data, routes, lo, hi, cands, d, stride, s,
-          nClasses, bootstrap, seed)
+          nClasses, bootstrap, seed, trackRanges = randomSplits)
         var ni = lo
         while (ni < hi) {
           val node = frontier(ni)
           val base0 = (ni - lo) * d
-          decide(node, stats, base0, d, stride, s, nClasses, candArr,
-            maxDepth, minSplit, nFeat, seed, next)
+          decide(node, stats, base0, d, stride, s, cs, nClasses, candArr,
+            maxDepth, minSplit, nFeat, seed, randomSplits, next)
           ni += 1
         }
         lo = hi
@@ -370,18 +415,21 @@ object DataParallelCART {
     * (pushing children onto the next frontier) or finalize it as a leaf.
     * Scoring math is the broadcast learner's exactly: weighted gini /
     * variance, normalized by node weight, first-wins strict-< tie-break
-    * over (feature asc, threshold asc).
+    * over (feature asc, threshold asc). Under `randomSplits` the one
+    * threshold per feature is the SAME uid-keyed uniform draw the
+    * broadcast learner makes, scored by prefix-summing whole bins.
     */
   private def decide(node: BNode, stats: Array[Double], base0: Int,
-                     d: Int, stride: Int, s: Int, nClasses: Int,
+                     d: Int, stride: Int, s: Int, cs: Int, nClasses: Int,
                      candArr: Array[Array[Double]],
                      maxDepth: Int, minSplit: Int, nFeat: Int, seed: Long,
+                     randomSplits: Boolean,
                      next: scala.collection.mutable.Builder[BNode, Vector[BNode]]): Unit = {
     // Node totals from feature 0's bins (every feature sums to the same).
     val tot = new Array[Double](s)
     var b = 0
     while (b < stride) {
-      val base = (base0 * stride + b) * s
+      val base = (base0 * stride + b) * cs
       var j = 0
       while (j < s) { tot(j) += stats(base + j); j += 1 }
       b += 1
@@ -417,16 +465,13 @@ object DataParallelCART {
       mkLeaf(); return
     }
 
+    // treeSeed matches the broadcast forest's per-tree fan-out
+    // (baseSeed + treeIdx), so uid-keyed draws agree across regimes
+    val treeSeed = seed + node.tree
     val feats: Array[Int] =
       if (nFeat >= d) Array.tabulate(d)(identity)
-      else {
-        // Per-(tree, node) deterministic subset (seeded by the node's
-        // stable uid, not a shared sequential RNG — the documented
-        // divergence from the broadcast learner under max_features).
-        val rng = new scala.util.Random(
-          (seed + node.tree) ^ (node.uid * 0x9E3779B97F4A7C15L))
-        rng.shuffle((0 until d).toVector).take(nFeat).sorted.toArray
-      }
+      else CART.nodeRng(treeSeed, node.uid)
+        .shuffle((0 until d).toVector).take(nFeat).sorted.toArray
 
     def giniOf(counts: Array[Double], from: Int, tw: Double): Double = {
       if (tw <= 0) return 0.0
@@ -437,42 +482,83 @@ object DataParallelCART {
 
     var bestFeat = -1; var bestThr = 0.0; var bestScore = Double.MaxValue
     val left = new Array[Double](s)
+
+    // weighted-impurity score of the (left, tot - left) partition — the
+    // broadcast learner's formula exactly, shared by both split kinds
+    def scoreLeft(): Double =
+      if (nClasses > 0) {
+        var lw = 0.0; var c = 0
+        while (c < nClasses) { lw += left(c); c += 1 }
+        val rw = totW - lw
+        val rG = {
+          if (rw <= 0) 0.0
+          else {
+            var g = 1.0; var cc = 0
+            while (cc < nClasses) {
+              val p = (tot(cc) - left(cc)) / rw; g -= p * p; cc += 1
+            }
+            g
+          }
+        }
+        (lw * giniOf(left, 0, lw) + rw * rG) / totW
+      } else {
+        val lw = left(0); val rw = tot(0) - lw
+        val lVar = if (lw > 0) left(2) - left(1) * left(1) / lw else 0.0
+        val rs = tot(1) - left(1); val rs2 = tot(2) - left(2)
+        val rVar = if (rw > 0) rs2 - rs * rs / rw else 0.0
+        (lVar + rVar) / totW
+      }
+
     feats.foreach { f =>
       val ts = candArr(f)
-      java.util.Arrays.fill(left, 0.0)
-      var bi = 0
-      while (bi < ts.length) { // split after bin bi at threshold ts(bi)
-        val base = ((base0 + f) * stride + bi) * s
-        var j = 0
-        while (j < s) { left(j) += stats(base + j); j += 1 }
-        val lCount = left(s - 1); val rCount = tot(s - 1) - lCount
-        if (lCount > 0 && rCount > 0) {
-          val score =
-            if (nClasses > 0) {
-              var lw = 0.0; var c = 0
-              while (c < nClasses) { lw += left(c); c += 1 }
-              val rw = totW - lw
-              val rG = {
-                if (rw <= 0) 0.0
-                else {
-                  var g = 1.0; var cc = 0
-                  while (cc < nClasses) {
-                    val p = (tot(cc) - left(cc)) / rw; g -= p * p; cc += 1
-                  }
-                  g
-                }
-              }
-              (lw * giniOf(left, 0, lw) + rw * rG) / totW
-            } else {
-              val lw = left(0); val rw = tot(0) - lw
-              val lVar = if (lw > 0) left(2) - left(1) * left(1) / lw else 0.0
-              val rs = tot(1) - left(1); val rs2 = tot(2) - left(2)
-              val rVar = if (rw > 0) rs2 - rs * rs / rw else 0.0
-              (lVar + rVar) / totW
-            }
-          if (score < bestScore) { bestScore = score; bestFeat = f; bestThr = ts(bi) }
+      if (randomSplits) {
+        // extra-trees: node value range = min/max over non-empty bins
+        // (exact — ranges track actual routed row values)
+        var lo = Double.MaxValue; var hi = Double.MinValue
+        var bi = 0
+        while (bi < stride) {
+          val base = ((base0 + f) * stride + bi) * cs
+          if (stats(base + s - 1) > 0) { // count slot: s-1 in both regimes
+            if (stats(base + s) < lo) lo = stats(base + s)
+            if (stats(base + s + 1) > hi) hi = stats(base + s + 1)
+          }
+          bi += 1
         }
-        bi += 1
+        if (hi > lo) {
+          val thr = lo + CART.nodeUniform(treeSeed, node.uid, f) * (hi - lo)
+          // left = the bins wholly at or below thr; bin value ranges are
+          // ordered, so membership (binMax <= thr) is a prefix over the
+          // non-empty bins — empty bins contribute nothing either way
+          java.util.Arrays.fill(left, 0.0)
+          var b2 = 0
+          while (b2 < stride) {
+            val base = ((base0 + f) * stride + b2) * cs
+            if (stats(base + s - 1) > 0 && stats(base + s + 1) <= thr) {
+              var j = 0
+              while (j < s) { left(j) += stats(base + j); j += 1 }
+            }
+            b2 += 1
+          }
+          val lCount = left(s - 1); val rCount = tot(s - 1) - lCount
+          if (lCount > 0 && rCount > 0) {
+            val score = scoreLeft()
+            if (score < bestScore) { bestScore = score; bestFeat = f; bestThr = thr }
+          }
+        }
+      } else {
+        java.util.Arrays.fill(left, 0.0)
+        var bi = 0
+        while (bi < ts.length) { // split after bin bi at threshold ts(bi)
+          val base = ((base0 + f) * stride + bi) * cs
+          var j = 0
+          while (j < s) { left(j) += stats(base + j); j += 1 }
+          val lCount = left(s - 1); val rCount = tot(s - 1) - lCount
+          if (lCount > 0 && rCount > 0) {
+            val score = scoreLeft()
+            if (score < bestScore) { bestScore = score; bestFeat = f; bestThr = ts(bi) }
+          }
+          bi += 1
+        }
       }
     }
 

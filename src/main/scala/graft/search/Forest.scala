@@ -75,18 +75,16 @@ class DistForest(nEstimators: Int = 100,
 
   private def fitDataParallel(df: DataFrame,
                               featuresCol: String, labelCol: String): ForestModel = {
-    require(!extraTrees,
-      "extra-trees (random_splits) is a broadcast-regime feature; over " +
-        "broadcast-overflow data use a bootstrap forest or DataParallelForest")
     // sklearn's forest default max_features = sqrt(d) for classification,
     // expressed as a fraction — same translation the broadcast route does.
-    val p =
+    val p0 =
       if (!params.contains("max_features") && classification) {
         val d = df.select(size(col(featuresCol))).head().getInt(0)
         params + ("max_features" -> math.sqrt(d.toDouble) / d)
       } else params
+    val p = p0 ++ (if (extraTrees) Map("random_splits" -> 1.0) else Map.empty)
     DataParallelCART.fitForest(df, featuresCol, labelCol, p, seed,
-      nEstimators, classification, bootstrap)
+      nEstimators, classification, bootstrap = bootstrap && !extraTrees)
   }
 
   /** `sampleWeight`: caller-supplied per-row weights (reference

@@ -111,13 +111,43 @@ class DataParallelCARTSpec extends AnyFunSuite {
     assert(acc >= 0.97, s"accuracy $acc") // cut within one quantile bin of 5.0
   }
 
-  test("random_splits is rejected (broadcast-regime feature)") {
-    val (x, y) = planted(n = 30)
+  test("extra-trees parity: distributed random splits == broadcast on low-card data") {
+    // uid-keyed threshold draws + exact per-value bins (low-card data)
+    // make the two regimes grow the SAME random tree: node ranges agree
+    // (per-bin min/max is exact), the uniform draw is keyed by
+    // (seed, uid, feature), and whole-bin prefix scoring is exact when
+    // every bin holds one distinct value
+    val (x, y) = planted()
     val df = toDF(x, y)
-    assertThrows[IllegalArgumentException] {
-      DataParallelCART.fitClassifier(df, "x", "y",
-        Map("random_splits" -> 1.0), seed = 1, nClasses = 3)
+    val params = Map("max_depth" -> 4.0, "random_splits" -> 1.0)
+    val dp = DataParallelCART.fitClassifier(df, "x", "y", params, seed = 42, nClasses = 3)
+    val bc = CART.grow(x, y, null, params, seed = 42, nClasses = 3)
+    assert(dp.root.feature == bc.root.feature)
+    assert(math.abs(dp.root.threshold - bc.root.threshold) < 1e-12,
+      s"${dp.root.threshold} vs ${bc.root.threshold}")
+    x.indices.foreach { i =>
+      assert(dp.predict(x(i)) == bc.predict(x(i)), s"row $i")
     }
+    // and the same under a feature subset (shared nodeRng derivation)
+    val ps = params + ("max_features" -> 0.67)
+    val dps = DataParallelCART.fitClassifier(df, "x", "y", ps, seed = 7, nClasses = 3)
+    val bcs = CART.grow(x, y, null, ps, seed = 7, nClasses = 3)
+    x.indices.foreach { i =>
+      assert(dps.predict(x(i)) == bcs.predict(x(i)), s"row $i (max_features)")
+    }
+  }
+
+  test("extra-trees quantile path: random thresholds still recover structure") {
+    val rng = new Random(31)
+    val n = 400
+    val x = Array.tabulate(n)(_ => Array(rng.nextDouble() * 10, rng.nextDouble() * 10))
+    val y = x.map(v => if (v(0) <= 5.0) 0.0 else 1.0)
+    val df = toDF(x, y)
+    val forest = DataParallelCART.fitForest(df, "x", "y",
+      Map("max_depth" -> 6.0, "random_splits" -> 1.0), seed = 3,
+      nTrees = 8, classification = true, bootstrap = false)
+    val acc = x.indices.count(i => forest.predict(x(i)) == y(i)).toDouble / n
+    assert(acc >= 0.95, s"extra-forest accuracy $acc")
   }
 
   test("search auto-route: tree candidates over budget run data-parallel, same winner") {
@@ -185,11 +215,17 @@ class DataParallelCARTSpec extends AnyFunSuite {
     assert(model.trees.length == 8)
     val acc = x.indices.count(i => model.predict(x(i)) == y(i)).toDouble / x.length
     assert(acc >= 0.95, s"auto-routed forest accuracy $acc")
-    // extra-trees cannot data-parallelize: loud failure, not silent fallback
-    assertThrows[IllegalArgumentException] {
-      new DistForest(nEstimators = 4, classification = true, extraTrees = true,
-        bootstrap = false, seed = 1)
-        .withBroadcastBudget(1L).fit(spark, df, "x", "y")
+    // extra-trees past the budget now fit data-parallel too — and match
+    // the broadcast regime tree-for-tree (no bootstrap, uid-keyed draws)
+    def extra(budget: Long) = new DistForest(nEstimators = 4,
+      params = Map("max_depth" -> 5.0, "max_features" -> 1.0),
+      classification = true, extraTrees = true, bootstrap = false, seed = 1)
+      .withBroadcastBudget(budget).fit(spark, df, "x", "y")
+    val over = extra(1L)
+    val under = extra(1L << 30)
+    assert(over.trees.length == 4)
+    x.indices.take(80).foreach { i =>
+      assert(over.predict(x(i)) == under.predict(x(i)), s"row $i regime disagreement")
     }
   }
 

@@ -188,6 +188,12 @@ object Similarity {
       s"cannot build an IVF index over an empty corpus ($vecCol all null/empty?)")
     val km = fitSphericalKMeans(toVec, "_nv", nClusters, seed, maxIter)
     km.transform(toVec).select(col("id"), col("vec"), col("_cell"))
+      // repartition ON the partition column first: without it every input
+      // partition writes its own file into every cell dir (tasks x cells
+      // small files — 2048 ~40 KB files measured at 200k x 64 cells);
+      // with it each cell is one writer's contiguous file(s). Cells are
+      // balanced by the quantizer, so per-task skew is bounded.
+      .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
     toVec.unpersist(blocking = false)
     val cents = km.clusterCenters.zipWithIndex

@@ -513,6 +513,21 @@ class DedupSimSpec extends AnyFunSuite {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
       s"probe must prune cell partitions:\n${plan.take(1500)}")
+    // read-bytes proportionality — the pruning claim as an OBSERVABLE:
+    // the post-execution scan metrics must show ~nProbe/nClusters of the
+    // index read, and exactly nProbe files (one file per cell since
+    // writeIvfIndex repartitions on the partition column)
+    def probeBytes(nProbe: Int): (Long, Long) = {
+      val p = Similarity.probeIvfIndex(spark, dir, q, k = 5, nProbe = nProbe)
+      p.collect() // collect, not count: count plans its own execution
+      graft.tools.IvfScaleProbe.scanReadMetrics(p)
+    }
+    val (f1, b1) = probeBytes(1)
+    val (f4, b4) = probeBytes(4)
+    assert(f1 == 1 && f4 == 4, s"files read: $f1 @1, $f4 @4 (want 1 per cell)")
+    assert(b1 > 0 && b1 < b4, s"bytes must grow with nProbe: $b1 vs $b4")
+    assert(b1.toDouble / b4 < 0.5,
+      s"1-probe read $b1 of $b4 bytes — pruning is not proportional")
     // recall vs exact: on well-separated clusters, 1-probe top-5 equals
     // the brute-force top-5 (all true neighbors share the query's cell)
     val got = probed.collect().map(_.getLong(0)).toSet

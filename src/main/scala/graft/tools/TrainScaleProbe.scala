@@ -16,7 +16,23 @@ import graft.search.DistGridSearchCV
 object TrainScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 20000
-    val spark = Sessions.build("local[32]", 32)
+    // arg(1): alternate master — "local-cluster[4,8,4096]" runs REAL
+    // separate executor JVMs (4 workers x 8 cores), isolating the
+    // single-JVM memory-bandwidth/GC-sharing hypothesis for the overlap
+    // gap without a cluster. Executors are fresh JVMs, so they need the
+    // app classes on their classpath explicitly.
+    val master = args.lift(1).getOrElse("local[32]")
+    val spark =
+      if (!master.startsWith("local-cluster")) Sessions.build(master, 32)
+      else org.apache.spark.sql.SparkSession.builder()
+        .master(master)
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes")
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val rng = new Random(1)

@@ -137,6 +137,94 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"restart must neither re-emit nor forget dedup state, got $got")
   }
 
+  test("checkpointed restart merges a session across the stop") {
+    // a PARTIAL session (state, not output) must survive kill + restart:
+    // batch 1 opens user 1's session, the stream stops, batch 2 extends
+    // it within the gap — one merged session proves the session-window
+    // state store recovered; lost state would emit n_events=1
+    val src = java.nio.file.Files.createTempDirectory("sw_src").toString
+    val out = java.nio.file.Files.createTempDirectory("sw_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("sw_chk").toString
+    val t0 = 1700000000000L
+    def events(rows: Seq[(Long, Long, Long, Double)]): Unit =
+      rows.map { case (id, user, offMs, v) =>
+        (id, new java.sql.Timestamp(t0 + offMs), user, "click", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(src)
+      val q = Streams.sessionWindows(stream, gap = "600 seconds",
+        watermark = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: open sessions only — watermark (60s) passes no session end,
+    // so nothing is emitted; everything rides in recovered state
+    events(Seq((1L, 1L, 0L, 1.0), (2L, 1L, 60000L, 2.0), (4L, 2L, 0L, 8.0)))
+    run()
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".parquet"))
+      || spark.read.parquet(out).isEmpty, "no session may close in run 1")
+    // run 2: +360s extends user 1's session (gap 600s not exceeded);
+    // the sentinel pushes the watermark past every session end
+    events(Seq((3L, 1L, 360000L, 4.0),
+      (99L, -1L, 86400000L * 365, 0.0)))
+    run()
+    val got = spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 7.0, 360L), // ONE merged session spanning the restart
+      (2L, 1L, 8.0, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("checkpointed restart preserves buffered interval-join state") {
+    // a click buffered by the join (no purchase yet) must survive kill +
+    // restart and pair with a purchase that only arrives afterwards
+    val src = java.nio.file.Files.createTempDirectory("ij_src").toString
+    val out = java.nio.file.Files.createTempDirectory("ij_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("ij_chk").toString
+    val t0 = 1700000000000L
+    def events(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, user, offMs, typ) =>
+        (id, new java.sql.Timestamp(t0 + offMs), user, typ) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      def s = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .parquet(src)
+      val clicks = s.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id"))
+      val purchases = s.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id").as("_pu"))
+      val q = Streams.streamIntervalJoin(clicks, purchases,
+        "user_id", "_pu", "c_ts", "p_ts", maxGap = "30 minutes")
+        .select("click_id", "purchase_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    events(Seq((1L, 1L, 0L, "click"), (5L, 3L, 0L, "click")))
+    run() // no purchases yet: both clicks buffered in join state
+    events(Seq(
+      (2L, 1L, 100000L, "purchase"),  // pairs with the RECOVERED click 1
+      (3L, 3L, 3000000L, "purchase"), // +50 min: outside user 3's window
+      (6L, 1L, 200000L, "click")))    // AFTER purchase 2: must not pair
+    run()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"buffered click must pair exactly once across the restart, got $got")
+  }
+
   test("multimodal feature extraction is deterministic with fixed width") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001"))

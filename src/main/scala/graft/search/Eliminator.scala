@@ -1,11 +1,12 @@
 package graft.search
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.agg.CvResults
 import graft.exec.{CART, Learner, LogRegModel, Metrics, Model, ModelParallel}
 import graft.exec.ModelParallel.{FitTask, TrainMatrix}
-import graft.plan.RemovalLadder
+import graft.plan.{Folds, RemovalLadder}
 
 /** Distributed feature elimination (reference `eliminate.py`):
   * 1. initial full fit ranks features by importance (the cost-estimation
@@ -34,7 +35,8 @@ class DistFeatureEliminator(learner: Learner,
                             step: Int = 1,
                             cv: Int = 5,
                             scoring: String = "accuracy",
-                            seed: Long = 42) extends Serializable {
+                            seed: Long = 42)
+    extends Serializable with BroadcastBudgeted {
 
   /** Importance extraction: |coef| sum for linear models, split-based for
     * trees/forests (reference uses `coef_`/`feature_importances_`,
@@ -48,10 +50,103 @@ class DistFeatureEliminator(learner: Learner,
     case _                 => Array.fill(d)(1.0)
   }
 
+  /** Auto-routed fit (the same regime switch as DistGridSearchCV /
+    * DistForest): rungs x folds against the broadcast matrix while it
+    * fits the budget; a distributed per-rung fit + DistributedScore loop
+    * when it doesn't — subsets are masked IN the DataFrame (column
+    * projection, never a collect), so elimination works over
+    * broadcast-overflow data too.
+    */
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): EliminatorResult = {
-    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
-    fitMatrix(spark, matrix)
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
+      val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
+      fitMatrix(spark, matrix)
+    } else fitDataParallel(spark, df, featuresCol, labelCol)
+  }
+
+  /** Broadcast-overflow route. Same skeleton as `fitMatrix` — pre-pass
+    * importance ranking, removal ladder, rungs x folds, CvResults — but
+    * every fit is a DATA-PARALLEL fit of the routable learner family
+    * (logistic via Spark ML with the lossless c translation, CART/forest
+    * via DataParallelCART) and every score flows through
+    * DistributedScore's sufficient-statistics path. The feature mask is a
+    * column projection on the array column; rows never reach the driver.
+    */
+  private def fitDataParallel(spark: SparkSession, df: DataFrame,
+                              featuresCol: String,
+                              labelCol: String): EliminatorResult = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = df.select(
+      col(featuresCol).cast("array<double>").as("_x"),
+      col(labelCol).cast("double").as("_label"))
+      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
+      .cache()
+    val nTotal = prepared.count()
+    require(nTotal > 0, "empty training set")
+    val d = prepared.select(size(col("_x"))).head().getInt(0)
+
+    // one data-parallel fit of `learner` on a masked projection
+    def fitOne(data: DataFrame, keep: Array[Int], fitSeed: Long,
+               nTrain: Long): Model = {
+      val masked = data.select(
+        array(keep.map(j => col("_x").getItem(j)): _*).as("_xm"),
+        col("_label"))
+      learner match {
+        case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS =>
+          val p = masked.select(
+            array_to_vector(col("_xm")).as("_features"), col("_label"))
+          SparkMLBridge.toLogRegModel(
+            new org.apache.spark.ml.classification.LogisticRegression()
+              .setFeaturesCol("_features").setLabelCol("_label")
+              .setFamily("multinomial")
+              .fit(p))
+        case c: CART.Classifier =>
+          DataParallelCART.fitClassifier(masked, "_xm", "_label", Map.empty,
+            fitSeed, nClasses = math.max(0, c.nClassesHint))
+        case CART.Regressor =>
+          DataParallelCART.fitRegressor(masked, "_xm", "_label", Map.empty, fitSeed)
+        case other => throw new IllegalArgumentException(
+          s"data-parallel elimination supports the logistic and CART " +
+            s"learners, not $other; shrink the data or raise " +
+            "withBroadcastBudget for the broadcast route")
+      }
+    }
+
+    // 1. pre-pass on ALL rows ranks features worst-first
+    val full = fitOne(prepared, (0 until d).toArray, seed, nTotal)
+    val worstFirst = {
+      val imp = importances(full, d)
+      (0 until d).sortBy(j => (imp(j), j)).toArray
+    }
+    // 2. ladder, 3. rungs x folds — sequential loop of distributed fits
+    val rungKeeps: Seq[Array[Int]] = RemovalLadder
+      .rungs(worstFirst.toSeq, step, minFeaturesToSelect)
+      .map(drop => (0 until d).filterNot(drop.toSet).toArray)
+    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scoreRows = for {
+      (keep, ri) <- rungKeeps.zipWithIndex
+      fold <- 0 until cv
+    } yield {
+      val nTest = foldSizes.getOrElse(fold, 0L)
+      val model = fitOne(prepared.filter(col("_fold") =!= fold), keep,
+        seed + ri * 100 + fold, nTotal - nTest)
+      val test = prepared.filter(col("_fold") === fold).select(
+        array(keep.map(j => col("_x").getItem(j)): _*).as("_xm"), col("_label"))
+      val s = DistributedScore(scoring, model, test, "_xm", "_label")
+      (ri, fold, s, nTest)
+    }
+    import spark.implicits._
+    val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
+    // 4. aggregate, best rung, refit on all rows with the winning mask
+    val agg = CvResults.aggregate(scores, Seq("candidate_id")).cache()
+    val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
+    val keep = rungKeeps(bestRow.getAs[Int]("candidate_id"))
+    val refit = fitOne(prepared, keep, seed, nTotal)
+    prepared.unpersist(blocking = false)
+    EliminatorResult(agg.orderBy("candidate_id"), keep,
+      bestRow.getAs[Double]("mean_test_score"), MaskedModel(refit, keep))
   }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): EliminatorResult = {

@@ -349,6 +349,38 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mean_test_neg_log_loss") <= 0.0)
   }
 
+  test("eliminator auto-route: over-budget fit eliminates data-parallel") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val rng = new Random(13)
+    // 2 informative dims + 2 pure-noise dims
+    val df = m.x.map(r => r ++ Array(rng.nextGaussian(), rng.nextGaussian()))
+      .zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    def eliminate(budget: Long) =
+      new graft.search.DistFeatureEliminator(
+        graft.exec.LogisticRegressionLBFGS,
+        minFeaturesToSelect = 2, step = 1, cv = 3)
+        .withBroadcastBudget(budget).fit(spark, df, "features", "label")
+    val dp = eliminate(1L)        // forced distributed route
+    val bc = eliminate(1L << 30)  // broadcast route
+    // both regimes keep the informative dims and prune toward them
+    Seq(("dp", dp), ("bc", bc)).foreach { case (name, r) =>
+      assert(r.bestScore > 0.9, s"$name score ${r.bestScore}")
+      assert(r.bestFeatures.toSet.intersect(Set(0, 1)) == Set(0, 1),
+        s"$name kept ${r.bestFeatures.toSeq}")
+      assert(r.scores.count() == 3, s"$name rung count") // 4 dims, min 2, step 1
+    }
+    // the masked model predicts through the FULL-width row
+    val probe = m.x(0) ++ Array(0.0, 0.0)
+    assert(dp.model.predict(probe) == bc.model.predict(probe))
+    // unsupported learner fails loudly on the distributed route
+    assertThrows[IllegalArgumentException] {
+      new graft.search.DistFeatureEliminator(graft.exec.LinearSVC)
+        .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    }
+  }
+
   test("aggregateMulti iid weights every metric by fold size") {
     import spark.implicits._
     // two folds, unequal sizes: weighted mean differs from plain mean for

@@ -133,6 +133,15 @@ class PersistenceStatsSpec extends AnyFunSuite {
     assert(v1 == v2, "loaded encoder transforms identically")
     assert((0 until model2.width).forall(i =>
       model2.featureOrigin(i) == model.featureOrigin(i)))
+    // the loaded mapping must also equal the block layout computed from
+    // the loaded stage widths themselves (an independent reconstruction,
+    // not just pre/post symmetry), and extract() must work on it
+    val expected = model2.stages.flatMap(s => Seq.fill(s.width)(s.name))
+    assert((0 until model2.width).map(model2.featureOrigin) == expected)
+    val sub = model2.extract(Seq("num", "color"))
+    assert(sub.width ==
+      model2.stages.filter(s => Set("num", "color")(s.name)).map(_.width).sum)
+    assert((0 until sub.width).map(sub.featureOrigin).toSet == Set("num", "color"))
 
     // transformer_weights scale exactly one stage's block and survive
     // the save/load round trip

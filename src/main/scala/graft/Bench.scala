@@ -15,6 +15,8 @@ object Bench {
     val spark = graft.tools.Sessions.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     Tables.lineitem(spark, sfDir).count() // warm-up: JVM + parquet footers
 
     // Two iterations, report the best: first-touch codegen/classloading
@@ -46,7 +48,13 @@ object Bench {
       "\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // Self-diagnosing noise context: the iteration count (min-of-1 runs
+    // carry full first-touch noise — a ±30%/query band measured on this
+    // host) and the OS load average at start/end (late-run CPU steal from
+    // cohabiting processes shows up here, not in any per-query number).
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,16 +21,34 @@ import scala.util.Random
 object ModelParallel {
 
   /** Broadcast-able training matrix with per-row fold ids. */
+  /** Driver-side training matrix + fold assignment. With
+    * `precomputedKernel` (the reference's `utils.py:171-209` square-matrix
+    * `_safe_split` corner) `x` is an n x n kernel/gram matrix and fold
+    * slicing selects COLUMNS as well as rows — fit sees K[train, train],
+    * scoring sees K[test, train] — so kernel-feature estimators (kernel
+    * logistic, kernel SVM surrogates) CV correctly: a row-only slice
+    * would leak test columns into the fit and misalign test features
+    * against the fitted coefficients.
+    */
   final case class TrainMatrix(x: Array[Array[Double]], y: Array[Double],
-                               folds: Array[Int]) {
+                               folds: Array[Int],
+                               precomputedKernel: Boolean = false) {
+    if (precomputedKernel)
+      require(x.forall(_.length == x.length),
+        s"precomputed kernel must be square (n x n), got rows of widths " +
+          s"${x.map(_.length).distinct.take(3).mkString(",")} for n=${x.length}")
     def nRows: Int = x.length
+    private def slice(rows: Seq[Int], trainIdx: Seq[Int]): Array[Array[Double]] =
+      if (!precomputedKernel) rows.map(x).toArray
+      else rows.map(i => trainIdx.map(j => x(i)(j)).toArray).toArray
     def trainOf(fold: Int): (Array[Array[Double]], Array[Double]) = {
       val idx = (0 until nRows).filter(folds(_) != fold)
-      (idx.map(x).toArray, idx.map(y).toArray)
+      (slice(idx, idx), idx.map(y).toArray)
     }
     def testOf(fold: Int): (Array[Array[Double]], Array[Double]) = {
-      val idx = (0 until nRows).filter(folds(_) == fold)
-      (idx.map(x).toArray, idx.map(y).toArray)
+      val te = (0 until nRows).filter(folds(_) == fold)
+      val tr = (0 until nRows).filter(folds(_) != fold)
+      (slice(te, tr), te.map(y).toArray)
     }
   }
 

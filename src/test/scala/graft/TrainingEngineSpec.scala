@@ -282,4 +282,43 @@ class TrainingEngineSpec extends AnyFunSuite {
     m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
       .toDF("features", "label")
   }
+
+  test("precomputed-kernel folds slice rows AND columns (square _safe_split)") {
+    // K(i)(j) = i*10 + j makes every slice position-identifiable
+    val k6 = Array.tabulate(6, 6)((i, j) => i * 10.0 + j)
+    val m = TrainMatrix(k6, Array(0, 1, 0, 1, 0, 1).map(_.toDouble),
+      Array(0, 1, 0, 1, 0, 1), precomputedKernel = true)
+    val (trX, trY) = m.trainOf(0) // train rows/cols = indices {1, 3, 5}
+    assert(trX.map(_.toSeq).toSeq == Seq(
+      Seq(11.0, 13.0, 15.0), Seq(31.0, 33.0, 35.0), Seq(51.0, 53.0, 55.0)))
+    assert(trY.toSeq == Seq(1.0, 1.0, 1.0))
+    val (teX, teY) = m.testOf(0) // test rows {0, 2, 4} x TRAIN cols {1, 3, 5}
+    assert(teX.map(_.toSeq).toSeq == Seq(
+      Seq(1.0, 3.0, 5.0), Seq(21.0, 23.0, 25.0), Seq(41.0, 43.0, 45.0)))
+    assert(teY.toSeq == Seq(0.0, 0.0, 0.0))
+    // non-square kernels are a caller bug, loudly
+    assertThrows[IllegalArgumentException] {
+      TrainMatrix(Array(Array(1.0, 2.0)), Array(0.0), Array(0),
+        precomputedKernel = true)
+    }
+  }
+
+  test("grid search CVs a precomputed kernel (kernel logistic regression)") {
+    // linear-kernel gram matrix of separable blobs: logistic regression
+    // on K[train, train] features IS kernel logistic regression, and the
+    // kernel-aware split keeps test features aligned to the fitted
+    // coefficients (K[test, train]) — the reference's SVC(precomputed)
+    // mechanics with an estimator the engine already has
+    val b = blobs(n = 60)
+    val rbf = (p: Array[Double], q: Array[Double]) => {
+      val d2 = p.zip(q).map { case (a, c) => (a - c) * (a - c) }.sum
+      math.exp(-0.1 * d2) // well-conditioned features in (0, 1]
+    }
+    val gram = Array.tabulate(b.nRows, b.nRows)((i, j) => rbf(b.x(i), b.x(j)))
+    val m = TrainMatrix(gram, b.y, b.folds, precomputedKernel = true)
+    val r = new DistGridSearchCV(graft.exec.LogisticRegressionLBFGS,
+      Map("c" -> Seq(1.0), "max_iter" -> Seq(80.0)), cv = 3)
+      .fitMatrix(spark, m)
+    assert(r.bestScore > 0.9, s"kernel CV accuracy ${r.bestScore}")
+  }
 }

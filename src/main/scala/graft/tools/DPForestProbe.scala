@@ -69,6 +69,17 @@ object DPForestProbe {
     }
     val accF = sample.count(i => forest.predict(x(i)) == y(i))
     println(s"forest acc on sample: $accF/${sample.size}")
+
+    // extra-trees regime: the same shared passes + per-bin (min, max)
+    // range stats — measures the trackRanges tensor overhead at real row
+    // counts (cells grow s -> s+2 doubles; the pass count is unchanged)
+    val extra = time("DP-extra-forest 16 trees depth-6 (range stats)") {
+      DataParallelCART.fitForest(df, "x", "y",
+        params + ("random_splits" -> 1.0), seed = 42,
+        nTrees = 16, classification = true, bootstrap = false)
+    }
+    val accX = sample.count(i => extra.predict(x(i)) == y(i))
+    println(s"extra-forest acc on sample: $accX/${sample.size}")
     spark.stop()
   }
 }

@@ -71,6 +71,22 @@ class DataParallelCARTSpec extends AnyFunSuite {
     }
   }
 
+  test("extra-trees regression parity: distributed == broadcast on low-card data") {
+    val (x, _) = planted(seed = 13)
+    val yr = x.map(v => if (v(0) <= 2.0) 10.0 else if (v(1) <= 3.0) -4.0 else 3.0)
+    val df = toDF(x, yr)
+    val params = Map("max_depth" -> 4.0, "random_splits" -> 1.0)
+    val dp = DataParallelCART.fitRegressor(df, "x", "y", params, seed = 5)
+    val bc = CART.grow(x, yr, null, params, seed = 5, nClasses = 0)
+    assert(dp.root.feature == bc.root.feature &&
+      math.abs(dp.root.threshold - bc.root.threshold) < 1e-12,
+      s"root (${dp.root.feature}, ${dp.root.threshold}) vs " +
+        s"(${bc.root.feature}, ${bc.root.threshold})")
+    x.indices.foreach { i =>
+      assert(math.abs(dp.predict(x(i)) - bc.predict(x(i))) < 1e-9, s"row $i")
+    }
+  }
+
   test("max_depth and min_samples_split bound the tree") {
     val (x, y) = planted()
     val df = toDF(x, y)

@@ -86,9 +86,9 @@ class DistFeatureEliminator(learner: Learner,
     require(nTotal > 0, "empty training set")
     val d = prepared.select(size(col("_x"))).head().getInt(0)
 
-    // one data-parallel fit of `learner` on a masked projection
-    def fitOne(data: DataFrame, keep: Array[Int], fitSeed: Long,
-               nTrain: Long): Model = {
+    // one data-parallel fit of `learner` on a masked projection (default
+    // params throughout, matching the broadcast route's Map.empty fits)
+    def fitOne(data: DataFrame, keep: Array[Int], fitSeed: Long): Model = {
       val masked = data.select(
         array(keep.map(j => col("_x").getItem(j)): _*).as("_xm"),
         col("_label"))
@@ -114,7 +114,7 @@ class DistFeatureEliminator(learner: Learner,
     }
 
     // 1. pre-pass on ALL rows ranks features worst-first
-    val full = fitOne(prepared, (0 until d).toArray, seed, nTotal)
+    val full = fitOne(prepared, (0 until d).toArray, seed)
     val worstFirst = {
       val imp = importances(full, d)
       (0 until d).sortBy(j => (imp(j), j)).toArray
@@ -131,7 +131,7 @@ class DistFeatureEliminator(learner: Learner,
     } yield {
       val nTest = foldSizes.getOrElse(fold, 0L)
       val model = fitOne(prepared.filter(col("_fold") =!= fold), keep,
-        seed + ri * 100 + fold, nTotal - nTest)
+        seed + ri * 100 + fold)
       val test = prepared.filter(col("_fold") === fold).select(
         array(keep.map(j => col("_x").getItem(j)): _*).as("_xm"), col("_label"))
       val s = DistributedScore(scoring, model, test, "_xm", "_label")
@@ -143,7 +143,7 @@ class DistFeatureEliminator(learner: Learner,
     val agg = CvResults.aggregate(scores, Seq("candidate_id")).cache()
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
     val keep = rungKeeps(bestRow.getAs[Int]("candidate_id"))
-    val refit = fitOne(prepared, keep, seed, nTotal)
+    val refit = fitOne(prepared, keep, seed)
     prepared.unpersist(blocking = false)
     EliminatorResult(agg.orderBy("candidate_id"), keep,
       bestRow.getAs[Double]("mean_test_score"), MaskedModel(refit, keep))

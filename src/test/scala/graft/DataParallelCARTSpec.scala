@@ -166,6 +166,34 @@ class DataParallelCARTSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"extra-forest accuracy $acc")
   }
 
+  test("range-tracking stats are invariant to data partitioning") {
+    // the trackRanges combOp is cell-aware (min/max can't blind-add like
+    // counts); merging across any partition split must give the same
+    // tensor — a wrong empty-cell merge would clamp minima toward 0
+    val rng = new Random(17)
+    val rows = Array.tabulate(200) { i =>
+      (Array(rng.nextGaussian() * 5 + 3, rng.nextInt(9).toDouble),
+        (i % 3).toDouble, 1.0, i.toLong)
+    }
+    val sc = spark.sparkContext
+    val cands = sc.broadcast(Array(Array(0.0, 2.0, 4.0), Array(2.5, 5.5)))
+    val stride = 4 // max candidates + 1
+    val s = 4      // 3 classes + count
+    def statsWith(parts: Int): Seq[Double] = {
+      val routes = sc.broadcast[Array[DataParallelCART.PNode]](
+        Array(DataParallelCART.PLeaf(0)))
+      DataParallelCART.aggregateStats(
+        sc.parallelize(rows.toSeq, parts), routes, 0, 1, cands,
+        d = 2, stride = stride, s = s, nClasses = 3,
+        bootstrap = false, seed = 9, trackRanges = true).toSeq
+    }
+    val one = statsWith(1)
+    assert(one == statsWith(3) && one == statsWith(8),
+      "stats tensor must not depend on partitioning")
+    // sanity: some cell carries a real (min < max) range
+    assert(one.grouped(s + 2).exists(c => c(s - 1) > 1 && c(s) < c(s + 1)))
+  }
+
   test("search auto-route: tree candidates over budget run data-parallel, same winner") {
     val (x, y) = planted()
     val df = toDF(x, y)

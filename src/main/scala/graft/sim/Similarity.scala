@@ -102,7 +102,12 @@ object Similarity {
       .withColumn("_vec", array_to_vector(normalized(col("_cv"))))
       .cache()
     // maxIter trades quantizer quality for fit time; recall comes from
-    // nProbe overlap, so even a coarse quantizer keeps recall high
+    // nProbe overlap, so even a coarse quantizer keeps recall high.
+    // kmeans|| init is KEPT deliberately: swapping it for random init
+    // (semanticDedup's choice, where recall is structural) was tried and
+    // the AnnRecallSpec natural floors failed — IVF recall 0.90 -> 0.80
+    // @nProbe=8, cell recall 0.50 -> 0.15 @nProbe=1. The init passes buy
+    // real serving recall here.
     val model = fitSphericalKMeans(toVec, "_vec", nClusters, seed, maxIter)
     val cells = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.CvResults
+import graft.exec.CART
 import graft.plan.{Folds, ParamGrid}
 
 /** Data-parallel grid search — the 100 TB-safe generalization the
@@ -271,6 +272,45 @@ object DistributedScore {
       case "r2" =>
         val ssTot = r.getDouble(2) - r.getDouble(1) * r.getDouble(1) / n
         if (ssTot == 0) { if (ssRes == 0) 1.0 else 0.0 } else 1.0 - ssRes / ssTot
+    }
+  }
+}
+
+/** ONE data-parallel fit of a routable engine learner over a DataFrame —
+  * the shared kernel behind the eliminator's over-budget route and the
+  * DataFrame OOF: logistic via Spark ML (losslessly bridged), trees via
+  * DataParallelCART. Returns the same engine `Model` types the broadcast
+  * regime produces; unsupported learners fail loudly.
+  */
+object DataParallelFit {
+  def fit(learner: graft.exec.Learner, data: DataFrame,
+          featuresCol: String, labelCol: String,
+          params: Map[String, Double], seed: Long): graft.exec.Model = {
+    import org.apache.spark.ml.functions.array_to_vector
+    learner match {
+      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS =>
+        val p = data.select(
+          array_to_vector(col(featuresCol).cast("array<double>")).as("_features"),
+          col(labelCol).cast("double").as("_label"))
+        val est = new LogisticRegression()
+          .setFeaturesCol("_features").setLabelCol("_label")
+          .setFamily("multinomial")
+          .setMaxIter(params.getOrElse("max_iter", 100.0).toInt)
+        // engine c -> regParam = 1/(c*n) (lossless translation; see
+        // DataParallelGridSearch.mkEstimator) — only pay the count when
+        // a translation is actually requested
+        params.get("c").filter(_ > 0).foreach { c =>
+          est.setRegParam(1.0 / (c * math.max(1L, data.count())))
+        }
+        SparkMLBridge.toLogRegModel(est.fit(p))
+      case c: CART.Classifier =>
+        DataParallelCART.fitClassifier(data, featuresCol, labelCol, params,
+          seed, nClasses = math.max(0, c.nClassesHint))
+      case CART.Regressor =>
+        DataParallelCART.fitRegressor(data, featuresCol, labelCol, params, seed)
+      case other => throw new IllegalArgumentException(
+        s"the data-parallel regime supports the logistic and CART " +
+          s"learners, not $other")
     }
   }
 }

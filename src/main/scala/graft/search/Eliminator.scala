@@ -76,7 +76,6 @@ class DistFeatureEliminator(learner: Learner,
   private def fitDataParallel(spark: SparkSession, df: DataFrame,
                               featuresCol: String,
                               labelCol: String): EliminatorResult = {
-    import org.apache.spark.ml.functions.array_to_vector
     val prepared = df.select(
       col(featuresCol).cast("array<double>").as("_x"),
       col(labelCol).cast("double").as("_label"))
@@ -88,30 +87,11 @@ class DistFeatureEliminator(learner: Learner,
 
     // one data-parallel fit of `learner` on a masked projection (default
     // params throughout, matching the broadcast route's Map.empty fits)
-    def fitOne(data: DataFrame, keep: Array[Int], fitSeed: Long): Model = {
-      val masked = data.select(
-        array(keep.map(j => col("_x").getItem(j)): _*).as("_xm"),
-        col("_label"))
-      learner match {
-        case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS =>
-          val p = masked.select(
-            array_to_vector(col("_xm")).as("_features"), col("_label"))
-          SparkMLBridge.toLogRegModel(
-            new org.apache.spark.ml.classification.LogisticRegression()
-              .setFeaturesCol("_features").setLabelCol("_label")
-              .setFamily("multinomial")
-              .fit(p))
-        case c: CART.Classifier =>
-          DataParallelCART.fitClassifier(masked, "_xm", "_label", Map.empty,
-            fitSeed, nClasses = math.max(0, c.nClassesHint))
-        case CART.Regressor =>
-          DataParallelCART.fitRegressor(masked, "_xm", "_label", Map.empty, fitSeed)
-        case other => throw new IllegalArgumentException(
-          s"data-parallel elimination supports the logistic and CART " +
-            s"learners, not $other; shrink the data or raise " +
-            "withBroadcastBudget for the broadcast route")
-      }
-    }
+    def fitOne(data: DataFrame, keep: Array[Int], fitSeed: Long): Model =
+      DataParallelFit.fit(learner,
+        data.select(array(keep.map(j => col("_x").getItem(j)): _*).as("_xm"),
+          col("_label")),
+        "_xm", "_label", Map.empty, fitSeed)
 
     // 1. pre-pass on ALL rows ranks features worst-first
     val full = fitOne(prepared, (0 until d).toArray, seed)

@@ -254,4 +254,38 @@ object OutOfFold {
     rows.foreach { case (i, p) => out(i) = p }
     out
   }
+
+  /** DataFrame-native out-of-fold probabilities — the 100 TB shape of
+    * `get_oof`: OOF predictions stay a COLUMN, never a driver-sized
+    * array. Folds are a hash column, each fold's model fits DATA-PARALLEL
+    * on the complement (`DataParallelFit` — same auto-route family as
+    * search/forest/eliminator), and its fold's rows get probabilities via
+    * the broadcast-model UDF. The union covers every input row exactly
+    * once, so the result stacks directly as a meta-learner feature.
+    */
+  def oofProbaDF(df: org.apache.spark.sql.DataFrame,
+                 featuresCol: String, labelCol: String,
+                 learner: graft.exec.Learner, cv: Int, seed: Long,
+                 params: Map[String, Double] = Map.empty,
+                 outCol: String = "oof_proba"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cv >= 2, s"cv must be >= 2, got $cv")
+    val spark = df.sparkSession
+    // cache BEFORE the fold hash: monotonically_increasing_id is stable
+    // only while the partitioning is — freezing the frame freezes the ids
+    // across the per-fold fit and predict scans
+    val prepared = df
+      .withColumn("_fold", graft.plan.Folds.byHash(
+        monotonically_increasing_id(), cv, seed))
+      .cache()
+    prepared.count()
+    val parts = (0 until cv).map { fold =>
+      val model = DataParallelFit.fit(learner,
+        prepared.filter(col("_fold") =!= fold), featuresCol, labelCol,
+        params, seed + fold)
+      graft.predict.Predict.withProbabilities(spark,
+        prepared.filter(col("_fold") === fold), model, featuresCol, outCol)
+    }
+    parts.reduce(_ unionByName _).drop("_fold")
+  }
 }

@@ -381,6 +381,33 @@ class SearchExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("DataFrame OOF covers every row exactly once with usable probabilities") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).zipWithIndex.toSeq
+      .map { case ((x, y), i) => (i.toLong, x.toSeq, y) }
+      .toDF("id", "features", "label")
+    val oof = graft.search.OutOfFold.oofProbaDF(df, "features", "label",
+      graft.exec.LogisticRegressionLBFGS, cv = 3, seed = 11)
+    val rows = oof.select("id", "label", "oof_proba").collect()
+    // exactly-once coverage
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 120L))
+    // out-of-fold argmax still separates the blobs
+    val acc = rows.count { r =>
+      val p = r.getSeq[Double](2)
+      p.indexOf(p.max).toDouble == r.getDouble(1)
+    }.toDouble / rows.length
+    assert(acc > 0.9, s"OOF accuracy $acc")
+    // original columns survive; proba width = class count
+    assert(oof.columns.toSet == Set("id", "features", "label", "oof_proba"))
+    assert(rows.head.getSeq[Double](2).length == 2)
+    // tree learner routes through DataParallelCART
+    val oofTree = graft.search.OutOfFold.oofProbaDF(df, "features", "label",
+      new graft.exec.CART.Classifier(2), cv = 3, seed = 11,
+      params = Map("max_depth" -> 4.0))
+    assert(oofTree.count() == 120)
+  }
+
   test("aggregateMulti iid weights every metric by fold size") {
     import spark.implicits._
     // two folds, unequal sizes: weighted mean differs from plain mean for

@@ -215,11 +215,19 @@ class DistMultilabelOvR(learner: Learner,
                         norm: Option[String] = None,
                         maxNegatives: Option[Double] = None,
                         negMethod: String = "ratio",
-                        seed: Long = 42) extends Serializable {
+                        seed: Long = 42)
+    extends Serializable with BroadcastBudgeted {
 
+  /** Auto-routed fit: task-parallel per-class fits against broadcast
+    * (x, label-sets) under the budget; one data-parallel binary fit per
+    * class over the DataFrame past it — the label test becomes an
+    * `array_contains` column, so rows never reach the driver.
+    */
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): MultilabelOvRModel = {
     import org.apache.spark.sql.functions.col
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) > broadcastBudgetBytes)
+      return fitDataParallel(spark, df, featuresCol, labelCol)
     val rows = df.select(col(featuresCol).cast("array<double>"),
       col(labelCol).cast("array<string>")).collect()
     val x = rows.map(_.getSeq[Double](0).toArray)
@@ -227,6 +235,48 @@ class DistMultilabelOvR(learner: Learner,
       if (r.isNullAt(1)) Set.empty[String]
       else r.getSeq[String](1).filter(_ != null).toSet)
     fitSets(spark, x, y)
+  }
+
+  private def fitDataParallel(spark: SparkSession, df: DataFrame,
+                              featuresCol: String,
+                              labelCol: String): MultilabelOvRModel = {
+    import org.apache.spark.sql.functions._
+    val labeled = df.select(
+      col(featuresCol).cast("array<double>").as("_x"),
+      col(labelCol).cast("array<string>").as("_ls")).cache()
+    val n = labeled.count()
+    // class inventory + positives per class in ONE exploded pass (the
+    // class list is small — it's the label vocabulary, not the data)
+    val posCounts = labeled
+      .select(explode(col("_ls")).as("_c")).filter(col("_c").isNotNull)
+      .groupBy("_c").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val classes = posCounts.keys.toArray.sorted // MultiLabelBinarizer order
+    val models: Array[Model] = classes.map { c =>
+      val bin = labeled.withColumn("_y",
+        when(array_contains(col("_ls"), c), 1.0).otherwise(0.0))
+      val capped = maxNegatives match {
+        case Some(v) => graft.plan.Expansions
+          .negativesMask(bin, "_y", 1.0, v, negMethod, seed + c.hashCode)
+        case None => bin
+      }
+      // degenerate binary: the class labels EVERY row (multilabel sets
+      // don't partition rows, so all-positive is legal), or the negative
+      // cap sampled zero negatives — same constant-model containment as
+      // the broadcast path
+      val degenerate = posCounts(c) == n || (maxNegatives.isDefined && {
+        val r = capped.agg(min("_y"), max("_y")).head()
+        r.getDouble(0) == r.getDouble(1)
+      })
+      if (degenerate) ConstantModel(1.0, 2)
+      // c=1.0 pins the regParam = 1/n translation — regime parity with
+      // the broadcast path's engine default (lambda = 1/n), not Spark
+      // ML's unregularized default
+      else DataParallelFit.fit(learner, capped, "_x", "_y",
+        Map("c" -> 1.0), seed + c.hashCode)
+    }
+    labeled.unpersist(blocking = false)
+    MultilabelOvRModel(classes, models, norm)
   }
 
   /** `mlb_override`: y already one-hot, one column per entry of `classes`. */

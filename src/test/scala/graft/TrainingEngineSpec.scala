@@ -167,6 +167,45 @@ class TrainingEngineSpec extends AnyFunSuite {
       model3.predictLabels(v).toSeq == model2.predictLabels(v).toSeq))
   }
 
+  test("multilabel OvR auto-route: over-budget fit runs data-parallel") {
+    import graft.exec.LogisticRegressionLBFGS
+    import spark.implicits._
+    val rng = new Random(21)
+    val x = Array.fill(200)(Array(rng.nextGaussian() * 2, rng.nextGaussian() * 2))
+    def truth(v: Array[Double]): Set[String] =
+      Set("a" -> (v(0) > 0.5), "b" -> (v(1) > 0.5), "c" -> (v(0) + v(1) > 0.5))
+        .collect { case (l, true) => l }
+    val y = x.map(truth)
+    val df = x.zip(y).toSeq.map { case (v, s) => (v.toSeq, s.toSeq.sorted) }
+      .toDF("features", "labels")
+    val dp = new DistMultilabelOvR(LogisticRegressionLBFGS)
+      .withBroadcastBudget(1L).fit(spark, df, "features", "labels")
+    val bc = new DistMultilabelOvR(LogisticRegressionLBFGS)
+      .fit(spark, df, "features", "labels")
+    assert(dp.classes.toSeq == Seq("a", "b", "c"))
+    val clear = x.indices.filter { i =>
+      math.abs(x(i)(0) - 0.5) > 0.7 && math.abs(x(i)(1) - 0.5) > 0.7 &&
+        math.abs(x(i)(0) + x(i)(1) - 0.5) > 0.7
+    }
+    val exact = clear.count(i => dp.predictLabels(x(i)).toSet == y(i))
+    assert(exact.toDouble / clear.size > 0.95,
+      s"data-parallel multilabel recovered $exact/${clear.size}")
+    // regime agreement away from the boundaries
+    clear.take(60).foreach { i =>
+      assert(dp.predictLabels(x(i)).toSeq == bc.predictLabels(x(i)).toSeq,
+        s"row $i regime disagreement")
+    }
+    // all-positive class: every row carries "z" — the data-parallel route
+    // must contain it as a constant-positive model, not diverge
+    val dfAll = x.zip(y).toSeq
+      .map { case (v, s) => (v.toSeq, (s + "z").toSeq.sorted) }
+      .toDF("features", "labels")
+    val withConst = new DistMultilabelOvR(LogisticRegressionLBFGS)
+      .withBroadcastBudget(1L).fit(spark, dfAll, "features", "labels")
+    assert(clear.take(20).forall(i =>
+      withConst.predictLabels(x(i)).contains("z")))
+  }
+
   test("L-BFGS plugs into OvR and the feature eliminator unchanged") {
     import graft.exec.LogisticRegressionLBFGS
     val m = blobs()

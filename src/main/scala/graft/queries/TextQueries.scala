@@ -9,9 +9,10 @@ import graft.sim.Similarity
 import graft.text.{Corpus, TextFunctions}
 
 /** Text-analysis / dedup / similarity queries over the documents and
-  * embeddings tables. SQL-expressible semantics get DuckDB oracles;
-  * hash-seeded ops (minhash, simhash, SRP sketches) are registered
-  * rows-only and pinned by ScalaTest instead.
+  * embeddings tables. All registered queries carry FULL DuckDB oracles —
+  * including the hash-seeded ops (minhash q38, simhash q37, SRP q63, IVF
+  * q62), whose oracles compare against exhaustive-similarity SQL truth
+  * rather than re-deriving the hashes.
   */
 object TextQueries {
 
@@ -335,9 +336,13 @@ object TextQueries {
         if (sentinelDir != null) {
           import scala.jdk.CollectionConverters._
           val root = java.nio.file.Paths.get(sentinelDir)
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+          // Files.walk holds directory handles open until closed —
+          // materialize the paths, then close, then delete.
+          val walk = java.nio.file.Files.walk(root)
+          val paths =
+            try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            finally walk.close()
+          paths.foreach(java.nio.file.Files.deleteIfExists(_))
         }
       }
     }),

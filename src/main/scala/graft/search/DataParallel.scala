@@ -297,11 +297,13 @@ object DataParallelFit {
           .setFamily("multinomial")
           .setMaxIter(params.getOrElse("max_iter", 100.0).toInt)
         // engine c -> regParam = 1/(c*n) (lossless translation; see
-        // DataParallelGridSearch.mkEstimator) — only pay the count when
-        // a translation is actually requested
-        params.get("c").filter(_ > 0).foreach { c =>
-          est.setRegParam(1.0 / (c * math.max(1L, data.count())))
-        }
+        // DataParallelGridSearch.mkEstimator). A MISSING c means the
+        // engine DEFAULT c=1 (broadcast learners regularize at
+        // lambda = 1/n when params omit 'c') — NOT Spark ML's regParam=0,
+        // which would silently fit unregularized and diverge from the
+        // broadcast regime on separable data. An explicit c <= 0 opts out.
+        val c = params.getOrElse("c", 1.0)
+        if (c > 0) est.setRegParam(1.0 / (c * math.max(1L, data.count())))
         SparkMLBridge.toLogRegModel(est.fit(p))
       case c: CART.Classifier =>
         DataParallelCART.fitClassifier(data, featuresCol, labelCol, params,

@@ -373,13 +373,49 @@ final case class OvOModel(classes: Array[Double],
   }
 }
 
-class DistOneVsOne(learner: Learner, seed: Long = 42) extends Serializable {
+class DistOneVsOne(learner: Learner, seed: Long = 42)
+    extends Serializable with BroadcastBudgeted {
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvOModel = {
-    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
-      stratified = false)
-    fitMatrix(spark, matrix)
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
+      val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, 1, seed,
+        stratified = false)
+      fitMatrix(spark, matrix)
+    } else fitDataParallel(spark, df, featuresCol, labelCol)
+  }
+
+  /** Broadcast-overflow route: one DISTRIBUTED binary fit per class pair.
+    * Each pair restricts the DataFrame to its two classes — a filter, so
+    * rows never reach the driver — and remaps to {0, 1}: the same
+    * `_fit_ovo_binary` plan as the broadcast path (`multiclass.py:155-172`)
+    * with `DataParallelFit` as the executor. The pair axis is
+    * driver-sequenced; each fit already uses the whole cluster. Both
+    * classes of a pair are present by construction (they come from the
+    * observed-label inventory), so the degenerate-binary containment of
+    * the broadcast path has nothing to contain here.
+    */
+  private def fitDataParallel(spark: SparkSession, df: DataFrame,
+                              featuresCol: String, labelCol: String): OvOModel = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val labeled = df.select(col(featuresCol).as("_x"),
+      col(labelCol).cast("double").as("_y")).cache()
+    val classes = labeled.select("_y").distinct()
+      .collect().map(_.getDouble(0)).sorted
+    val pairs = for {
+      i <- classes.indices
+      j <- (i + 1) until classes.length
+    } yield (classes(i), classes(j))
+    val models: Seq[Model] = pairs.map { case (a, b) =>
+      val bin = labeled
+        .filter(col("_y") === lit(a) || col("_y") === lit(b))
+        .withColumn("_y", when(col("_y") === lit(a), 0.0).otherwise(1.0))
+      // Map.empty: DataParallelFit supplies the engine default c=1
+      // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
+      DataParallelFit.fit(learner, bin, "_x", "_y", Map.empty, seed)
+    }
+    labeled.unpersist(blocking = false)
+    OvOModel(classes, pairs.toArray, models.toArray)
   }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvOModel = {

@@ -408,15 +408,19 @@ object Similarity {
     // auto-k needs n, but a dedicated corpus pass just to size the
     // quantizer is waste at 100 TB. In preference order: the caller's
     // known count (pipelines that track doc stats already have it), the
-    // optimizer's EXACT row-count stats when present (CBO/ANALYZE), and
-    // only then a count() — which doubles as the cache-materialization
-    // pass the KMeans fit would otherwise pay itself.
+    // optimizer's row-count stats when present (exact after ANALYZE on a
+    // leaf relation; a CBO estimate after filters — fine, since k only
+    // sets cell granularity, not correctness), and only then a count() —
+    // which doubles as the cache-materialization pass the KMeans fit
+    // would otherwise pay itself. Stats are read from `vecs` (the
+    // null/empty-filtered projection the fallback counts), not the raw
+    // df, so both sources size k from the same relation.
     val k =
       if (nClusters > 0) nClusters
       else {
         val n: Long =
           if (nRows > 0) nRows
-          else df.queryExecution.optimizedPlan.stats.rowCount
+          else vecs.queryExecution.optimizedPlan.stats.rowCount
             .map(_.toLong).filter(_ > 0)
             .getOrElse(vecs.count())
         math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)

@@ -433,4 +433,61 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(iid.getAs[Double]("std_test_acc")
       == single.getAs[Double]("std_test_score"))
   }
+
+  test("OvO auto-route: over-budget fit runs per-pair data-parallel, regime-identical predictions") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val centers = Array(Array(0.0, 0.0), Array(5.0, 5.0), Array(-5.0, 5.0))
+    val x = Array.tabulate(150) { i =>
+      val c = i % 3
+      Array(centers(c)(0) + rng.nextGaussian() * 0.3,
+        centers(c)(1) + rng.nextGaussian() * 0.3)
+    }
+    val y = Array.tabulate(150)(i => (i % 3).toDouble)
+    val df = x.zip(y).toSeq.map { case (xs, yy) => (xs.toSeq, yy) }
+      .toDF("features", "label")
+    val bc = new DistOneVsOne(graft.exec.LogisticRegressionLBFGS)
+      .fit(spark, df, "features", "label")
+    val dp = new DistOneVsOne(graft.exec.LogisticRegressionLBFGS)
+      .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    assert(dp.classes.toSeq == bc.classes.toSeq)
+    assert(dp.pairs.toSeq == bc.pairs.toSeq)
+    assert(dp.models.forall(_.isInstanceOf[graft.exec.LogRegModel]),
+      "data-parallel OvO returns the engine's own model type")
+    // same pair lattice, same default regularization (c=1 -> lambda=1/n),
+    // well-separated pairs: the two regimes must agree pointwise
+    x.indices.foreach { i =>
+      assert(dp.predict(x(i)) == bc.predict(x(i)), s"row $i regime disagreement")
+    }
+    assert(Metrics.accuracy(dp, x, y) > 0.95)
+    // tree base learner routes through DataParallelCART per pair
+    val dpTree = new DistOneVsOne(new graft.exec.CART.Classifier(2))
+      .withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    assert(Metrics.accuracy(dpTree, x, y) > 0.95)
+  }
+
+  test("DataParallelFit treats a missing 'c' as the engine default c=1") {
+    import spark.implicits._
+    val m = blobs(n = 120)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    def weights(params: Map[String, Double]) =
+      DataParallelFit.fit(graft.exec.LogisticRegressionLBFGS, df,
+        "features", "label", params, 1)
+        .asInstanceOf[graft.exec.LogRegModel].weights
+    val omitted = weights(Map.empty)
+    val explicit = weights(Map("c" -> 1.0))
+    omitted.zip(explicit).foreach { case (a, b) =>
+      a.zip(b).foreach { case (u, v) =>
+        assert(math.abs(u - v) < 1e-9, "Map.empty must regularize like c=1")
+      }
+    }
+    // and the regularization actually bites: separable blobs fit
+    // unregularized (explicit c<=0 opt-out) grow much larger weights
+    val unreg = weights(Map("c" -> 0.0))
+    val norm = (w: Array[Array[Double]]) =>
+      math.sqrt(w.map(_.map(v => v * v).sum).sum)
+    assert(norm(unreg) > 2 * norm(omitted),
+      s"unregularized ${norm(unreg)} vs default ${norm(omitted)}")
+  }
 }

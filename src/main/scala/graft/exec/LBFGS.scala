@@ -16,7 +16,18 @@ object LBFGS {
 
   def minimize(w0: Array[Double],
                lossGrad: Array[Double] => (Double, Array[Double]),
-               maxIter: Int, tol: Double): Array[Double] = {
+               maxIter: Int, tol: Double): Array[Double] =
+    minimize(w0, lossGrad, maxIter, tol, null)
+
+  /** Monitored variant: after each ACCEPTED step, `monitor(w)` decides
+    * whether to continue (false → stop). The hook behind eval-set early
+    * stopping — the caller keeps its own best-iterate snapshot; the return
+    * value is the last iterate, as always.
+    */
+  def minimize(w0: Array[Double],
+               lossGrad: Array[Double] => (Double, Array[Double]),
+               maxIter: Int, tol: Double,
+               monitor: Array[Double] => Boolean): Array[Double] = {
     val dim = w0.length
     var w = w0
 
@@ -105,6 +116,7 @@ object LBFGS {
         }
         w = newW; loss = newLoss; grad = newGrad
         if (supNorm(grad) < tol) done = true
+        if (monitor != null && !monitor(w)) done = true
       }
       it += 1
     }

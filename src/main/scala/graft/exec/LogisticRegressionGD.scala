@@ -48,7 +48,20 @@ final case class LogRegModel(weights: Array[Array[Double]], // k x (d+1), last =
 object LogisticRegressionGD extends Learner {
 
   def fit(X: Array[Array[Double]], y: Array[Double],
-          params: Map[String, Double], seed: Long): Model = {
+          params: Map[String, Double], seed: Long): Model =
+    fitCore(X, y, params, FitSideData.empty)
+
+  /** fit_params channel: same eval-slice + patience early stopping as the
+    * L-BFGS learner — held-out NLL checked each GD iteration, best-on-eval
+    * weights returned.
+    */
+  override def fit(X: Array[Array[Double]], y: Array[Double],
+                   params: Map[String, Double], seed: Long,
+                   side: FitSideData): Model =
+    fitCore(X, y, params, side)
+
+  private def fitCore(X: Array[Array[Double]], y: Array[Double],
+                      params: Map[String, Double], side: FitSideData): Model = {
     val n = X.length
     require(n > 0, "empty training set")
     val d = X(0).length
@@ -65,6 +78,11 @@ object LogisticRegressionGD extends Learner {
     val w = Array.fill(k)(new Array[Double](d + 1))
     val grad = Array.fill(k)(new Array[Double](d + 1))
     val model = LogRegModel(w, k)
+    val es = side.hasEarlyStopping
+    var bestLoss =
+      if (es) FitSideData.evalNll(model, side.evalX, side.evalY) else 0.0
+    var bestW: Array[Array[Double]] = if (es) w.map(_.clone()) else null
+    var rounds = 0
     var it = 0
     while (it < maxIter) {
       var cc = 0
@@ -101,7 +119,17 @@ object LogisticRegressionGD extends Learner {
       }
       it += 1
       if (tol > 0 && gradMax < tol) it = maxIter // converged
+      if (es) {
+        val el = FitSideData.evalNll(model, side.evalX, side.evalY)
+        if (side.history != null) side.history += el
+        if (el < bestLoss - side.minDelta) {
+          bestLoss = el; bestW = w.map(_.clone()); rounds = 0
+        } else {
+          rounds += 1
+          if (rounds >= side.earlyStoppingRounds) it = maxIter // patience out
+        }
+      }
     }
-    model
+    if (es) LogRegModel(bestW, k) else model
   }
 }

@@ -14,7 +14,22 @@ package graft.exec
 object LogisticRegressionLBFGS extends Learner {
 
   def fit(X: Array[Array[Double]], y: Array[Double],
-          params: Map[String, Double], seed: Long): Model = {
+          params: Map[String, Double], seed: Long): Model =
+    fitCore(X, y, params, FitSideData.empty)
+
+  /** fit_params channel: with an eval slice + patience, the L-BFGS loop
+    * monitors held-out NLL after every accepted step and stops once it
+    * hasn't improved by `minDelta` for `earlyStoppingRounds` consecutive
+    * steps, returning the BEST-on-eval iterate (standard early-stopping
+    * rewind), not the last.
+    */
+  override def fit(X: Array[Array[Double]], y: Array[Double],
+                   params: Map[String, Double], seed: Long,
+                   side: FitSideData): Model =
+    fitCore(X, y, params, side)
+
+  private def fitCore(X: Array[Array[Double]], y: Array[Double],
+                      params: Map[String, Double], side: FitSideData): Model = {
     val n = X.length
     require(n > 0, "empty training set")
     val d = X(0).length
@@ -74,9 +89,26 @@ object LogisticRegressionLBFGS extends Learner {
       (loss, g)
     }
 
-    val w = LBFGS.minimize(new Array[Double](dim), lossGrad, maxIter, tol)
-    val weights = Array.tabulate(k)(cc =>
-      java.util.Arrays.copyOfRange(w, cc * stride, (cc + 1) * stride))
-    LogRegModel(weights, k)
+    def toModel(wv: Array[Double]): LogRegModel =
+      LogRegModel(Array.tabulate(k)(cc =>
+        java.util.Arrays.copyOfRange(wv, cc * stride, (cc + 1) * stride)), k)
+
+    if (!side.hasEarlyStopping) {
+      toModel(LBFGS.minimize(new Array[Double](dim), lossGrad, maxIter, tol))
+    } else {
+      var bestLoss = FitSideData.evalNll(toModel(new Array[Double](dim)),
+        side.evalX, side.evalY)
+      var bestW = new Array[Double](dim)
+      var rounds = 0
+      val monitor: Array[Double] => Boolean = { wv =>
+        val el = FitSideData.evalNll(toModel(wv), side.evalX, side.evalY)
+        if (side.history != null) side.history += el
+        if (el < bestLoss - side.minDelta) {
+          bestLoss = el; bestW = wv.clone(); rounds = 0; true
+        } else { rounds += 1; rounds < side.earlyStoppingRounds }
+      }
+      LBFGS.minimize(new Array[Double](dim), lossGrad, maxIter, tol, monitor)
+      toModel(bestW)
+    }
   }
 }

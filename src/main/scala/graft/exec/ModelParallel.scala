@@ -154,9 +154,11 @@ object ModelParallel {
     */
   def run(spark: SparkSession, tasks: Seq[FitTask], bc: Broadcast[TrainMatrix],
           learner: Learner, scoring: String, seed: Long,
-          errorScore: Option[Double] = None): DataFrame = {
+          errorScore: Option[Double] = None,
+          side: FitSideData = FitSideData.empty): DataFrame = {
     import spark.implicits._
     val scorerName = scoring
+    val sideData = side // rides each task closure (eval slices are small)
     val results = spark.sparkContext
       .parallelize(tasks, math.max(1, tasks.size))
       .map { t =>
@@ -168,7 +170,7 @@ object ModelParallel {
         // error_score contains FIT failures only (sklearn semantics):
         // a scorer exception is a bug to surface, not a score to fake
         val fitted =
-          try Right(learner.fit(trainX, trainY, t.params, seed + t.taskId))
+          try Right(learner.fit(trainX, trainY, t.params, seed + t.taskId, sideData))
           catch { case e: Exception => Left(e) }
         fitted match {
           case Right(model) =>
@@ -192,9 +194,11 @@ object ModelParallel {
     */
   def runMulti(spark: SparkSession, tasks: Seq[FitTask], bc: Broadcast[TrainMatrix],
                learner: Learner, scorings: Seq[String], seed: Long,
-               errorScore: Option[Double] = None): DataFrame = {
+               errorScore: Option[Double] = None,
+               side: FitSideData = FitSideData.empty): DataFrame = {
     import spark.implicits._
     val names = scorings
+    val sideData = side
     val results = spark.sparkContext
       .parallelize(tasks, math.max(1, tasks.size))
       .map { t =>
@@ -205,7 +209,7 @@ object ModelParallel {
         val t0 = System.nanoTime()
         // fit failures only, as in run(): scorer errors re-raise
         val fitted =
-          try Right(learner.fit(trainX, trainY, t.params, seed + t.taskId))
+          try Right(learner.fit(trainX, trainY, t.params, seed + t.taskId, sideData))
           catch { case e: Exception => Left(e) }
         fitted match {
           case Right(model) =>

@@ -214,7 +214,33 @@ final case class TreeEmbeddingModel(trees: Array[CART.TreeModel]) extends Serial
 
 class DistRandomTreesEmbedding(nEstimators: Int = 100,
                                maxDepth: Int = 5,
-                               seed: Long = 42) extends Serializable {
+                               seed: Long = 42)
+    extends Serializable with BroadcastBudgeted {
+
+  /** Auto-routed DataFrame fit (reference `ensemble.py:696-716` fits on X
+    * alone — the embedding is unsupervised): broadcast task-parallel trees
+    * under the budget; data-parallel histogram induction with a `rand()`
+    * target column past it. The uniform-random target is drawn per-row in
+    * both regimes (driver RNG vs rand(seed) column), so they agree in
+    * distribution — leaf geometry, like the forest bootstrap, is not
+    * draw-for-draw identical across regimes.
+    */
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String): TreeEmbeddingModel = {
+    import org.apache.spark.sql.functions.{lit, rand}
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
+      fitMatrix(spark, ModelParallel.collectMatrix(
+        df.withColumn("_zero", lit(0.0)), featuresCol, "_zero", 1, seed,
+        stratified = false))
+    } else {
+      val withY = df.withColumn("_ry", rand(seed))
+      val forest = DataParallelCART.fitForest(withY, featuresCol, "_ry",
+        Map("max_depth" -> maxDepth.toDouble, "random_splits" -> 1.0),
+        seed, nEstimators, classification = false, bootstrap = false)
+      TreeEmbeddingModel(forest.trees)
+    }
+  }
+
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): TreeEmbeddingModel = {
     // Random uniform target (`ensemble.py:704-705`), regression trees with
     // random splits.

@@ -64,6 +64,18 @@ class DistGridSearchCV(learner: Learner,
   protected var preds: Boolean = false
   def withPreds(flag: Boolean = true): this.type = { preds = flag; this }
 
+  /** Per-fit side data — the engine's `**fit_params` analog (reference
+    * `search.py:347,435` threads caller fit_params into every candidate ×
+    * fold fit AND the refit; its xgboost test exercises eval-set early
+    * stopping, `tests/test_spark.py:165-187`). Broadcast-regime feature:
+    * the data-parallel route's Spark ML solvers expose no eval-set hook,
+    * so past the broadcast budget only `max_iter` caps iterations.
+    */
+  protected var fitSide: graft.exec.FitSideData = graft.exec.FitSideData.empty
+  def withFitSideData(side: graft.exec.FitSideData): this.type = {
+    fitSide = side; this
+  }
+
   protected def candidates(): Seq[Map[String, Double]] =
     ParamGrid.expand(grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })
       .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
@@ -219,12 +231,13 @@ class DistGridSearchCV(learner: Learner,
       val a =
         if (extraScorings.isEmpty)
           CvResults.aggregate(
-            ModelParallel.run(spark, tasks, bc, learner, scoring, seed, errorScore),
+            ModelParallel.run(spark, tasks, bc, learner, scoring, seed,
+              errorScore, fitSide),
             Seq("candidate_id"), iid = iid)
         else
           CvResults.aggregateMulti(
             ModelParallel.runMulti(spark, tasks, bc, learner,
-              scoring +: extraScorings, seed, errorScore),
+              scoring +: extraScorings, seed, errorScore, fitSide),
             Seq("candidate_id"), scoring +: extraScorings, iid = iid)
       a.cache()
     }
@@ -237,8 +250,9 @@ class DistGridSearchCV(learner: Learner,
     val bestId = bestRow.getAs[Int]("candidate_id")
     val bestScore = bestRow.getAs[Double]("mean_test_score")
     val bestParams = cands(bestId)
-    // Refit on the FULL matrix (reference `search.py:543-550`).
-    val bestModel = learner.fit(matrix.x, matrix.y, bestParams, seed)
+    // Refit on the FULL matrix (reference `search.py:543-550`), with the
+    // same fit_params side data as the CV fits.
+    val bestModel = learner.fit(matrix.x, matrix.y, bestParams, seed, fitSide)
     // preds_: out-of-fold proba of the best candidate — row i predicted by
     // the fold model that never saw row i (`search.py:551-560`).
     val oof =

@@ -273,6 +273,30 @@ class DataParallelCARTSpec extends AnyFunSuite {
     }
   }
 
+  test("DistRandomTreesEmbedding auto-route: over-budget fit runs data-parallel, sane embedding") {
+    val (x, y) = planted()
+    val df = toDF(x, y)
+    def emb(budget: Long) =
+      new graft.search.DistRandomTreesEmbedding(nEstimators = 6, maxDepth = 3, seed = 7)
+        .withBroadcastBudget(budget).fit(spark, df, "x")
+    val under = emb(1L << 30)
+    val over = emb(1L)
+    for ((m, name) <- Seq((under, "broadcast"), (over, "data-parallel"))) {
+      assert(m.trees.length == 6, s"$name tree count")
+      assert(m.width == m.trees.map(_.nLeaves).sum, s"$name width")
+      assert(m.width > 6, s"$name: all trees degenerate single-leaf")
+      x.take(30).foreach { row =>
+        val idx = m.transform(row)
+        assert(idx.length == 6, s"$name: one active leaf per tree")
+        idx.zipWithIndex.foreach { case (v, t) =>
+          assert(v >= m.leafOffsets(t) &&
+            v < m.leafOffsets(t) + m.trees(t).nLeaves,
+            s"$name: tree $t index $v out of its leaf block")
+        }
+      }
+    }
+  }
+
   test("OvR auto-route: tree base learner over budget fits per-class distributed trees") {
     val (x, y) = planted()
     val df = toDF(x, y)

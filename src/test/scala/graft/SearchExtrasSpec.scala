@@ -434,6 +434,57 @@ class SearchExtrasSpec extends AnyFunSuite {
       == single.getAs[Double]("std_test_score"))
   }
 
+  test("fit_params: eval-set early stopping fires sooner, scores within tolerance") {
+    import scala.collection.mutable.ArrayBuffer
+    import graft.exec.{FitSideData, LogisticRegressionLBFGS}
+    // Overfit-prone: few rows, mostly-noise dims, near-zero regularization
+    // — train NLL keeps falling while held-out NLL turns, so patience fires
+    // well before max_iter.
+    val rng = new Random(3)
+    val d = 20
+    def mk(n: Int) = {
+      val x = Array.tabulate(n) { i =>
+        val c = i % 2
+        Array.tabulate(d)(j =>
+          if (j == 0) c * 1.0 + rng.nextGaussian() * 0.8 else rng.nextGaussian())
+      }
+      (x, Array.tabulate(n)(i => (i % 2).toDouble))
+    }
+    val (tx, ty) = mk(40)
+    val (ex, ey) = mk(200)
+    val params = Map("c" -> 1e6, "max_iter" -> 400.0, "tol" -> 0.0)
+    for (lrn <- Seq[Learner](LogisticRegressionLBFGS, LogisticRegressionGD)) {
+      // patience = MaxValue never stops, so its history length IS the
+      // solver's natural iteration count (the monitor only observes)
+      val fullHist = ArrayBuffer.empty[Double]
+      val full = lrn.fit(tx, ty, params, 1,
+        FitSideData(ex, ey, Int.MaxValue, history = fullHist))
+      val earlyHist = ArrayBuffer.empty[Double]
+      val early = lrn.fit(tx, ty, params, 1,
+        FitSideData(ex, ey, earlyStoppingRounds = 3, history = earlyHist))
+      assert(earlyHist.nonEmpty && earlyHist.length < fullHist.length,
+        s"$lrn: early ${earlyHist.length} vs full ${fullHist.length} iters")
+      // best-on-eval rewind: the stopped fit can't be worse on eval NLL
+      assert(FitSideData.evalNll(early, ex, ey)
+        <= FitSideData.evalNll(full, ex, ey) + 1e-9, s"$lrn eval NLL")
+      val accFull = Metrics.accuracy(lrn.fit(tx, ty, params, 1), ex, ey)
+      val accEarly = Metrics.accuracy(early, ex, ey)
+      assert(accEarly >= accFull - 0.05, s"$lrn: $accEarly vs $accFull")
+      // no side data (or no eval slice) is exactly the old path
+      assert(Metrics.accuracy(lrn.fit(tx, ty, params, 1, FitSideData.empty), ex, ey)
+        == accFull)
+    }
+    // the search stack threads side data into every CV fit and the refit
+    val m = blobs(n = 90)
+    val (bx, by) = (m.x.take(30), m.y.take(30))
+    val r = new DistGridSearchCV(LogisticRegressionLBFGS,
+      Map("c" -> Seq(1.0, 10.0), "max_iter" -> Seq(80.0)), cv = 3)
+      .withFitSideData(FitSideData(bx, by, earlyStoppingRounds = 3))
+      .fitMatrix(spark, m)
+    assert(r.bestScore > 0.9, s"early-stopped search, got ${r.bestScore}")
+    assert(Metrics.accuracy(r.bestModel, m.x, m.y) > 0.9)
+  }
+
   test("OvO auto-route: over-budget fit runs per-pair data-parallel, regime-identical predictions") {
     import spark.implicits._
     val rng = new Random(11)

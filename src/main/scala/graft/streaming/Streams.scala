@@ -140,6 +140,37 @@ object Streams {
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"interval $maxGap"))
 
+  /** Streaming state-store selector. The default HDFS-backed provider
+    * keeps every key's state ON-HEAP — fine at test cardinality, an
+    * executor OOM at 100× session/join-key cardinality. "rocksdb"
+    * switches NEW queries (the conf is read at query start; a checkpoint
+    * keeps the provider it started with) to RocksDB: state lives
+    * off-heap/on-disk with changelog checkpointing, so state size is
+    * bounded by local disk, not heap. Returns the previous provider
+    * setting so callers can restore it.
+    */
+  def withStateStore(spark: SparkSession, provider: String): Option[String] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    provider.toLowerCase match {
+      case "rocksdb" => spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "hdfs" | "default" => spark.conf.unset(key)
+      case other => throw new IllegalArgumentException(
+        s"state store must be rocksdb|hdfs|default, got $other")
+    }
+    prev
+  }
+
+  /** Restore a provider setting captured by [[withStateStore]]. */
+  def restoreStateStore(spark: SparkSession, prev: Option[String]): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming frame to completion against static files via the
     * memory sink (the local test harness; on a cluster this would be a
     * kafka/delta sink).

@@ -20,6 +20,17 @@ object Sessions {
           sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_STATE_STORE=rocksdb switches streaming state to the
+      // RocksDB provider (disk-bounded state — the 100x-cardinality
+      // deployment shape; see Streams.withStateStore). Default stays the
+      // in-memory HDFS-backed provider: at bench cardinality it is faster
+      // and the bench floor should not silently shift between rounds.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "")
+            .equalsIgnoreCase("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else // the Spark default, spelled out (the class is private[state])
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       // shuffle compression stays ON even in local mode: the CPU saving
       // measured at bench scale was noise, while a pair-heavy shuffle
       // (LSH candidate joins at probe scale) ran local disk out of space

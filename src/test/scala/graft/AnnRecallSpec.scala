@@ -40,8 +40,9 @@ class AnnRecallSpec extends AnyFunSuite {
         (math.min(a, b), math.max(a, b))
       }.toSet
 
-  private def ivfRecall(nClusters: Int, nProbe: Int, k: Int): Double = {
-    val queries = emb.filter(col("vec_id") < 20)
+  private def ivfRecall(nClusters: Int, nProbe: Int, k: Int,
+                        panel: Int = 20): Double = {
+    val queries = emb.filter(col("vec_id") < panel)
     val truth = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -52,15 +53,21 @@ class AnnRecallSpec extends AnyFunSuite {
     (got & truth).size.toDouble / truth.size
   }
 
+  // Floors are set at mean − 3σ of the metric across 5 quantizer/plane
+  // seeds (AnnSeedVarianceProbe, round 6 — numbers in NOTES.md): a
+  // regression has to clear three standard deviations of seed luck to
+  // slip past, and a merely-mediocre quantizer no longer fits under a
+  // slack floor.
   test("IVF recall floor on the natural corpus (and the gate has teeth)") {
     val r = ivfRecall(nClusters = 16, nProbe = 8, k = 10)
     info(f"IVF recall@10 nProbe=8/16 cells: $r%.3f")
-    assert(r >= 0.85, f"IVF natural recall regressed: $r%.3f < 0.85")
+    // 5-seed measurement: mean 0.890, σ 0.011 → floor 0.855
+    assert(r >= 0.855, f"IVF natural recall regressed: $r%.3f < 0.855")
     // degraded operating point: 1 of 64 cells probed — must sit clearly
     // below the floor, or this gate could never catch a regression
     val broken = ivfRecall(nClusters = 64, nProbe = 1, k = 10)
     info(f"IVF recall@10 nProbe=1/64 cells: $broken%.3f")
-    assert(broken < 0.85, f"degraded config scored $broken%.3f — gate is blunt")
+    assert(broken < 0.855, f"degraded config scored $broken%.3f — gate is blunt")
   }
 
   test("SRP pair recall floor at the corpus's NN operating point") {
@@ -76,12 +83,13 @@ class AnnRecallSpec extends AnyFunSuite {
     }
     val r = srpRecall(planes = 16, bands = 4)
     info(f"SRP NN-pair recall (16 planes, 4 bands): $r%.3f")
-    assert(r >= 0.30, f"SRP natural NN recall regressed: $r%.3f < 0.30")
+    // 5-seed measurement: mean 0.447, σ 0.022 → floor 0.38
+    assert(r >= 0.38, f"SRP natural NN recall regressed: $r%.3f < 0.38")
     // broken banding: one 64-bit band — collision probability collapses
     // for non-identical vectors, so recall must crater
     val broken = srpRecall(planes = 64, bands = 1)
     info(f"SRP NN-pair recall (64-bit single band): $broken%.3f")
-    assert(broken < 0.30, f"degraded banding scored $broken%.3f — gate is blunt")
+    assert(broken < 0.38, f"degraded banding scored $broken%.3f — gate is blunt")
   }
 
   test("spherical-quantizer cell recall at SemDeDup's auto-k operating point") {
@@ -91,11 +99,17 @@ class AnnRecallSpec extends AnyFunSuite {
     // that bounds SemDeDup's natural-pair recall. nProbe=1 isolates the
     // assignment quality; a few extra probes must recover most of the
     // remainder (quantizer health, not luck).
-    val r1 = ivfRecall(nClusters = 22, nProbe = 1, k = 1)
-    val r4 = ivfRecall(nClusters = 22, nProbe = 4, k = 1)
-    info(f"NN cell recall @22 cells: nProbe=1 $r1%.3f, nProbe=4 $r4%.3f")
-    assert(r1 >= 0.25, f"cell-assignment recall regressed: $r1%.3f < 0.25")
-    assert(r4 >= 0.60, f"multi-probe recall regressed: $r4%.3f < 0.60")
+    // 200-query panel: the earlier 20-query panel had 0.05 recall
+    // granularity, so seed σ was panel noise (σ 0.097), not quantizer
+    // noise — floors on it were either slack or flaky. At 200 queries the
+    // 5-seed spread tightens to σ 0.034 (np1) / 0.062 (np4).
+    val r1 = ivfRecall(nClusters = 22, nProbe = 1, k = 1, panel = 200)
+    val r4 = ivfRecall(nClusters = 22, nProbe = 4, k = 1, panel = 200)
+    info(f"NN cell recall @22 cells (200q): nProbe=1 $r1%.3f, nProbe=4 $r4%.3f")
+    // 5-seed measurement: np1 mean 0.302 σ 0.034 → floor 0.20;
+    //                     np4 mean 0.657 σ 0.062 → floor 0.47
+    assert(r1 >= 0.20, f"cell-assignment recall regressed: $r1%.3f < 0.20")
+    assert(r4 >= 0.47, f"multi-probe recall regressed: $r4%.3f < 0.47")
     assert(r4 > r1, "probing more cells must not lose neighbors")
   }
 }

@@ -225,6 +225,81 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"buffered click must pair exactly once across the restart, got $got")
   }
 
+  test("RocksDB state store: checkpointed restarts recover session and join state") {
+    // same kill + restart contracts as the two HDFS-provider tests above,
+    // under the RocksDB provider (the 100×-cardinality deployment shape:
+    // state bounded by local disk, not executor heap)
+    val prev = Streams.withStateStore(spark, "rocksdb")
+    try {
+      val t0 = 1700000000000L
+      // --- session merge across the stop ---
+      val src = java.nio.file.Files.createTempDirectory("rdb_sw_src").toString
+      val out = java.nio.file.Files.createTempDirectory("rdb_sw_out").toString
+      val chk = java.nio.file.Files.createTempDirectory("rdb_sw_chk").toString
+      def events(rows: Seq[(Long, Long, Long, Double)]): Unit =
+        rows.map { case (id, user, offMs, v) =>
+          (id, new java.sql.Timestamp(t0 + offMs), user, "click", v) }
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("append").parquet(src)
+      def run(): Unit = {
+        val stream = spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+          .parquet(src)
+        val q = Streams.sessionWindows(stream, gap = "600 seconds",
+          watermark = "0 seconds")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      events(Seq((1L, 1L, 0L, 1.0), (2L, 1L, 60000L, 2.0)))
+      run()
+      events(Seq((3L, 1L, 360000L, 4.0), (99L, -1L, 86400000L * 365, 0.0)))
+      run()
+      val sessions = spark.read.parquet(out)
+        .filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      assert(sessions.toSeq == Seq((1L, 3L, 7.0, 360L)),
+        s"RocksDB-recovered state must merge one session, got ${sessions.toSeq}")
+
+      // --- buffered interval-join state across the stop ---
+      val jsrc = java.nio.file.Files.createTempDirectory("rdb_ij_src").toString
+      val jout = java.nio.file.Files.createTempDirectory("rdb_ij_out").toString
+      val jchk = java.nio.file.Files.createTempDirectory("rdb_ij_chk").toString
+      def jevents(rows: Seq[(Long, Long, Long, String)]): Unit =
+        rows.map { case (id, user, offMs, typ) =>
+          (id, new java.sql.Timestamp(t0 + offMs), user, typ) }
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .write.mode("append").parquet(jsrc)
+      def jrun(): Unit = {
+        def s = spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, event_type string")
+          .parquet(jsrc)
+        val clicks = s.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+            col("user_id"))
+        val purchases = s.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+            col("user_id").as("_pu"))
+        val q = Streams.streamIntervalJoin(clicks, purchases,
+          "user_id", "_pu", "c_ts", "p_ts", maxGap = "30 minutes")
+          .select("click_id", "purchase_id")
+          .writeStream.format("parquet")
+          .option("path", jout).option("checkpointLocation", jchk)
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      jevents(Seq((1L, 1L, 0L, "click")))
+      jrun() // click buffered in RocksDB join state
+      jevents(Seq((2L, 1L, 100000L, "purchase")))
+      jrun()
+      val pairs = spark.read.parquet(jout)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"RocksDB-buffered click must pair across the restart, got $pairs")
+    } finally Streams.restoreStateStore(spark, prev)
+  }
+
   test("multimodal feature extraction is deterministic with fixed width") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, "/root/testdata/sf0.001"))

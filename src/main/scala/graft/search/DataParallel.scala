@@ -283,9 +283,14 @@ object DistributedScore {
   * regime produces; unsupported learners fail loudly.
   */
 object DataParallelFit {
+  /** `nRows`: the training row count when the caller already knows it
+    * (fold-size bookkeeping in the search loops) — skips the count job
+    * the logistic regularization translation otherwise pays per fit.
+    */
   def fit(learner: graft.exec.Learner, data: DataFrame,
           featuresCol: String, labelCol: String,
-          params: Map[String, Double], seed: Long): graft.exec.Model = {
+          params: Map[String, Double], seed: Long,
+          nRows: Long = -1L): graft.exec.Model = {
     import org.apache.spark.ml.functions.array_to_vector
     learner match {
       case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS =>
@@ -303,7 +308,10 @@ object DataParallelFit {
         // which would silently fit unregularized and diverge from the
         // broadcast regime on separable data. An explicit c <= 0 opts out.
         val c = params.getOrElse("c", 1.0)
-        if (c > 0) est.setRegParam(1.0 / (c * math.max(1L, data.count())))
+        if (c > 0) {
+          val n = if (nRows > 0) nRows else data.count()
+          est.setRegParam(1.0 / (c * math.max(1L, n)))
+        }
         SparkMLBridge.toLogRegModel(est.fit(p))
       case c: CART.Classifier =>
         DataParallelCART.fitClassifier(data, featuresCol, labelCol, params,

@@ -304,7 +304,8 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
                            n: Int = 5,
                            cv: Int = 5,
                            scoring: String = "accuracy",
-                           seed: Long = 42) extends Serializable {
+                           seed: Long = 42)
+    extends Serializable with BroadcastBudgeted {
   require(models.map(_._1).distinct.size == models.size,
     s"model names must be unique (they key the cv_results rows): " +
       models.map(_._1).mkString(", "))
@@ -315,22 +316,94 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
                                bestScore: Double,
                                bestModel: Model)
 
-  def fit(spark: SparkSession, df: DataFrame,
-          featuresCol: String, labelCol: String): MultiResult = {
-    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
-    val bc = spark.sparkContext.broadcast(matrix)
-
+  private def drawCandidates(): Seq[(String, Learner, Seq[Map[String, Double]])] =
     // Per-model candidate draws; rows are keyed by (model_name,
     // per-model candidate index) — names, not arithmetic id packing, so
-    // candidate counts can never collide across models. Task ids (used
-    // only for per-task seeds) get a running offset to stay globally
-    // unique.
-    val perModel = models.zipWithIndex.map { case ((name, learner, grid), mi) =>
+    // candidate counts can never collide across models.
+    models.zipWithIndex.map { case ((name, learner, grid), mi) =>
       val cands = ParamSampler.sample(
         grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) }, n, seed + mi)
         .map(_.map { case (k, v) => k -> v.asInstanceOf[Double] })
       (name, learner, cands)
     }
+
+  /** Auto-routed fit: the multi-armed race collects + broadcasts while
+    * the matrix fits the budget; past it, every (model, candidate, fold)
+    * becomes a distributed `DataParallelFit` scored by
+    * `DistributedScore` — same engine metric surface, same cv_results
+    * keying, same refit contract, so the caller never sees which regime
+    * ran.
+    */
+  def fit(spark: SparkSession, df: DataFrame,
+          featuresCol: String, labelCol: String): MultiResult = {
+    if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes)
+      fitBroadcast(spark, df, featuresCol, labelCol)
+    else fitDataParallel(spark, df, featuresCol, labelCol)
+  }
+
+  private def fitDataParallel(spark: SparkSession, df: DataFrame,
+                              featuresCol: String, labelCol: String): MultiResult = {
+    val perModel = drawCandidates()
+    perModel.foreach { case (name, learner, _) =>
+      learner match {
+        case graft.exec.LogisticRegressionGD |
+             graft.exec.LogisticRegressionLBFGS |
+             _: graft.exec.CART.Classifier | graft.exec.CART.Regressor => ()
+        case other => throw new IllegalArgumentException(
+          s"model '$name': the data-parallel auto-route supports the " +
+            s"logistic and CART learners, not $other; shrink the data or " +
+            "raise withBroadcastBudget")
+      }
+    }
+    val prepared = df.select(
+      col(featuresCol).cast("array<double>").as("_x"),
+      col(labelCol).cast("double").as("_y"))
+      // hash folds, not labels (fold-label correlation skews CV); the
+      // broadcast route stratifies instead — fold SCHEMES differ between
+      // regimes, scores agree in expectation (same contract as the grid
+      // search auto-route)
+      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
+      .cache()
+    val nTotal = prepared.count()
+    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val scoreRows = for {
+      (name, learner, cands) <- perModel
+      (params, pi) <- cands.zipWithIndex
+      fold <- 0 until cv
+    } yield {
+      val train = prepared.filter(col("_fold") =!= fold)
+      val test = prepared.filter(col("_fold") === fold)
+      val nTest = foldSizes.getOrElse(fold, 0L)
+      val model = DataParallelFit.fit(learner, train, "_x", "_y", params,
+        seed + pi * cv + fold, nRows = nTotal - nTest)
+      (name, pi, fold, DistributedScore(scoring, model, test, "_x", "_y"), nTest)
+    }
+    import spark.implicits._
+    val scores = scoreRows
+      .toDF("model_name", "candidate_id", "fold_id", "score", "n_test")
+    val agg = CvResults.aggregate(scores, Seq("model_name", "candidate_id")).cache()
+    val bestRow = CvResults.best(agg, Seq("model_name", "candidate_id")).head()
+    val bestPi = bestRow.getAs[Int]("candidate_id")
+    val bestName = bestRow.getAs[String]("model_name")
+    val (_, bestLearner, bestCands) = perModel.find(_._1 == bestName).get
+    val bestParams = bestCands(bestPi)
+    val bestModel = DataParallelFit.fit(bestLearner, prepared, "_x", "_y",
+      bestParams, seed, nRows = nTotal)
+    prepared.unpersist()
+    MultiResult(agg.orderBy("model_name", "candidate_id"), bestName, bestParams,
+      bestRow.getAs[Double]("mean_test_score"), bestModel)
+  }
+
+  private def fitBroadcast(spark: SparkSession, df: DataFrame,
+                           featuresCol: String, labelCol: String): MultiResult = {
+    val matrix = ModelParallel.collectMatrix(df, featuresCol, labelCol, cv, seed)
+    val bc = spark.sparkContext.broadcast(matrix)
+
+    // Task ids (used only for per-task seeds) get a running offset to
+    // stay globally unique.
+    val perModel = drawCandidates()
     val taskOffsets = perModel.scanLeft(0)(_ + _._3.size * cv).init
     val frames = perModel.zip(taskOffsets).map {
       case ((name, learner, cands), off) =>

@@ -517,6 +517,49 @@ class SearchExtrasSpec extends AnyFunSuite {
     assert(Metrics.accuracy(dpTree, x, y) > 0.95)
   }
 
+  test("multi-model auto-route: over-budget race runs data-parallel, same winner") {
+    import spark.implicits._
+    val m = blobs(n = 150)
+    val df = m.x.zip(m.y).toSeq.map { case (x, y) => (x.toSeq, y) }
+      .toDF("features", "label")
+    // a real logistic candidate vs a deliberately-crippled tree whose
+    // min_samples_split exceeds n (root never splits → constant
+    // prediction): the winner is unambiguous in both regimes, not a
+    // tie-break accident
+    val entrants = Seq(
+      ("logreg", graft.exec.LogisticRegressionLBFGS: Learner,
+        Map("c" -> Seq(1.0), "max_iter" -> Seq(60.0))),
+      ("rootleaf", new graft.exec.CART.Classifier(2): Learner,
+        Map("min_samples_split" -> Seq(10000.0))))
+    def race(budget: Long) = new DistMultiModelSearch(entrants, n = 2, cv = 3)
+      .withBroadcastBudget(budget).fit(spark, df, "features", "label")
+    val bc = race(1L << 30)
+    val dp = race(1L)
+    for ((r, nm) <- Seq((bc, "broadcast"), (dp, "data-parallel"))) {
+      assert(r.bestModelName == "logreg", s"$nm winner ${r.bestModelName}")
+      assert(r.bestScore > 0.9, s"$nm score ${r.bestScore}")
+      // the crippled tree actually scored like a constant (gate has teeth)
+      val worst = r.cvResults.filter(col("model_name") === "rootleaf")
+        .select("mean_test_score").collect().map(_.getDouble(0)).max
+      assert(worst < 0.7, s"$nm rootleaf scored $worst — not crippled")
+      assert(r.cvResults.columns.contains("rank_test_score"))
+      // same (model, candidate) row lattice in both regimes
+      assert(r.cvResults.select("model_name", "candidate_id").collect()
+        .map(row => (row.getString(0), row.getInt(1))).toSet
+        == bc.cvResults.select("model_name", "candidate_id").collect()
+        .map(row => (row.getString(0), row.getInt(1))).toSet, s"$nm lattice")
+      // both regimes hand back an engine model that actually predicts
+      val acc = m.x.zip(m.y).count { case (x, y) => r.bestModel.predict(x) == y }
+      assert(acc.toDouble / m.nRows > 0.9, s"$nm refit accuracy")
+    }
+    // non-routable learner over budget: loud, actionable failure
+    intercept[IllegalArgumentException] {
+      new DistMultiModelSearch(Seq(
+        ("const", graft.exec.ConstantLearner: Learner, Map("c" -> Seq(1.0)))),
+        n = 1, cv = 3).withBroadcastBudget(1L).fit(spark, df, "features", "label")
+    }
+  }
+
   test("DataParallelFit treats a missing 'c' as the engine default c=1") {
     import spark.implicits._
     val m = blobs(n = 120)

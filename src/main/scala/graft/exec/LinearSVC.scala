@@ -47,7 +47,23 @@ final case class LinearSVCModel(weights: Array[Array[Double]],
 object LinearSVC extends Learner {
 
   def fit(X: Array[Array[Double]], y: Array[Double],
-          params: Map[String, Double], seed: Long): Model = {
+          params: Map[String, Double], seed: Long): Model =
+    fitCore(X, y, params, FitSideData.empty)
+
+  /** fit_params channel: eval-slice + patience early stopping per
+    * one-vs-rest class solver. The monitor metric is the class's binary
+    * mean squared-hinge on the eval slice (NOT NLL — LinearSVC exposes
+    * decision values, not probabilities); each class keeps its own
+    * best-on-eval iterate. `side.history` interleaves the per-class
+    * solver traces in class order.
+    */
+  override def fit(X: Array[Array[Double]], y: Array[Double],
+                   params: Map[String, Double], seed: Long,
+                   side: FitSideData): Model =
+    fitCore(X, y, params, side)
+
+  private def fitCore(X: Array[Array[Double]], y: Array[Double],
+                      params: Map[String, Double], side: FitSideData): Model = {
     val n = X.length
     require(n > 0, "empty training set")
     val d = X(0).length
@@ -90,7 +106,37 @@ object LinearSVC extends Learner {
         g(d) /= n
         (loss, g)
       }
-      LBFGS.minimize(new Array[Double](d + 1), lossGrad, maxIter, tol)
+      if (!side.hasEarlyStopping)
+        LBFGS.minimize(new Array[Double](d + 1), lossGrad, maxIter, tol)
+      else {
+        def evalHinge(wv: Array[Double]): Double = {
+          var loss = 0.0
+          var i = 0
+          while (i < side.evalX.length) {
+            val x = side.evalX(i)
+            val t = if (side.evalY(i) == cls.toDouble) 1.0 else -1.0
+            var f = wv(d)
+            var j = 0
+            while (j < d && j < x.length) { f += wv(j) * x(j); j += 1 }
+            val m = 1.0 - t * f
+            if (m > 0) loss += m * m
+            i += 1
+          }
+          loss / math.max(1, side.evalX.length)
+        }
+        var bestLoss = evalHinge(new Array[Double](d + 1))
+        var bestW = new Array[Double](d + 1)
+        var rounds = 0
+        val monitor: Array[Double] => Boolean = { wv =>
+          val el = evalHinge(wv)
+          if (side.history != null) side.history += el
+          if (el < bestLoss - side.minDelta) {
+            bestLoss = el; bestW = wv.clone(); rounds = 0; true
+          } else { rounds += 1; rounds < side.earlyStoppingRounds }
+        }
+        LBFGS.minimize(new Array[Double](d + 1), lossGrad, maxIter, tol, monitor)
+        bestW
+      }
     }
     LinearSVCModel(weights, k)
   }

@@ -57,7 +57,8 @@ class DistOneVsRest(learner: Learner,
                     norm: Option[String] = None,
                     maxNegatives: Option[Double] = None,
                     negMethod: String = "ratio",
-                    seed: Long = 42) extends Serializable with BroadcastBudgeted {
+                    seed: Long = 42)
+    extends Serializable with BroadcastBudgeted with FitSideConfigured {
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvRModel = {
@@ -139,6 +140,7 @@ class DistOneVsRest(learner: Learner,
     val maxNeg = maxNegatives
     val method = negMethod
     val baseSeed = seed
+    val side = fitSide
     val fitted = spark.sparkContext
       .parallelize(classes.toSeq, math.max(1, classes.length))
       .map { c =>
@@ -163,7 +165,15 @@ class DistOneVsRest(learner: Learner,
         val yBin = idx.map(i => if (m.y(i) == c) 1.0 else 0.0)
         val model: Model =
           if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
-          else lrn.fit(x, yBin, Map.empty, baseSeed + c.toLong)
+          else {
+            // the eval slice's labels live in the ORIGINAL class space —
+            // remap into this class's binary problem before monitoring
+            val sideC =
+              if (!side.hasEarlyStopping) side
+              else side.copy(evalY = side.evalY.map(v =>
+                if (v == c) 1.0 else 0.0))
+            lrn.fit(x, yBin, Map.empty, baseSeed + c.toLong, sideC)
+          }
         (c, model)
       }
       .collect()
@@ -374,7 +384,7 @@ final case class OvOModel(classes: Array[Double],
 }
 
 class DistOneVsOne(learner: Learner, seed: Long = 42)
-    extends Serializable with BroadcastBudgeted {
+    extends Serializable with BroadcastBudgeted with FitSideConfigured {
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvOModel = {
@@ -427,6 +437,7 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
     val bc = spark.sparkContext.broadcast(matrix)
     val lrn = learner
     val baseSeed = seed
+    val side = fitSide
     val fitted = spark.sparkContext
       .parallelize(pairs, math.max(1, pairs.length))
       .map { case (a, b) =>
@@ -436,9 +447,18 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
         val idx = m.y.indices.filter(i => m.y(i) == a || m.y(i) == b).toArray
         val x = idx.map(m.x)
         val yBin = idx.map(i => if (m.y(i) == a) 0.0 else 1.0)
+        // eval slice restricted + remapped into the pair's {0, 1} space
+        val sideP =
+          if (!side.hasEarlyStopping) side
+          else {
+            val ei = side.evalY.indices
+              .filter(i => side.evalY(i) == a || side.evalY(i) == b)
+            side.copy(evalX = ei.map(side.evalX).toArray,
+              evalY = ei.map(i => if (side.evalY(i) == a) 0.0 else 1.0).toArray)
+          }
         val model: Model =
           if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
-          else lrn.fit(x, yBin, Map.empty, baseSeed)
+          else lrn.fit(x, yBin, Map.empty, baseSeed, sideP)
         ((a, b), model)
       }
       .collect()

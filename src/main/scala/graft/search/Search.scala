@@ -32,6 +32,19 @@ trait BroadcastBudgeted {
   }
 }
 
+/** fit_params side-data configuration shared by the broadcast-regime fit
+  * surfaces (search, OvR, multilabel, OvO): the eval slice + patience
+  * flow into every fan-out fit and the refit. The data-parallel routes
+  * ignore eval-based early stopping (Spark ML solvers expose no eval
+  * hook) — `max_iter` still caps their iterations.
+  */
+trait FitSideConfigured {
+  protected var fitSide: graft.exec.FitSideData = graft.exec.FitSideData.empty
+  def withFitSideData(side: graft.exec.FitSideData): this.type = {
+    fitSide = side; this
+  }
+}
+
 final case class SearchResult(cvResults: DataFrame,
                               bestParams: Map[String, Double],
                               bestScore: Double,
@@ -46,7 +59,7 @@ class DistGridSearchCV(learner: Learner,
                        iid: Boolean = false,
                        seed: Long = 42,
                        errorScore: Option[Double] = None)
-    extends Serializable with BroadcastBudgeted {
+    extends Serializable with BroadcastBudgeted with FitSideConfigured {
 
   /** Secondary metrics (reference scorer-dict): each task still fits once;
     * cv_results grows mean_test_<m>/std_test_<m> columns per metric while
@@ -64,17 +77,10 @@ class DistGridSearchCV(learner: Learner,
   protected var preds: Boolean = false
   def withPreds(flag: Boolean = true): this.type = { preds = flag; this }
 
-  /** Per-fit side data — the engine's `**fit_params` analog (reference
-    * `search.py:347,435` threads caller fit_params into every candidate ×
-    * fold fit AND the refit; its xgboost test exercises eval-set early
-    * stopping, `tests/test_spark.py:165-187`). Broadcast-regime feature:
-    * the data-parallel route's Spark ML solvers expose no eval-set hook,
-    * so past the broadcast budget only `max_iter` caps iterations.
-    */
-  protected var fitSide: graft.exec.FitSideData = graft.exec.FitSideData.empty
-  def withFitSideData(side: graft.exec.FitSideData): this.type = {
-    fitSide = side; this
-  }
+  // fit_params side data (reference `search.py:347,435` threads caller
+  // fit_params into every candidate × fold fit AND the refit; its xgboost
+  // test exercises eval-set early stopping, `tests/test_spark.py:165-187`)
+  // comes from FitSideConfigured.withFitSideData.
 
   protected def candidates(): Seq[Map[String, Double]] =
     ParamGrid.expand(grid.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) })

@@ -474,6 +474,40 @@ class SearchExtrasSpec extends AnyFunSuite {
       assert(Metrics.accuracy(lrn.fit(tx, ty, params, 1, FitSideData.empty), ex, ey)
         == accFull)
     }
+    // LinearSVC: same channel, per-class squared-hinge monitor (decision
+    // values, not probabilities — NLL does not apply). The noisy-dim set
+    // above is no good here: its eval HINGE rises from step 1 (noise dims
+    // produce confident wrong margins that hinge punishes quadratically),
+    // so best-on-eval correctly degenerates to the zero init — working
+    // semantics, nothing to compare. On separable blobs eval hinge drops
+    // to ~0 within a few iterations and plateaus (measured: floor by iter
+    // ~6 of a ~66-iteration natural run), so minDelta turns the plateau
+    // into a stop far before the natural count.
+    locally {
+      val svc = graft.exec.LinearSVC
+      val svcParams = Map("c" -> 1.0, "max_iter" -> 400.0, "tol" -> 0.0)
+      def blob(n: Int, s: Int) = {
+        val r2 = new Random(s)
+        val x = Array.tabulate(n) { i =>
+          val c = i % 2
+          Array(c * 4.0 + r2.nextGaussian() * 0.3, r2.nextGaussian())
+        }
+        (x, Array.tabulate(n)(i => (i % 2).toDouble))
+      }
+      val (bx2, by2) = blob(60, 5)
+      val (ex2, ey2) = blob(100, 6)
+      val fullHist = ArrayBuffer.empty[Double]
+      svc.fit(bx2, by2, svcParams, 1,
+        FitSideData(ex2, ey2, Int.MaxValue, history = fullHist))
+      val earlyHist = ArrayBuffer.empty[Double]
+      val early = svc.fit(bx2, by2, svcParams, 1,
+        FitSideData(ex2, ey2, earlyStoppingRounds = 3, minDelta = 1e-4,
+          history = earlyHist))
+      assert(earlyHist.nonEmpty && earlyHist.length < fullHist.length,
+        s"svc: early ${earlyHist.length} vs full ${fullHist.length}")
+      val accF = Metrics.accuracy(svc.fit(bx2, by2, svcParams, 1), ex2, ey2)
+      assert(Metrics.accuracy(early, ex2, ey2) >= accF - 0.05, "svc eval accuracy")
+    }
     // the search stack threads side data into every CV fit and the refit
     val m = blobs(n = 90)
     val (bx, by) = (m.x.take(30), m.y.take(30))
@@ -483,6 +517,33 @@ class SearchExtrasSpec extends AnyFunSuite {
       .fitMatrix(spark, m)
     assert(r.bestScore > 0.9, s"early-stopped search, got ${r.bestScore}")
     assert(Metrics.accuracy(r.bestModel, m.x, m.y) > 0.9)
+    // OvR / OvO remap the eval labels into each binary subproblem: with
+    // an aggressive patience, a label-space bug would stop every class
+    // fit at iteration ~0 and tank accuracy on separable blobs
+    locally {
+      import spark.implicits._
+      val rng3 = new Random(21)
+      val centers = Array(Array(0.0, 0.0), Array(5.0, 5.0), Array(-5.0, 5.0))
+      def mk3(n: Int) = {
+        val x = Array.tabulate(n) { i =>
+          val c = i % 3
+          Array(centers(c)(0) + rng3.nextGaussian() * 0.3,
+            centers(c)(1) + rng3.nextGaussian() * 0.3)
+        }
+        (x, Array.tabulate(n)(i => (i % 3).toDouble))
+      }
+      val (x3, y3) = mk3(120)
+      val (e3x, e3y) = mk3(60)
+      val df3 = x3.zip(y3).toSeq.map { case (x, y) => (x.toSeq, y) }
+        .toDF("features", "label")
+      val es = FitSideData(e3x, e3y, earlyStoppingRounds = 2)
+      val ovr = new DistOneVsRest(graft.exec.LogisticRegressionLBFGS)
+        .withFitSideData(es).fit(spark, df3, "features", "label")
+      assert(Metrics.accuracy(ovr, x3, y3) > 0.9, "OvR with eval early stop")
+      val ovo = new DistOneVsOne(graft.exec.LogisticRegressionLBFGS)
+        .withFitSideData(es).fit(spark, df3, "features", "label")
+      assert(Metrics.accuracy(ovo, x3, y3) > 0.9, "OvO with eval early stop")
+    }
   }
 
   test("OvO auto-route: over-budget fit runs per-pair data-parallel, regime-identical predictions") {

@@ -79,9 +79,9 @@ class DistOneVsRest(learner: Learner,
     */
   private def fitDataParallel(spark: SparkSession, df: DataFrame,
                               featuresCol: String, labelCol: String): OvRModel = {
-    val treeLearner = learner match {
-      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS => false
-      case _: graft.exec.CART.Classifier => true
+    learner match {
+      case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS |
+           _: graft.exec.CART.Classifier => ()
       case other => throw new IllegalArgumentException(
         s"data-parallel auto-route supports the logistic and CART learners, " +
           s"not $other; for tree ensembles over broadcast-overflow data use " +
@@ -108,26 +108,10 @@ class DistOneVsRest(learner: Learner,
         r.getDouble(0) == r.getDouble(1)
       })
       if (degenerate) ConstantModel(1.0, 2) // single-class: constant positive
-      else if (treeLearner)
-        DataParallelCART.fitClassifier(bin, featuresCol, "_y",
-          Map.empty, seed + c.toLong, nClasses = 2)
-      else {
-        val prepared = bin.select(
-          org.apache.spark.ml.functions.array_to_vector(
-            col(featuresCol).cast("array<double>")).as("_features"),
-          col("_y").as("_label"))
-        // Regime parity: the broadcast route fits the engine learner with
-        // its default c=1 -> lambda = 1/n; Spark ML's default regParam=0
-        // would be UNREGULARIZED here (weights diverge on a separable
-        // class). Same translation as DataParallelGridSearch.mkEstimator.
-        val n = prepared.count()
-        val fitted = new org.apache.spark.ml.classification.LogisticRegression()
-          .setFeaturesCol("_features").setLabelCol("_label")
-          .setFamily("multinomial").setMaxIter(100)
-          .setRegParam(1.0 / math.max(1L, n))
-          .fit(prepared)
-        SparkMLBridge.toLogRegModel(fitted)
-      }
+      // Map.empty: DataParallelFit supplies the engine default c=1
+      // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
+      else DataParallelFit.fit(learner, bin, featuresCol, "_y",
+        Map.empty, seed + c.toLong)
     }
     OvRModel(classes, models, norm)
   }

@@ -210,6 +210,20 @@ final case class TreeEmbeddingModel(trees: Array[CART.TreeModel]) extends Serial
   /** Active one-hot indices (sorted) for a row — the sparse embedding. */
   def transform(x: Array[Double]): Array[Int] =
     trees.indices.map(t => leafOffsets(t) + trees(t).leafIndex(x)).toArray
+
+  /** DataFrame transform: appends the sparse one-hot indices as an
+    * `array<int>` column. The model rides the UDF closure (leaf routing
+    * is a handful of comparisons per tree — executor-local, no shuffle),
+    * so encoding distributes over however many partitions the input has.
+    */
+  def transform(df: DataFrame, featuresCol: String,
+                outCol: String = "leaf_indices"): DataFrame = {
+    val m = this
+    val enc = org.apache.spark.sql.functions.udf(
+      (xs: Seq[Double]) => m.transform(xs.toArray))
+    df.withColumn(outCol,
+      enc(col(featuresCol).cast("array<double>")))
+  }
 }
 
 class DistRandomTreesEmbedding(nEstimators: Int = 100,

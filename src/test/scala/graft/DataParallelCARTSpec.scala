@@ -294,6 +294,14 @@ class DataParallelCARTSpec extends AnyFunSuite {
             s"$name: tree $t index $v out of its leaf block")
         }
       }
+      // DataFrame transform agrees with the row-level encoder
+      val viaDF = m.transform(df, "x").select("x", "leaf_indices")
+        .collect().map(r => (r.getSeq[Double](0).toArray.toSeq,
+          r.getSeq[Int](1).toSeq)).toMap
+      x.take(30).foreach { row =>
+        assert(viaDF(row.toSeq) == m.transform(row).toSeq,
+          s"$name: DF transform disagrees with row transform")
+      }
     }
   }
 

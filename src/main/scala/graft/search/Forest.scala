@@ -275,15 +275,18 @@ class DistRandomTreesEmbedding(nEstimators: Int = 100,
 object OutOfFold {
   def oofProba(spark: SparkSession, matrix: TrainMatrix, mkLearner: graft.exec.Learner,
                cv: Int, seed: Long,
-               params: Map[String, Double] = Map.empty): Array[Array[Double]] = {
+               params: Map[String, Double] = Map.empty,
+               side: graft.exec.FitSideData =
+                 graft.exec.FitSideData.empty): Array[Array[Double]] = {
     val bc = spark.sparkContext.broadcast(matrix)
     val fitParams = params
+    val sideData = side
     val rows = spark.sparkContext
       .parallelize(0 until cv, cv)
       .flatMap { fold =>
         val m = bc.value
         val (trainX, trainY) = m.trainOf(fold)
-        val model = mkLearner.fit(trainX, trainY, fitParams, seed + fold)
+        val model = mkLearner.fit(trainX, trainY, fitParams, seed + fold, sideData)
         m.folds.zipWithIndex.collect {
           case (f, i) if f == fold => (i, model.predictProba(m.x(i)))
         }

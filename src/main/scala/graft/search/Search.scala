@@ -262,7 +262,8 @@ class DistGridSearchCV(learner: Learner,
     // preds_: out-of-fold proba of the best candidate — row i predicted by
     // the fold model that never saw row i (`search.py:551-560`).
     val oof =
-      if (preds) Some(OutOfFold.oofProba(spark, matrix, learner, cv, seed, bestParams))
+      if (preds) Some(OutOfFold.oofProba(spark, matrix, learner, cv, seed,
+        bestParams, fitSide))
       else None
     // unpersist, not destroy: the returned cvResults DataFrame is lazy and
     // may re-evaluate against the broadcast after we return.

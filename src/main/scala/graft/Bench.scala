@@ -50,7 +50,10 @@ object Bench {
         s.length < 2 || (s(1) > s(0) * stableK && s(1) - s(0) > 0.1)
       }
       var extra = 0
-      while (err.isEmpty && unstable && extra < maxExtra) {
+      // an explicit min-of-1 run (SPARK_GRAFT_BENCH_ITERS=1) carries no
+      // stability information — retrying would silently turn it back
+      // into min-of-k and break comparability with prior min-of-1 data
+      while (iters >= 2 && err.isEmpty && unstable && extra < maxExtra) {
         times += runOnce(); extra += 1
       }
       (name, times.min, err, extra)

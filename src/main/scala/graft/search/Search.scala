@@ -33,10 +33,12 @@ trait BroadcastBudgeted {
 }
 
 /** fit_params side-data configuration shared by the broadcast-regime fit
-  * surfaces (search, OvR, multilabel, OvO): the eval slice + patience
-  * flow into every fan-out fit and the refit. The data-parallel routes
-  * ignore eval-based early stopping (Spark ML solvers expose no eval
-  * hook) — `max_iter` still caps their iterations.
+  * surfaces (search, OvR, OvO): the eval slice + patience flow into
+  * every fan-out fit and the refit. The data-parallel routes ignore
+  * eval-based early stopping (Spark ML solvers expose no eval hook) —
+  * `max_iter` still caps their iterations. The multilabel surface is
+  * deliberately NOT covered: its eval truth is a label SET per row,
+  * which `FitSideData`'s double-typed labels cannot represent.
   */
 trait FitSideConfigured {
   protected var fitSide: graft.exec.FitSideData = graft.exec.FitSideData.empty
@@ -350,8 +352,8 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
 
   private def fitDataParallel(spark: SparkSession, df: DataFrame,
                               featuresCol: String, labelCol: String): MultiResult = {
-    val perModel = drawCandidates()
-    perModel.foreach { case (name, learner, _) =>
+    val drawn = drawCandidates()
+    drawn.foreach { case (name, learner, _) =>
       learner match {
         case graft.exec.LogisticRegressionGD |
              graft.exec.LogisticRegressionLBFGS |
@@ -374,9 +376,24 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
     val nTotal = prepared.count()
     val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Hint-less CART entrants would otherwise pay a max(label) inference
+    // job inside EVERY (candidate, fold) fit — resolve the class count
+    // once (lazily: only if some tree entrant needs it) and pin the hint.
+    lazy val kResolved =
+      prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
+    val perModel = drawn.map {
+      case (name, c: graft.exec.CART.Classifier, cands) if c.nClassesHint <= 0 =>
+        (name, new graft.exec.CART.Classifier(kResolved): Learner, cands)
+      case other => other
+    }
 
+    // Per-fit seeds get the same globally-unique running offset as the
+    // broadcast route's task ids — without it, candidate pi of model A
+    // and candidate pi of model B would draw identical subsampling /
+    // random-split streams (correlated scores across entrants).
+    val seedOffsets = perModel.scanLeft(0)(_ + _._3.size * cv).init
     val scoreRows = for {
-      (name, learner, cands) <- perModel
+      ((name, learner, cands), off) <- perModel.zip(seedOffsets)
       (params, pi) <- cands.zipWithIndex
       fold <- 0 until cv
     } yield {
@@ -384,7 +401,7 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
       val test = prepared.filter(col("_fold") === fold)
       val nTest = foldSizes.getOrElse(fold, 0L)
       val model = DataParallelFit.fit(learner, train, "_x", "_y", params,
-        seed + pi * cv + fold, nRows = nTotal - nTest)
+        seed + off + pi * cv + fold, nRows = nTotal - nTest)
       (name, pi, fold, DistributedScore(scoring, model, test, "_x", "_y"), nTest)
     }
     import spark.implicits._

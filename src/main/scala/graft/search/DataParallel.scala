@@ -59,6 +59,37 @@ class DataParallelForest(nEstimators: Int = 100,
   }
 }
 
+/** Shared scaffold of every data-parallel CV route (grid search, tree
+  * search, multi-model race): the fold-hash column, the cache, and the
+  * row/fold-size bookkeeping — ONE pass, no per-(candidate, fold) count
+  * jobs. Folds are hashed row position, NOT the label (fold-label
+  * correlation would skew CV); stable within a job, which is all CV
+  * needs. One definition so a fix to the fold skeleton lands everywhere.
+  */
+private[search] final case class DpCvFrame(prepared: DataFrame, nTotal: Long,
+                                           foldSizes: Map[Int, Long]) {
+  def train(fold: Int): DataFrame = prepared.filter(col("_fold") =!= fold)
+  def test(fold: Int): DataFrame = prepared.filter(col("_fold") === fold)
+  def nTest(fold: Int): Long = foldSizes.getOrElse(fold, 0L)
+  def nTrain(fold: Int): Long = nTotal - nTest(fold)
+  def unpersist(): Unit = { prepared.unpersist(); () }
+}
+
+private[search] object DpCvFrame {
+  /** `selected` must already project the fit columns; the fold column is
+    * added here so every route hashes identically.
+    */
+  def apply(selected: DataFrame, cv: Int, seed: Long): DpCvFrame = {
+    val prepared = selected
+      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
+      .cache() // scanned once per (candidate, fold) fit — keep it hot
+    val nTotal = prepared.count()
+    val foldSizes = prepared.groupBy("_fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    DpCvFrame(prepared, nTotal, foldSizes)
+  }
+}
+
 class DataParallelGridSearch(grid: Map[String, Seq[Double]],
                              cv: Int = 3,
                              scoring: String = "accuracy",
@@ -116,34 +147,25 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
                     iid: Boolean = false,
                     extraScorings: Seq[String] = Nil): DpResult = {
     require(cands.nonEmpty, "empty candidate list")
-    val prepared = df.select(
+    val cvf = DpCvFrame(df.select(
       // keep the array form alongside the vector: Spark ML fits on the
       // vector, DistributedScore's engine-model UDFs read the array
       col(featuresCol).cast("array<double>").as("_xs"),
       array_to_vector(col(featuresCol).cast("array<double>")).as("_features"),
-      col(labelCol).cast("double").as("_label"))
-      // fold by hashed row position, NOT the label (fold-label correlation
-      // would skew CV); stable within a job, which is all CV needs
-      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
-      .cache() // scanned once per (candidate, fold) fit — keep it hot
-    val nTotal = prepared.count()
-    // Fold sizes in ONE pass: n_test per fold and the per-fit nTrain for
-    // the regularization translation — no per-(candidate, fold) count jobs.
-    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      col(labelCol).cast("double").as("_label")), cv, seed)
+    val prepared = cvf.prepared
+    val nTotal = cvf.nTotal
 
     val allMetrics = scoring +: extraScorings
     val scoreRows = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
     } yield {
-      val train = prepared.filter(col("_fold") =!= fold)
-      val test = prepared.filter(col("_fold") === fold)
-      val nTest = foldSizes.getOrElse(fold, 0L)
       val model = SparkMLBridge.toLogRegModel(
-        mkEstimator(params, nTotal - nTest).fit(train))
-      val ms = DistributedScore.scoreMany(allMetrics, model, test, "_xs", "_label")
-      (ci, fold, ms(scoring), nTest, ms)
+        mkEstimator(params, cvf.nTrain(fold)).fit(cvf.train(fold)))
+      val ms = DistributedScore.scoreMany(allMetrics, model, cvf.test(fold),
+        "_xs", "_label")
+      (ci, fold, ms(scoring), cvf.nTest(fold), ms)
     }
     import spark.implicits._
     val agg = (if (extraScorings.isEmpty) {
@@ -159,7 +181,7 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
     val bestId = bestRow.getAs[Int]("candidate_id")
     val best = mkEstimator(cands(bestId), nTotal).fit(prepared)
-    prepared.unpersist()
+    cvf.unpersist()
     DpResult(agg.orderBy("candidate_id"), cands(bestId),
       bestRow.getAs[Double]("mean_test_score"), best, bestId)
   }

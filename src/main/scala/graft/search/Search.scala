@@ -159,38 +159,26 @@ class DistGridSearchCV(learner: Learner,
                                   classification: Boolean): SearchResult = {
     val cands = candidates()
     require(cands.nonEmpty, "empty parameter grid")
-    val prepared = df.select(
+    val cvf = DpCvFrame(df.select(
       col(featuresCol).cast("array<double>").as("_x"),
-      col(labelCol).cast("double").as("_y"))
-      // fold by hashed row position, NOT the label (fold-label correlation
-      // would skew CV); stable within a job, which is all CV needs
-      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
-      .cache() // scanned once per level per (candidate, fold) fit
-    prepared.count()
+      col(labelCol).cast("double").as("_y")), cv, seed)
     val k =
       if (!classification) 0
       else if (nClasses > 0) nClasses
-      else prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
+      else cvf.prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
 
     def fitOne(train: DataFrame, params: Map[String, Double]): Model =
       if (classification)
         DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
       else DataParallelCART.fitRegressor(train, "_x", "_y", params, seed)
 
-    // fold sizes are candidate-independent: ONE pass, not a count job
-    // inside the candidates x folds loop (same pattern as
-    // DataParallelGridSearch.fitCandidates)
-    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val scoreRows = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
     } yield {
-      val train = prepared.filter(col("_fold") =!= fold)
-      val test = prepared.filter(col("_fold") === fold)
-      val model = fitOne(train, params)
-      val score = DistributedScore(scoring, model, test, "_x", "_y")
-      (ci, fold, score, foldSizes.getOrElse(fold, 0L))
+      val model = fitOne(cvf.train(fold), params)
+      val score = DistributedScore(scoring, model, cvf.test(fold), "_x", "_y")
+      (ci, fold, score, cvf.nTest(fold))
     }
     import spark.implicits._
     val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
@@ -199,8 +187,8 @@ class DistGridSearchCV(learner: Learner,
       .orderBy("candidate_id")
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()
     val bestId = bestRow.getAs[Int]("candidate_id")
-    val bestModel = fitOne(prepared, cands(bestId))
-    prepared.unpersist()
+    val bestModel = fitOne(cvf.prepared, cands(bestId))
+    cvf.unpersist()
     SearchResult(cvResults, cands(bestId),
       bestRow.getAs[Double]("mean_test_score"), bestId, bestModel)
   }
@@ -364,23 +352,17 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
             "raise withBroadcastBudget")
       }
     }
-    val prepared = df.select(
+    // DpCvFrame hashes folds, not labels; the broadcast route stratifies
+    // instead — fold SCHEMES differ between regimes, scores agree in
+    // expectation (same contract as the grid search auto-route)
+    val cvf = DpCvFrame(df.select(
       col(featuresCol).cast("array<double>").as("_x"),
-      col(labelCol).cast("double").as("_y"))
-      // hash folds, not labels (fold-label correlation skews CV); the
-      // broadcast route stratifies instead — fold SCHEMES differ between
-      // regimes, scores agree in expectation (same contract as the grid
-      // search auto-route)
-      .withColumn("_fold", Folds.byHash(monotonically_increasing_id(), cv, seed))
-      .cache()
-    val nTotal = prepared.count()
-    val foldSizes: Map[Int, Long] = prepared.groupBy("_fold").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      col(labelCol).cast("double").as("_y")), cv, seed)
     // Hint-less CART entrants would otherwise pay a max(label) inference
     // job inside EVERY (candidate, fold) fit — resolve the class count
     // once (lazily: only if some tree entrant needs it) and pin the hint.
     lazy val kResolved =
-      prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
+      cvf.prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
     val perModel = drawn.map {
       case (name, c: graft.exec.CART.Classifier, cands) if c.nClassesHint <= 0 =>
         (name, new graft.exec.CART.Classifier(kResolved): Learner, cands)
@@ -397,12 +379,11 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
       (params, pi) <- cands.zipWithIndex
       fold <- 0 until cv
     } yield {
-      val train = prepared.filter(col("_fold") =!= fold)
-      val test = prepared.filter(col("_fold") === fold)
-      val nTest = foldSizes.getOrElse(fold, 0L)
-      val model = DataParallelFit.fit(learner, train, "_x", "_y", params,
-        seed + off + pi * cv + fold, nRows = nTotal - nTest)
-      (name, pi, fold, DistributedScore(scoring, model, test, "_x", "_y"), nTest)
+      val model = DataParallelFit.fit(learner, cvf.train(fold), "_x", "_y",
+        params, seed + off + pi * cv + fold, nRows = cvf.nTrain(fold))
+      (name, pi, fold,
+        DistributedScore(scoring, model, cvf.test(fold), "_x", "_y"),
+        cvf.nTest(fold))
     }
     import spark.implicits._
     val scores = scoreRows
@@ -413,9 +394,9 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
     val bestName = bestRow.getAs[String]("model_name")
     val (_, bestLearner, bestCands) = perModel.find(_._1 == bestName).get
     val bestParams = bestCands(bestPi)
-    val bestModel = DataParallelFit.fit(bestLearner, prepared, "_x", "_y",
-      bestParams, seed, nRows = nTotal)
-    prepared.unpersist()
+    val bestModel = DataParallelFit.fit(bestLearner, cvf.prepared, "_x", "_y",
+      bestParams, seed, nRows = cvf.nTotal)
+    cvf.unpersist()
     MultiResult(agg.orderBy("model_name", "candidate_id"), bestName, bestParams,
       bestRow.getAs[Double]("mean_test_score"), bestModel)
   }

@@ -172,17 +172,29 @@ class DistGridSearchCV(learner: Learner,
         DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
       else DataParallelCART.fitRegressor(train, "_x", "_y", params, seed)
 
+    // same multi-metric contract as the logistic DP route and the
+    // broadcast fan-out: one fit, every metric, rank on the primary
+    val allMetrics = scoring +: extraScorings
     val scoreRows = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
     } yield {
       val model = fitOne(cvf.train(fold), params)
-      val score = DistributedScore(scoring, model, cvf.test(fold), "_x", "_y")
-      (ci, fold, score, cvf.nTest(fold))
+      val ms = DistributedScore.scoreMany(allMetrics, model, cvf.test(fold),
+        "_x", "_y")
+      (ci, fold, ms(scoring), cvf.nTest(fold), ms)
     }
     import spark.implicits._
-    val scores = scoreRows.toDF("candidate_id", "fold_id", "score", "n_test")
-    val agg = CvResults.aggregate(scores, Seq("candidate_id"), iid = iid).cache()
+    val agg = (if (extraScorings.isEmpty) {
+      val scores = scoreRows.map { case (ci, f, s, n, _) => (ci, f, s, n) }
+        .toDF("candidate_id", "fold_id", "score", "n_test")
+      CvResults.aggregate(scores, Seq("candidate_id"), iid = iid)
+    } else {
+      val scores = scoreRows
+        .toDF("candidate_id", "fold_id", "score", "n_test", "scores")
+      CvResults.aggregateMulti(scores, Seq("candidate_id"), allMetrics,
+        iid = iid)
+    }).cache()
     val cvResults = agg.join(broadcast(paramsFrame(spark, cands)), "candidate_id")
       .orderBy("candidate_id")
     val bestRow = CvResults.best(agg, Seq("candidate_id")).head()

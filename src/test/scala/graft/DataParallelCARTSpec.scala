@@ -200,6 +200,7 @@ class DataParallelCARTSpec extends AnyFunSuite {
     val grid = Map("max_depth" -> Seq(1.0, 4.0))
     // budget 1 byte → forced data-parallel; generous budget → broadcast
     val dp = new DistGridSearchCV(CART.Classifier, grid, cv = 3)
+      .withExtraScorings(Seq("f1_weighted"))
       .withBroadcastBudget(1L).fit(spark, df, "x", "y")
     val bc = new DistGridSearchCV(CART.Classifier, grid, cv = 3)
       .fit(spark, df, "x", "y")
@@ -207,6 +208,9 @@ class DataParallelCARTSpec extends AnyFunSuite {
     assert(dp.bestParams("max_depth") == 4.0) // depth 1 cannot express 3 classes
     assert(dp.bestModel.isInstanceOf[CART.TreeModel]) // same model type
     assert(dp.cvResults.columns.contains("param_max_depth"))
+    // the tree DP route honors the multi-metric contract too
+    assert(dp.cvResults.columns.contains("mean_test_f1_weighted"),
+      dp.cvResults.columns.toSeq.toString)
     assert(dp.cvResults.count() == 2)
     // both regimes separate the depth-4 candidate from the stump clearly
     val s = dp.cvResults.orderBy("candidate_id")

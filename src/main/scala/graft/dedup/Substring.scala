@@ -1,0 +1,173 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.WinnowAnchors
+import graft.ops.Par
+
+/** A maximal exact duplicated span between two documents: 0-based start
+  * offsets in each text and the span's character length. Top-level so the
+  * UDF return encoder resolves without an outer pointer.
+  */
+private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
+
+/** Exact substring-level deduplication — the "dedupe repeated spans, not
+  * whole documents" curation step of LLM training pipelines (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", ACL'22,
+  * which builds a corpus-wide suffix array; reference repo has no
+  * substring-level operator — this extends the corpus toolkit).
+  *
+  * A suffix array is inherently a single-machine global structure, so the
+  * distributed re-design uses winnowing fingerprints instead
+  * (`WinnowAnchors`): any duplicated span of length >= minLen shares at
+  * least one content-selected anchor gram in both copies, so an inverted
+  * index on anchor hash yields candidate (docA, posA, docB, posB) seeds,
+  * which char-level extension grows to maximal spans. Exact — no recall
+  * loss vs the suffix array for spans >= minLen (winnowing guarantee),
+  * modulo the optional viral-anchor cap.
+  *
+  * Scale design: anchors keep ~2/(w+1) of gram positions (~4% at the
+  * default minLen=50/k=16), the candidate join is an equi-join on the
+  * anchor hash (shuffled hash join, never a cross join), and extension
+  * runs once per CANDIDATE DOC PAIR (all of a pair's seeds in one UDF
+  * call over the two texts) — bounded by true duplication, not corpus
+  * size. `maxAnchorDf` drops anchors shared by more docs than the cap —
+  * the standard viral-shingle/boilerplate guard at 100 TB (off by
+  * default: exactness for the oracle; set ~1000 in production).
+  */
+object SubstringDedup {
+
+  /** All maximal duplicated spans of length >= `minLen` chars between
+    * distinct document pairs: (doc_a, doc_b, start_a, start_b, span_len)
+    * with doc_a < doc_b and 1-BASED character starts (SQL `substr`
+    * convention). `k` is the fingerprint gram size; the winnow window is
+    * derived as w = minLen - k + 1 so the guarantee lands exactly on
+    * `minLen`.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     minLen: Int = 50, k: Int = 16,
+                     maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+    require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
+    val w = minLen - k + 1
+    // docs shorter than minLen cannot hold a qualifying span; the filter
+    // also guarantees every kept doc emits >= 1 window of anchors.
+    val texts = df.select(col(idCol).cast("long").as("doc"),
+        col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+    val an = Par.fanOut(texts).select(col("doc"),
+        explode(WinnowAnchors(col("text"), k, w)).as("a"))
+      .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
+    val index =
+      if (maxAnchorDf == Int.MaxValue) an
+      else {
+        // viral-anchor cap: the hot list (output = only viral hashes) is
+        // tiny and broadcast into a left_anti, same plan as the jaccard
+        // shingle cap — the index itself is never shuffled for the cap.
+        val anp = an.persist()
+        val hot = anp.groupBy("h").agg(countDistinct("doc").as("_df"))
+          .filter(col("_df") > maxAnchorDf).select("h")
+        anp.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    // Inverted-index self-join on the anchor hash. shuffle_hash for the
+    // same reason as the shingle joins: Catalyst sizes the sides from the
+    // parquet scan and would broadcast the whole exploded index; both
+    // sides share one canonical plan (ReusedExchange computes it once).
+    val cand = index.as("a").hint("shuffle_hash")
+      .join(index.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        // pack the seed pair into one long so the per-pair collect_list
+        // stays a flat array<bigint> (UDFs cannot take struct rows).
+        (shiftleft(col("a.pos").cast("long"), 32)
+          .bitwiseOR(col("b.pos").cast("long"))).as("seed"))
+      .groupBy("da", "db")
+      .agg(collect_list(col("seed")).as("seeds"))
+    // Texts join back once per candidate PAIR (not per seed): extension
+    // is one UDF call per pair over both full texts — docs are bounded
+    // (KB–MB), pair count is bounded by true duplication + the df cap.
+    val withTexts = cand
+      .join(texts.select(col("doc").as("da"), col("text").as("ta")), "da")
+      .join(texts.select(col("doc").as("db"), col("text").as("tb")), "db")
+    val extend = udf((ta: String, tb: String, seeds: Seq[Long]) =>
+      extendSeeds(ta, tb, seeds, k, minLen))
+    withTexts
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        explode(extend(col("ta"), col("tb"), col("seeds"))).as("s"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("s.sa") + 1).cast("int").as("start_a"),
+        (col("s.sb") + 1).cast("int").as("start_b"),
+        col("s.len").cast("int").as("span_len"))
+  }
+
+  /** Grow every candidate seed to its maximal common run and keep the
+    * distinct maximal spans of length >= minLen. Char-equality at the
+    * seed gram re-verifies the hash match (collision guard); two seeds
+    * inside one maximal run extend to the same (sa, sb) and dedupe.
+    */
+  private def extendSeeds(ta: String, tb: String, seeds: Seq[Long],
+                          k: Int, minLen: Int): Seq[DupSpan] = {
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[DupSpan]
+    seeds.foreach { packed =>
+      val pa = (packed >>> 32).toInt
+      val pb = (packed & 0xFFFFFFFFL).toInt
+      var ok = pa + k <= ta.length && pb + k <= tb.length
+      var i = 0
+      while (ok && i < k) {
+        if (ta.charAt(pa + i) != tb.charAt(pb + i)) ok = false
+        i += 1
+      }
+      if (ok) {
+        var sa = pa; var sb = pb
+        while (sa > 0 && sb > 0 && ta.charAt(sa - 1) == tb.charAt(sb - 1)) {
+          sa -= 1; sb -= 1
+        }
+        var ea = pa + k; var eb = pb + k
+        while (ea < ta.length && eb < tb.length &&
+          ta.charAt(ea) == tb.charAt(eb)) { ea += 1; eb += 1 }
+        val len = ea - sa
+        if (len >= minLen && seen.add(sa.toLong << 32 | sb.toLong))
+          out += DupSpan(sa, sb, len)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Per-document duplicated-character coverage: the union of all span
+    * intervals a doc participates in (either side of any pair), merged
+    * with a window-function island pass — no driver work, no UDF. Returns
+    * every input doc: (doc_id, dup_chars, dup_frac), zero for clean docs.
+    */
+  def duplicateCharStats(df: DataFrame, textCol: String, idCol: String,
+                         minLen: Int = 50, k: Int = 16,
+                         maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
+    val ivals = spans.select(col("doc_a").as("doc"),
+        col("start_a").as("s"),
+        (col("start_a") + col("span_len")).as("e"))
+      .unionAll(spans.select(col("doc_b").as("doc"),
+        col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e")))
+    // classic interval union: a row starts a new island iff its start
+    // clears the running max end of everything before it.
+    val byDoc = Window.partitionBy("doc").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = ivals
+      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax, 1)
+        .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(byDoc))
+      .groupBy("doc", "_isl")
+      .agg((max(col("e")) - min(col("s"))).as("_cov"))
+      .groupBy("doc")
+      .agg(sum(col("_cov")).as("_dup"))
+    df.select(col(idCol).cast("long").as("doc"),
+        length(col(textCol)).as("_len"))
+      .join(covered, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("_dup"), lit(0L)).cast("int").as("dup_chars"),
+        round(coalesce(col("_dup"), lit(0L)) / col("_len"), 4).as("dup_frac"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  * — the MOSS local fingerprinting scheme): rolling Karp-Rabin hashes of
+  * every `k`-char gram, then the rightmost-minimum hash per window of `w`
+  * consecutive grams, deduplicated. Returns
+  * `array<struct<pos:int, hash:long>>` with 0-based character positions.
+  *
+  * The winnowing guarantee this build relies on (paper §3.2): the
+  * selection inside a window depends only on the window's hash sequence,
+  * so two copies of any common substring of length >= w + k - 1 contain
+  * at least one fully-interior window each with IDENTICAL content — both
+  * copies select the same gram at the same relative offset. An inverted
+  * index on the anchor hash therefore catches every duplicated span of
+  * length >= w + k - 1 while keeping only ~2/(w+1) of all gram positions.
+  *
+  * Texts shorter than w + k - 1 chars yield no anchors (they cannot
+  * contain a qualifying span). Raw polynomial hashes are finalized with
+  * an xxhash64 long-mix so min-selection is unbiased on low-entropy text;
+  * collisions merely create candidate pairs that die in the char-level
+  * verify/extension stage downstream. Positions count UTF-16 code units
+  * (== code points on BMP text; the corpus tables are ASCII).
+  */
+case class WinnowAnchors(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  require(k >= 2, s"need gram size k >= 2, got $k")
+  require(w >= 1, s"need window w >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_anchors needs string, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowAnchors.build(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WinnowAnchors.build($t, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
+object WinnowAnchors {
+
+  private val B = 1000003L          // odd base; 64-bit wraparound arithmetic
+  private val MixSeed = 0x9E3779B97F4A7C15L
+
+  /** Shared by eval and generated code. */
+  def build(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = text.toString
+    val m = s.length - k + 1
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    // rolling polynomial hash of every k-gram, finalized with a long-mix
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = XXH64.hashLong(h, MixSeed)
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = XXH64.hashLong(h, MixSeed)
+      i += 1
+    }
+    // sliding-window minimum via a monotone deque; popping `>=` on push
+    // keeps the RIGHTMOST minimal position per window (robust winnowing's
+    // content-deterministic tie-break), so both copies of a duplicated
+    // window select the same relative offset.
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var last = -1
+    i = 0
+    while (i < m) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val sel = deque(head)
+        if (sel != last) {
+          out += new GenericInternalRow(Array[Any](sel, hashes(sel)))
+          last = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column API: `winnow_anchors(text, k, w) -> array<struct<pos,hash>>`. */
+  def apply(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(
+      WinnowAnchors(GraftSqlBridge.expression(text), k, w))
+}

@@ -141,6 +141,26 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Substring-level dedup (Lee et al. ACL'22 re-designed on winnowing
+    // fingerprints): all maximal cross-doc duplicated spans >= 50 chars.
+    // The oracle brute-forces every 50-char gram and merges diagonal
+    // islands — exact truth, so this is a FULL-equality gate on the
+    // anchor->extend pipeline (caps off: exactness mode).
+    "q83_dup_spans" -> ((s, d) => {
+      graft.dedup.SubstringDedup.duplicateSpans(
+          Tables.documents(s, d), "text", "doc_id", minLen = 50, k = 16)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
+    // Per-doc duplicated-char coverage: union of span intervals on either
+    // side of any pair, merged by a window-island pass; every doc
+    // reported (clean docs at 0).
+    "q84_dup_coverage" -> ((s, d) => {
+      graft.dedup.SubstringDedup.duplicateCharStats(
+          Tables.documents(s, d), "text", "doc_id", minLen = 50, k = 16)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic source-weighted mix sampling: 60/30/10 % rates by
     // source index residue, systematic on doc_id.
     "q75_mix_sample" -> ((s, d) => {
@@ -693,6 +713,77 @@ object TextQueries {
         |  array_to_string(toks[chunk_idx*8+1 : chunk_idx*8+16], ' ') AS chunk_text,
         |  CAST(len(toks[chunk_idx*8+1 : chunk_idx*8+16]) AS INT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Brute-force substring truth: every 50-char gram of every doc,
+    // equi-joined across doc pairs, maximal spans = islands of
+    // consecutive matches along each (pa - pb) diagonal.
+    "q83_dup_spans" ->
+      """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM docs))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM docs JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m),
+        |spans AS (
+        |  SELECT da AS doc_a, db AS doc_b,
+        |    CAST(min(pa) AS INT) AS start_a,
+        |    CAST(min(pa) - diag AS INT) AS start_b,
+        |    CAST(count(*) + 50 - 1 AS INT) AS span_len
+        |  FROM runs GROUP BY da, db, diag, isl)
+        |SELECT doc_a, doc_b, start_a, start_b, span_len
+        |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "q84_dup_coverage" ->
+      """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM docs))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM docs JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m),
+        |spans AS (
+        |  SELECT da, db, min(pa) AS sa, min(pa) - diag AS sb,
+        |    count(*) + 50 - 1 AS slen
+        |  FROM runs GROUP BY da, db, diag, isl),
+        |ivals AS (
+        |  SELECT da AS doc, sa AS s, sa + slen AS e FROM spans
+        |  UNION ALL
+        |  SELECT db AS doc, sb AS s, sb + slen AS e FROM spans),
+        |marked AS (
+        |  SELECT doc, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+        |  FROM ivals),
+        |isles AS (
+        |  SELECT doc, s, e,
+        |    sum(nw) OVER (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked),
+        |cov AS (
+        |  SELECT doc, sum(cv) AS dup FROM (
+        |    SELECT doc, isl, max(e) - min(s) AS cv
+        |    FROM isles GROUP BY doc, isl) GROUP BY doc)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.dup, 0) AS INT) AS dup_chars,
+        |  round(coalesce(c.dup, 0) * 1.0 / d.L, 4) AS dup_frac
+        |FROM docs d LEFT JOIN cov c ON d.doc_id = c.doc
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q75_mix_sample" ->
       """SELECT source, count(*) AS n_kept,

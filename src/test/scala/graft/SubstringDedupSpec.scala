@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.dedup.SubstringDedup
+
+/** Substring-level dedup (winnowing anchors -> candidate pairs ->
+  * char-level extension) against a brute-force diagonal-islands truth —
+  * the same truth the q83/q84 DuckDB oracles compute, here in-process
+  * over adversarial synthetic corpora (random small-alphabet text where
+  * natural short repeats abound, plus planted long spans).
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** All maximal cross-doc common spans >= minLen, by brute force:
+    * matched minLen-gram positions merged along each diagonal.
+    */
+  private def bruteSpans(docs: Seq[(Long, String)],
+                         minLen: Int): Set[(Long, Long, Int, Int, Int)] = {
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Int, Int, Int)]
+    for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+    } {
+      val (ia, ta0) = docs(i); val (ib, tb0) = docs(j)
+      val ((da, ta), (db, tb)) =
+        if (ia < ib) ((ia, ta0), (ib, tb0)) else ((ib, tb0), (ia, ta0))
+      // matched gram positions per diagonal
+      val byGram = ta.sliding(minLen).zipWithIndex.toSeq
+        .groupMap(_._1)(_._2)
+      val matches = tb.sliding(minLen).zipWithIndex.toSeq.flatMap {
+        case (g, pb) => byGram.getOrElse(g, Nil).map(pa => (pa - pb, pa))
+      }
+      matches.groupMap(_._1)(_._2).foreach { case (diag, pas) =>
+        val sorted = pas.sorted
+        var runStart = sorted.head; var prev = sorted.head
+        def emit(s: Int, e: Int): Unit =
+          out += ((da, db, s + 1, s - diag + 1, e - s + minLen))
+        sorted.tail.foreach { p =>
+          if (p != prev + 1) { emit(runStart, prev); runStart = p }
+          prev = p
+        }
+        emit(runStart, prev)
+      }
+    }
+    out.toSet
+  }
+
+  private def sparkSpans(docs: Seq[(Long, String)], minLen: Int, k: Int,
+                         maxAnchorDf: Int = Int.MaxValue) =
+    SubstringDedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k, maxAnchorDf)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+
+  test("planted long spans are found with exact offsets and lengths") {
+    val rng = new Random(7)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(120)
+    val shared2 = rand(80)
+    val docs = Seq(
+      1L -> (rand(40) + shared + rand(30)),
+      2L -> (rand(10) + shared + rand(60)),
+      3L -> (shared2 + rand(50) + shared2), // internal repeat across docs
+      4L -> (rand(70) + shared2),
+      5L -> rand(200)) // clean
+    val got = sparkSpans(docs, minLen = 50, k = 16)
+    val want = bruteSpans(docs, 50)
+    assert(got == want)
+    // the 120-char plant lands at the exact offsets
+    assert(got.contains((1L, 2L, 41, 11, 120)))
+    // doc 3 repeats shared2 twice -> two spans vs doc 4, one per occurrence
+    assert(got.count { case (a, b, _, _, _) => a == 3L && b == 4L } == 2)
+    assert(got.forall(_._5 >= 50))
+  }
+
+  test("random small-alphabet corpora: anchor pipeline == brute force") {
+    // 3-letter alphabet makes natural repeats plentiful right around the
+    // threshold — the regime where a missed anchor or off-by-one in
+    // extension/merging shows up. Winnowing guarantees every span
+    // >= w + k - 1; brute force is the arbiter.
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new Random(seed)
+      def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+      val docs = (0L until 12L).map(i => i -> rand(80 + rng.nextInt(120)))
+      val minLen = 24
+      val got = sparkSpans(docs, minLen, k = 8)
+      val want = bruteSpans(docs, minLen)
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("docs shorter than minLen are skipped; self-pairs never emitted") {
+    val docs = Seq(1L -> "abcdefghij", 2L -> "abcdefghij",
+      3L -> ("xy" * 40))
+    val got = sparkSpans(docs, minLen = 20, k = 8)
+    // docs 1/2 are dups but < 20 chars; doc 3's internal repetition is a
+    // self-pair (excluded by doc_a < doc_b)
+    assert(got.isEmpty)
+  }
+
+  test("viral-anchor cap drops boilerplate-wide spans, keeps the rest") {
+    val rng = new Random(11)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val boiler = rand(60) // shared by EVERY doc (footer boilerplate)
+    val pair = rand(90)   // shared by exactly two docs
+    val docs = (0L until 10L).map { i =>
+      val extra = if (i < 2) pair else rand(90)
+      i -> (rand(20) + boiler + rand(15) + extra)
+    }
+    val uncapped = sparkSpans(docs, minLen = 50, k = 16)
+    assert(uncapped == bruteSpans(docs, 50))
+    // cap at 4 docs/anchor: the 10-doc boilerplate spans vanish, the
+    // 2-doc planted pair survives
+    val capped = sparkSpans(docs, minLen = 50, k = 16, maxAnchorDf = 4)
+    assert(capped.exists { case (a, b, _, _, len) =>
+      a == 0L && b == 1L && len >= 90 })
+    assert(capped.size < uncapped.size)
+  }
+
+  test("coverage stats: interval union matches brute force, clean docs 0") {
+    val rng = new Random(13)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val docs = (0L until 10L).map(i => i -> rand(100 + rng.nextInt(100)))
+    val minLen = 24
+    val want = bruteSpans(docs, minLen)
+    // brute-force per-doc union of covered chars
+    val byDoc = docs.map { case (id, t) =>
+      val marks = new Array[Boolean](t.length)
+      want.foreach { case (a, b, sa, sb, len) =>
+        if (a == id) (sa - 1 until sa - 1 + len).foreach(marks(_) = true)
+        if (b == id) (sb - 1 until sb - 1 + len).foreach(marks(_) = true)
+      }
+      id -> marks.count(identity)
+    }.toMap
+    val got = SubstringDedup.duplicateCharStats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k = 8)
+      .as[(Long, Int, Double)].collect()
+    assert(got.length == docs.length, "every doc reported")
+    got.foreach { case (id, dup, frac) =>
+      assert(dup == byDoc(id), s"doc $id")
+      val len = docs.find(_._1 == id).get._2.length
+      assert(math.abs(frac - dup.toDouble / len) < 5e-5)
+    }
+  }
+}

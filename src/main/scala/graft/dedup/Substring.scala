@@ -135,6 +135,56 @@ object SubstringDedup {
     out.toSeq
   }
 
+  /** The curation step that CONSUMES the spans (Lee et al. §4: keep one
+    * occurrence of each duplicated span, drop the rest): every span is
+    * cut from its pair's HIGHER id — the lower id keeps the text, so one
+    * canonical copy always survives and the rule needs no global
+    * coordination (pair-local, associative under overlap-merging).
+    * Returns every doc: (doc_id, text_cleaned, n_removed) — clean docs
+    * pass through verbatim.
+    *
+    * The cut itself is pure codegen'd built-ins: merged removal islands
+    * per doc (window pass), complement segments via `zip_with` over
+    * shifted boundaries, `substring` + `array_join` to reassemble — no
+    * UDF, no driver work.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           minLen: Int = 50, k: Int = 16,
+                           maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
+    val ivals = spans.select(col("doc_b").as("doc"),
+      col("start_b").as("s"),
+      (col("start_b") + col("span_len")).as("e"))
+    val byDoc = Window.partitionBy("doc").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ivals
+      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax, 1)
+        .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(byDoc))
+      .groupBy("doc", "_isl")
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("is"), col("ie"))))
+        .as("_cut"))
+    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("_t"))
+      .join(islands, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        when(col("_cut").isNull, col("_t")).otherwise {
+          // keep-segment boundaries: starts = 1 :: island ends,
+          // ends = island starts :: len + 1
+          val starts = concat(array(lit(1)),
+            transform(col("_cut"), x => x.getField("ie")))
+          val ends = concat(transform(col("_cut"), x => x.getField("is")),
+            array(length(col("_t")) + 1))
+          array_join(zip_with(starts, ends,
+            (s, e) => col("_t").substr(s, e - s)), "")
+        }.as("text_cleaned"),
+        coalesce(aggregate(col("_cut"), lit(0),
+            (acc, x) => acc + (x.getField("ie") - x.getField("is"))),
+          lit(0)).cast("int").as("n_removed"))
+  }
+
   /** Per-document duplicated-character coverage: the union of all span
     * intervals a doc participates in (either side of any pair), merged
     * with a window-function island pass — no driver work, no UDF. Returns

@@ -125,6 +125,33 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(capped.size < uncapped.size)
   }
 
+  test("span removal cuts higher-id copies only; brute-force parity") {
+    val rng = new Random(17)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val docs = (0L until 10L).map(i => i -> rand(100 + rng.nextInt(100)))
+    val minLen = 24
+    val want = bruteSpans(docs, minLen)
+    // brute-force removal: mark chars covered by any span where this doc
+    // is the HIGHER id, keep the rest in order
+    val expect = docs.map { case (id, t) =>
+      val cut = new Array[Boolean](t.length)
+      want.foreach { case (_, b, _, sb, len) =>
+        if (b == id) (sb - 1 until sb - 1 + len).foreach(cut(_) = true)
+      }
+      id -> t.zipWithIndex.collect { case (c, i) if !cut(i) => c }.mkString
+    }.toMap
+    val got = SubstringDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k = 8)
+      .as[(Long, String, Int)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, cleaned, nRemoved) =>
+      assert(cleaned == expect(id), s"doc $id")
+      assert(nRemoved == docs.find(_._1 == id).get._2.length - cleaned.length)
+    }
+    // lower ids keep their text: doc 0 must be untouched
+    assert(got.find(_._1 == 0L).get._3 == 0)
+  }
+
   test("coverage stats: interval union matches brute force, clean docs 0") {
     val rng = new Random(13)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

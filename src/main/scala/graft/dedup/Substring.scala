@@ -101,6 +101,64 @@ object SubstringDedup {
         col("s.len").cast("int").as("span_len"))
   }
 
+  /** Substring-level benchmark decontamination — q71's n-gram collision
+    * scan at SPAN granularity: every maximal span of length >= minLen
+    * that a corpus document shares verbatim with a benchmark document.
+    * Same anchor->extend machinery as `duplicateSpans`, but the benchmark
+    * side is tiny relative to a 100 TB corpus, so its anchor index is
+    * BROADCAST — the corpus is scanned once, winnowed in place, and
+    * hash-joined with no shuffle of corpus-derived rows before the pair
+    * aggregation, whose input is bounded by true collisions. The viral-
+    * anchor cap (off by default) applies to the MATCHED subset only —
+    * corpus anchors absent from the benchmark never join, so the cap
+    * aggregation runs over collisions, not the corpus.
+    */
+  def crossSpans(corpus: DataFrame, bench: DataFrame,
+                 textCol: String, idCol: String,
+                 minLen: Int = 50, k: Int = 16,
+                 maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+    require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
+    val w = minLen - k + 1
+    def texts(df: DataFrame, name: String) =
+      df.select(col(idCol).cast("long").as(name), col(textCol).as("text"))
+        .filter(length(col("text")) >= minLen)
+    def anchorsOf(df: DataFrame, name: String) =
+      df.select(col(name),
+          explode(WinnowAnchors(col("text"), k, w)).as("a"))
+        .select(col(name), col("a.pos").as(s"${name}_pos"), col("a.hash").as("h"))
+    val cTexts = texts(corpus, "corpus_id")
+    val bTexts = texts(bench, "bench_id")
+    val matched = anchorsOf(Par.fanOut(cTexts), "corpus_id")
+      .join(broadcast(anchorsOf(bTexts, "bench_id")), "h")
+    val capped =
+      if (maxAnchorDf == Int.MaxValue) matched
+      else {
+        val mp = matched.persist()
+        val hot = mp.groupBy("h")
+          .agg(countDistinct("corpus_id").as("_df"))
+          .filter(col("_df") > maxAnchorDf).select("h")
+        mp.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    val cand = capped
+      .select(col("corpus_id"), col("bench_id"),
+        (shiftleft(col("corpus_id_pos").cast("long"), 32)
+          .bitwiseOR(col("bench_id_pos").cast("long"))).as("seed"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(collect_list(col("seed")).as("seeds"))
+    val withTexts = cand
+      .join(cTexts.withColumnRenamed("text", "ta"), "corpus_id")
+      .join(broadcast(bTexts.withColumnRenamed("text", "tb")), "bench_id")
+    val extend = udf((ta: String, tb: String, seeds: Seq[Long]) =>
+      extendSeeds(ta, tb, seeds, k, minLen))
+    withTexts
+      .select(col("corpus_id"), col("bench_id"),
+        explode(extend(col("ta"), col("tb"), col("seeds"))).as("s"))
+      .select(col("corpus_id"), col("bench_id"),
+        (col("s.sa") + 1).cast("int").as("start_corpus"),
+        (col("s.sb") + 1).cast("int").as("start_bench"),
+        col("s.len").cast("int").as("span_len"))
+  }
+
   /** Grow every candidate seed to its maximal common run and keep the
     * distinct maximal spans of length >= minLen. Char-equality at the
     * seed gram re-verifies the hash match (collision guard); two seeds

@@ -141,6 +141,17 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Substring-level decontamination: verbatim spans >= 50 chars shared
+    // between the corpus (doc_id >= 50) and a held-out benchmark slice
+    // (doc_id < 50) — q71 at span granularity; bench anchors broadcast.
+    "q86_contamination_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.SubstringDedup.crossSpans(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "text", "doc_id", minLen = 50, k = 16)
+        .orderBy("corpus_id", "bench_id", "start_corpus", "start_bench")
+    }),
+
     // Span REMOVAL — the curation step consuming q83's spans: cut every
     // duplicated span from its pair's higher id (one canonical copy
     // survives), reassemble the cleaned text with codegen'd built-ins.
@@ -750,6 +761,29 @@ object TextQueries {
         |  FROM runs GROUP BY da, db, diag, isl)
         |SELECT doc_a, doc_b, start_a, start_b, span_len
         |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "q86_contamination_spans" ->
+      """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM docs))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM docs JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS ci, b.doc_id AS bi, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g
+        |  WHERE a.doc_id >= 50 AND b.doc_id < 50),
+        |runs AS (
+        |  SELECT ci, bi, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY ci, bi, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m)
+        |SELECT ci AS corpus_id, bi AS bench_id,
+        |  CAST(min(pa) AS INT) AS start_corpus,
+        |  CAST(min(pa) - diag AS INT) AS start_bench,
+        |  CAST(count(*) + 50 - 1 AS INT) AS span_len
+        |FROM runs GROUP BY ci, bi, diag, isl
+        |ORDER BY corpus_id, bench_id, start_corpus, start_bench""".stripMargin,
 
     "q85_dedup_cleaned" ->
       """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),

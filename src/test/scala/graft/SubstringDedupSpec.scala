@@ -125,6 +125,29 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(capped.size < uncapped.size)
   }
 
+  test("crossSpans: corpus-vs-bench spans match brute force, both ways") {
+    val rng = new Random(23)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val bench = (100L until 104L).map(i => i -> rand(120))
+    val leak = bench.head._2.substring(10, 80) // 70-char benchmark leak
+    val corpus = (0L until 8L).map { i =>
+      val t = if (i == 3L) rand(30) + leak + rand(40) else rand(150)
+      i -> t
+    }
+    val minLen = 24
+    // brute truth restricted to (corpus, bench) sides — bruteSpans orders
+    // by id, and corpus ids < bench ids here, so (da, db) = (corpus, bench)
+    val want = bruteSpans(corpus ++ bench, minLen).filter {
+      case (a, b, _, _, _) => a < 100L && b >= 100L }
+    val got = SubstringDedup.crossSpans(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k = 8)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(got == want)
+    assert(got.exists { case (c, b, _, sb, len) =>
+      c == 3L && b == 100L && len >= 70 && sb == 11 })
+  }
+
   test("span removal cuts higher-id copies only; brute-force parity") {
     val rng = new Random(17)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

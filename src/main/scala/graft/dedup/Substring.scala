@@ -164,8 +164,8 @@ object SubstringDedup {
     * seed gram re-verifies the hash match (collision guard); two seeds
     * inside one maximal run extend to the same (sa, sb) and dedupe.
     */
-  private def extendSeeds(ta: String, tb: String, seeds: Seq[Long],
-                          k: Int, minLen: Int): Seq[DupSpan] = {
+  private[graft] def extendSeeds(ta: String, tb: String, seeds: Seq[Long],
+                                 k: Int, minLen: Int): Seq[DupSpan] = {
     val seen = scala.collection.mutable.HashSet.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[DupSpan]
     seeds.foreach { packed =>

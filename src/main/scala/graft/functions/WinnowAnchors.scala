@@ -66,9 +66,23 @@ object WinnowAnchors {
 
   /** Shared by eval and generated code. */
   def build(text: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val s = text.toString
+    val (pos, hash) = winnow(text.toString, k, w)
+    val out = new Array[Any](pos.length)
+    var i = 0
+    while (i < pos.length) {
+      out(i) = new GenericInternalRow(Array[Any](pos(i), hash(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The winnowing core on a plain String — also used driver-side to
+    * build static benchmark sidecars (streaming decontamination). Returns
+    * parallel (positions, hashes) arrays, 0-based.
+    */
+  def winnow(s: String, k: Int, w: Int): (Array[Int], Array[Long]) = {
     val m = s.length - k + 1
-    if (m < w) return new GenericArrayData(Array.empty[Any])
+    if (m < w) return (Array.empty[Int], Array.empty[Long])
     // rolling polynomial hash of every k-gram, finalized with a long-mix
     var pow = 1L
     var i = 1
@@ -91,7 +105,8 @@ object WinnowAnchors {
     val deque = new Array[Int](m)
     var head = 0
     var tail = 0 // exclusive
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val outPos = new scala.collection.mutable.ArrayBuffer[Int]()
+    val outHash = new scala.collection.mutable.ArrayBuffer[Long]()
     var last = -1
     i = 0
     while (i < m) {
@@ -101,13 +116,13 @@ object WinnowAnchors {
       if (i >= w - 1) {
         val sel = deque(head)
         if (sel != last) {
-          out += new GenericInternalRow(Array[Any](sel, hashes(sel)))
+          outPos += sel; outHash += hashes(sel)
           last = sel
         }
       }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    (outPos.toArray, outHash.toArray)
   }
 
   /** Column API: `winnow_anchors(text, k, w) -> array<struct<pos,hash>>`. */

@@ -152,6 +152,29 @@ object TextQueries {
         .orderBy("corpus_id", "bench_id", "start_corpus", "start_bench")
     }),
 
+    // REAL streaming decontamination: the incoming corpus streamed from
+    // the parquet file source, probed in-flight against the broadcast
+    // bench-anchor sidecar (doc_id < 50). Stateless projection — no
+    // state store, no watermark — so append mode emits every verdict;
+    // oracled against the batch gram-join truth.
+    "q87_stream_decontaminate" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = graft.streaming.Streams.readDocuments(s, d)
+          .filter(col("doc_id") >= 50)
+        val bench = Tables.documents(s, d).filter(col("doc_id") < 50)
+        val out = graft.streaming.Streams.contaminationFilter(
+          stream, bench, "text", "doc_id", minLen = 50, k = 16)
+        graft.streaming.Streams.runToMemory(
+          out, s"q87_decon_${System.nanoTime}", "append")
+          .select(col("doc_id"),
+            col("contaminated").cast("int").as("contaminated"),
+            col("n_bench_docs"), col("max_span"))
+          .orderBy("doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // Span REMOVAL — the curation step consuming q83's spans: cut every
     // duplicated span from its pair's higher id (one canonical copy
     // survives), reassemble the cleaned text with codegen'd built-ins.
@@ -761,6 +784,35 @@ object TextQueries {
         |  FROM runs GROUP BY da, db, diag, isl)
         |SELECT doc_a, doc_b, start_a, start_b, span_len
         |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "q87_stream_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM docs))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM docs JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS ci, b.doc_id AS bi, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g
+        |  WHERE a.doc_id >= 50 AND b.doc_id < 50),
+        |runs AS (
+        |  SELECT ci, bi, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY ci, bi, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m),
+        |spans AS (
+        |  SELECT ci, bi, count(*) + 50 - 1 AS slen
+        |  FROM runs GROUP BY ci, bi, diag, isl),
+        |hits AS (
+        |  SELECT ci, count(DISTINCT bi) AS nb, max(slen) AS mx
+        |  FROM spans GROUP BY ci)
+        |SELECT d.doc_id,
+        |  CASE WHEN h.ci IS NULL THEN 0 ELSE 1 END AS contaminated,
+        |  CAST(coalesce(h.nb, 0) AS INT) AS n_bench_docs,
+        |  CAST(coalesce(h.mx, 0) AS INT) AS max_span
+        |FROM docs d LEFT JOIN hits h ON d.doc_id = h.ci
+        |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
 
     "q86_contamination_spans" ->
       """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),

@@ -116,6 +116,103 @@ object Streams {
       .drop(fpC) // batch/stream parity: Dedup.exact returns the original schema
   }
 
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents parquet (the incoming-crawl
+    * shape); `glob` selects within a mixed-table directory.
+    */
+  def readDocuments(spark: SparkSession, dir: String,
+                    glob: String = "documents.parquet"): DataFrame =
+    spark.readStream.schema(documentSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+
+  /** In-flight substring decontamination — the streaming twin of
+    * `SubstringDedup.crossSpans`: annotate each incoming document with
+    * whether it shares a verbatim span >= `minLen` chars with any doc of
+    * a STATIC benchmark suite. The benchmark's winnowing anchors + texts
+    * are collected ONCE into a broadcast sidecar (eval suites are MBs;
+    * the `maxBenchBytes` guard fails loudly if a caller passes a corpus
+    * by mistake), and the stream side is a single stateless projection —
+    * winnow the doc, probe the sidecar map, char-extend the hits. No
+    * shuffle, no state store, no watermark: safe at any stream rate,
+    * and the same call works on a batch frame (used by the spec for
+    * parity with `crossSpans`).
+    *
+    * Appends `contaminated: boolean`, `n_bench_docs: int` (benchmark
+    * docs sharing >= 1 qualifying span), `max_span: int` (0 if clean).
+    * `.filter(!col("contaminated"))` is the curation gate.
+    */
+  def contaminationFilter(docs: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String,
+                          minLen: Int = 50, k: Int = 16,
+                          maxBenchBytes: Long = 1L << 28): DataFrame = {
+    require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
+    val w = minLen - k + 1
+    val spark = bench.sparkSession
+    val benchRows = bench
+      .select(col(idCol).cast("long"), col(textCol))
+      .filter(length(col(textCol)) >= minLen).collect()
+    val benchBytes = benchRows.iterator
+      .map(r => 16L + 2L * r.getString(1).length).sum
+    require(benchBytes <= maxBenchBytes,
+      s"benchmark side is ~$benchBytes bytes (> $maxBenchBytes): " +
+        "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
+        "eval sets here, not a corpus (or raise maxBenchBytes)")
+    val texts = benchRows.map(_.getString(1))
+    val ids = benchRows.map(_.getLong(0))
+    val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+    var b = 0
+    while (b < texts.length) {
+      val (pos, hash) = graft.functions.WinnowAnchors.winnow(texts(b), k, w)
+      var i = 0
+      while (i < pos.length) {
+        byHash(hash(i)) = (b, pos(i)) :: byHash.getOrElse(hash(i), Nil)
+        i += 1
+      }
+      b += 1
+    }
+    val sidecar = spark.sparkContext.broadcast((byHash.toMap, texts, ids))
+    val kk = k; val ml = minLen; val ww = w
+    val probe = udf((text: String) => {
+      val (bh, bt, _) = sidecar.value
+      if (text == null || text.length < ml) (false, 0, 0)
+      else {
+        val (pos, hash) = graft.functions.WinnowAnchors.winnow(text, kk, ww)
+        // group candidate seeds per bench doc, then one extension pass each
+        val seeds = new scala.collection.mutable.HashMap[Int, List[Long]]()
+        var i = 0
+        while (i < pos.length) {
+          bh.getOrElse(hash(i), Nil).foreach { case (bi, bp) =>
+            seeds(bi) = (pos(i).toLong << 32 | bp.toLong) :: seeds.getOrElse(bi, Nil)
+          }
+          i += 1
+        }
+        var nDocs = 0; var maxSpan = 0
+        seeds.foreach { case (bi, ss) =>
+          val spans = graft.dedup.SubstringDedup
+            .extendSeeds(text, bt(bi), ss, kk, ml)
+          if (spans.nonEmpty) {
+            nDocs += 1
+            spans.foreach(sp => if (sp.len > maxSpan) maxSpan = sp.len)
+          }
+        }
+        (nDocs > 0, nDocs, maxSpan)
+      }
+    })
+    val vC = Iterator.iterate("_v")(_ + "_")
+      .find(!docs.columns.contains(_)).get
+    docs.withColumn(vC, probe(col(textCol)))
+      .withColumn("contaminated", col(s"$vC._1"))
+      .withColumn("n_bench_docs", col(s"$vC._2"))
+      .withColumn("max_span", col(s"$vC._3"))
+      .drop(vC)
+  }
+
   /** Stream-stream interval (attribution) join: each left event pairs
     * with every right event of the same key at-or-after it within
     * `maxGap` — the click→purchase attribution shape. The time-range

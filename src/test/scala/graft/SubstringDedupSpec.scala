@@ -148,6 +148,60 @@ class SubstringDedupSpec extends AnyFunSuite {
       c == 3L && b == 100L && len >= 70 && sb == 11 })
   }
 
+  test("contaminationFilter verdicts == crossSpans truth; streams clean") {
+    val rng = new Random(29)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val bench = (100L until 104L).map(i => i -> rand(120))
+    val corpus = (0L until 12L).map { i =>
+      val t =
+        if (i % 4 == 1) rand(20) + bench((i % 4).toInt)._2.substring(5, 75) + rand(30)
+        else rand(140)
+      i -> t
+    }
+    val minLen = 24
+    // truth from the batch pair operator
+    val spans = graft.dedup.SubstringDedup.crossSpans(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k = 8)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    val truth = spans.groupBy(_._1).map { case (c, ss) =>
+      c -> (ss.map(_._2).distinct.size, ss.map(_._5).max) }
+    val got = graft.streaming.Streams.contaminationFilter(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k = 8)
+      .select("doc_id", "contaminated", "n_bench_docs", "max_span")
+      .as[(Long, Boolean, Int, Int)].collect()
+    assert(got.length == corpus.length)
+    got.foreach { case (id, c, n, mx) =>
+      truth.get(id) match {
+        case Some((tn, tmx)) =>
+          assert(c && n == tn && mx == tmx, s"doc $id: ($c,$n,$mx) vs $tn,$tmx")
+        case None => assert(!c && n == 0 && mx == 0, s"doc $id clean")
+      }
+    }
+    assert(got.count(_._2) == 3, "the three planted leaks")
+    // and on a REAL stream: same verdicts, stateless append mode
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString + "/docs"
+    corpus.toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id long, text string").parquet(dir)
+    val streamed = graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.contaminationFilter(stream,
+          bench.toDF("doc_id", "text"), "text", "doc_id", minLen, k = 8),
+        s"decon_${System.nanoTime}", "append")
+      .select("doc_id", "contaminated", "n_bench_docs", "max_span")
+      .as[(Long, Boolean, Int, Int)].collect()
+    assert(streamed.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  test("contaminationFilter refuses an over-budget bench side") {
+    val docs = Seq(1L -> ("a" * 100)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.contaminationFilter(docs, docs,
+        "text", "doc_id", minLen = 24, k = 8, maxBenchBytes = 10L)
+    }
+  }
+
   test("span removal cuts higher-id copies only; brute-force parity") {
     val rng = new Random(17)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 probe: does the substring-dedup family stay linear at 10x the
+  * sf0.1 corpus (50k docs)? A naive 10x (concatenate 10 copies) would be
+  * UNFAIR: every doc gains 9 verbatim clones, so the span count — and any
+  * pair-based operator's output — grows ~45x-quadratically and the probe
+  * would measure duplication density, not scale. Instead each copy
+  * applies a copy-specific alphabet-rotation SUBSTITUTION CIPHER: a
+  * bijection on characters preserves every within-copy span exactly
+  * (same offsets, same lengths), while a cross-copy common substring
+  * would require one doc to contain the letter-shifted image of
+  * another's span — as unlikely as a random collision. So the 10x
+  * corpus has 10x the rows AND exactly 10x the true spans — the honest
+  * scaling regime.
+  *
+  * Prints min-of-N times at 1x and 10x plus the log10 exponent, and the
+  * span-count ratio as the fairness check (expect ~10, NOT ~45+).
+  */
+object SubstringScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "2").toInt
+    val spark = Sessions.build("local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, base)
+      .select("doc_id", "text")
+
+    val tenxDir = "/tmp/graft_substr_10x"
+    val p = java.nio.file.Paths.get(tenxDir)
+    if (!java.nio.file.Files.exists(p)) {
+      val az = "abcdefghijklmnopqrstuvwxyz"
+      val union = (0 until 10).map { c =>
+        if (c == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          translate(col("text"), az, az.drop(c) + az.take(c)).as("text"))
+      }.reduce(_ unionAll _)
+      union.repartition(32).write.parquet(tenxDir + "/documents.parquet")
+      println(s"[sscale] built 10x corpus at $tenxDir")
+    }
+    val docs10 = spark.read.parquet(tenxDir + "/documents.parquet")
+
+    def run(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      var rows = 0L
+      val t = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        rows = graft.dedup.SubstringDedup
+          .duplicateSpans(df, "text", "doc_id", minLen = 50, k = 16)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (t, rows)
+    }
+    docs.count(); docs10.count() // warm footers + JIT
+    val (t1, n1) = run(docs)
+    val (t10, n10) = run(docs10)
+    val exp = math.log(t10 / t1) / math.log(10.0)
+    println(f"[sscale] duplicateSpans 1x: $t1%.2f s ($n1 spans)  " +
+      f"10x: $t10%.2f s ($n10 spans)  exponent $exp%.2f  " +
+      f"span-ratio ${n10.toDouble / math.max(1, n1)}%.1f")
+    spark.stop()
+  }
+}

@@ -60,6 +60,39 @@ object ExpressionProperties extends Properties("expressions") {
       Prop(got == want)
     }
 
+  // The MOSS guarantee the substring-dedup family rests on: two copies of
+  // any common substring of length >= w + k - 1 select at least one
+  // anchor at the SAME relative offset with the same hash — regardless of
+  // the differing context around the copies, alphabet size, or placement.
+  property("winnowing: planted common span always shares an anchor") =
+    forAll(
+      Gen.choose(2L, Long.MaxValue), // rng seed
+      Gen.choose(2, 6),              // alphabet size (small -> adversarial)
+      Gen.choose(4, 12),             // k
+      Gen.choose(2, 20)) {           // w
+      (seed, alpha, k, w) =>
+        val rng = new scala.util.Random(seed)
+        def rand(n: Int) =
+          Seq.fill(n)(('a' + rng.nextInt(alpha)).toChar).mkString
+        val minLen = w + k - 1
+        val span = rand(minLen + rng.nextInt(30))
+        val ta = rand(rng.nextInt(40)) + span + rand(rng.nextInt(40))
+        val tb = rand(rng.nextInt(40)) + span + rand(rng.nextInt(40))
+        val offA = ta.indexOf(span); val offB = tb.indexOf(span)
+        // indexOf can land EARLIER than the planted offset if the random
+        // context happens to contain the span — still a valid common copy
+        val (pa, ha) = graft.functions.WinnowAnchors.winnow(ta, k, w)
+        val (pb, hb) = graft.functions.WinnowAnchors.winnow(tb, k, w)
+        val inA = pa.indices
+          .filter(i => pa(i) >= offA && pa(i) + k <= offA + span.length)
+          .map(i => (pa(i) - offA, ha(i))).toSet
+        val inB = pb.indices
+          .filter(i => pb(i) >= offB && pb(i) + k <= offB + span.length)
+          .map(i => (pb(i) - offB, hb(i))).toSet
+        Prop(inA.intersect(inB).nonEmpty) :|
+          s"no shared anchor for span len ${span.length} (k=$k w=$w)"
+    }
+
   property("cosine_sim = dot/(|a||b|), zero-norm -> 0.0, prefix on mismatch") =
     forAll(Gen.choose(0, 12).flatMap(d => Gen.zip(
       Gen.listOfN(d, Gen.choose(-5.0, 5.0)),

@@ -8,8 +8,9 @@ import graft.functions.WinnowAnchors
 import graft.ops.Par
 
 /** A maximal exact duplicated span between two documents: 0-based start
-  * offsets in each text and the span's character length. Top-level so the
-  * UDF return encoder resolves without an outer pointer.
+  * offsets in each text (code points) and the span's length in code
+  * points. Top-level so the UDF return encoder resolves without an outer
+  * pointer.
   */
 private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
 
@@ -28,6 +29,11 @@ private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
   * loss vs the suffix array for spans >= minLen (winnowing guarantee),
   * modulo the optional viral-anchor cap.
   *
+  * All positions and lengths count Unicode CODE POINTS (SQL
+  * `substr`/`length` semantics) end to end — winnowing, extension, and
+  * the island/segment reassembly agree on the same unit, so offsets are
+  * exact for supplementary-plane text too.
+  *
   * Scale design: anchors keep ~2/(w+1) of gram positions (~4% at the
   * default minLen=50/k=16), the candidate join is an equi-join on the
   * anchor hash (shuffled hash join, never a cross join), and extension
@@ -41,8 +47,8 @@ object SubstringDedup {
 
   /** All maximal duplicated spans of length >= `minLen` chars between
     * distinct document pairs: (doc_a, doc_b, start_a, start_b, span_len)
-    * with doc_a < doc_b and 1-BASED character starts (SQL `substr`
-    * convention). `k` is the fingerprint gram size; the winnow window is
+    * with doc_a < doc_b and 1-BASED code-point starts (SQL `substr`
+    * positions). `k` is the fingerprint gram size; the winnow window is
     * derived as w = minLen - k + 1 so the guarantee lands exactly on
     * `minLen`.
     */
@@ -59,17 +65,7 @@ object SubstringDedup {
     val an = Par.fanOut(texts).select(col("doc"),
         explode(WinnowAnchors(col("text"), k, w)).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
-    val index =
-      if (maxAnchorDf == Int.MaxValue) an
-      else {
-        // viral-anchor cap: the hot list (output = only viral hashes) is
-        // tiny and broadcast into a left_anti, same plan as the jaccard
-        // shingle cap — the index itself is never shuffled for the cap.
-        val anp = an.persist()
-        val hot = anp.groupBy("h").agg(countDistinct("doc").as("_df"))
-          .filter(col("_df") > maxAnchorDf).select("h")
-        anp.join(broadcast(hot), Seq("h"), "left_anti")
-      }
+    val index = capViral(an, "doc", maxAnchorDf)
     // Inverted-index self-join on the anchor hash. shuffle_hash for the
     // same reason as the shingle joins: Catalyst sizes the sides from the
     // parquet scan and would broadcast the whole exploded index; both
@@ -77,28 +73,15 @@ object SubstringDedup {
     val cand = index.as("a").hint("shuffle_hash")
       .join(index.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("da"), col("b.doc").as("db"),
-        // pack the seed pair into one long so the per-pair collect_list
-        // stays a flat array<bigint> (UDFs cannot take struct rows).
-        (shiftleft(col("a.pos").cast("long"), 32)
-          .bitwiseOR(col("b.pos").cast("long"))).as("seed"))
-      .groupBy("da", "db")
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        packedSeed(col("a.pos"), col("b.pos")).as("seed"))
+      .groupBy("doc_a", "doc_b")
       .agg(collect_list(col("seed")).as("seeds"))
-    // Texts join back once per candidate PAIR (not per seed): extension
-    // is one UDF call per pair over both full texts — docs are bounded
-    // (KB–MB), pair count is bounded by true duplication + the df cap.
-    val withTexts = cand
-      .join(texts.select(col("doc").as("da"), col("text").as("ta")), "da")
-      .join(texts.select(col("doc").as("db"), col("text").as("tb")), "db")
-    val extend = udf((ta: String, tb: String, seeds: Seq[Long]) =>
-      extendSeeds(ta, tb, seeds, k, minLen))
-    withTexts
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        explode(extend(col("ta"), col("tb"), col("seeds"))).as("s"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("s.sa") + 1).cast("int").as("start_a"),
-        (col("s.sb") + 1).cast("int").as("start_b"),
-        col("s.len").cast("int").as("span_len"))
+    seedsToSpans(cand,
+      texts.select(col("doc").as("doc_a"), col("text").as("ta")),
+      texts.select(col("doc").as("doc_b"), col("text").as("tb")),
+      "doc_a", "doc_b", "start_a", "start_b", k, minLen,
+      broadcastTextsB = false)
   }
 
   /** Substring-level benchmark decontamination — q71's n-gram collision
@@ -130,41 +113,81 @@ object SubstringDedup {
     val bTexts = texts(bench, "bench_id")
     val matched = anchorsOf(Par.fanOut(cTexts), "corpus_id")
       .join(broadcast(anchorsOf(bTexts, "bench_id")), "h")
-    val capped =
-      if (maxAnchorDf == Int.MaxValue) matched
-      else {
-        val mp = matched.persist()
-        val hot = mp.groupBy("h")
-          .agg(countDistinct("corpus_id").as("_df"))
-          .filter(col("_df") > maxAnchorDf).select("h")
-        mp.join(broadcast(hot), Seq("h"), "left_anti")
-      }
-    val cand = capped
+    val cand = capViral(matched, "corpus_id", maxAnchorDf)
       .select(col("corpus_id"), col("bench_id"),
-        (shiftleft(col("corpus_id_pos").cast("long"), 32)
-          .bitwiseOR(col("bench_id_pos").cast("long"))).as("seed"))
+        packedSeed(col("corpus_id_pos"), col("bench_id_pos")).as("seed"))
       .groupBy("corpus_id", "bench_id")
       .agg(collect_list(col("seed")).as("seeds"))
+    seedsToSpans(cand,
+      cTexts.withColumnRenamed("text", "ta"),
+      bTexts.withColumnRenamed("text", "tb"),
+      "corpus_id", "bench_id", "start_corpus", "start_bench", k, minLen,
+      broadcastTextsB = true)
+  }
+
+  /** Viral-anchor document-frequency cap: the hot list (output = only
+    * viral hashes) is tiny and broadcast into a left_anti, same plan as
+    * the jaccard shingle cap — the index itself is never shuffled for the
+    * cap. The persisted index feeds two divergent plans (the hot-list
+    * aggregate and the surviving join side) and is left to Spark's LRU —
+    * an eager unpersist would re-run the winnowing scan on the lazily
+    * returned result (same documented trade as `Dedup`'s shingle cap).
+    */
+  private def capViral(index: DataFrame, docCol: String,
+                       maxAnchorDf: Int): DataFrame =
+    if (maxAnchorDf == Int.MaxValue) index
+    else {
+      val idx = index.persist()
+      val hot = idx.groupBy("h")
+        .agg(countDistinct(docCol).as("_df"))
+        .filter(col("_df") > maxAnchorDf).select("h")
+      idx.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+
+  /** Pack an anchor-pair seed into one long so the per-pair collect_list
+    * stays a flat array<bigint> (UDFs cannot take struct rows).
+    */
+  private def packedSeed(posA: Column, posB: Column): Column =
+    shiftleft(posA.cast("long"), 32).bitwiseOR(posB.cast("long"))
+
+  /** Shared tail of both span pipelines: texts join back once per
+    * candidate PAIR (not per seed) — extension is one UDF call per pair
+    * over both full texts; docs are bounded (KB-MB), pair count is
+    * bounded by true duplication + the df cap. `broadcastTextsB` marks
+    * the benchmark side of the cross variant.
+    */
+  private def seedsToSpans(cand: DataFrame,
+                           textsA: DataFrame, textsB: DataFrame,
+                           idA: String, idB: String,
+                           startA: String, startB: String,
+                           k: Int, minLen: Int,
+                           broadcastTextsB: Boolean): DataFrame = {
     val withTexts = cand
-      .join(cTexts.withColumnRenamed("text", "ta"), "corpus_id")
-      .join(broadcast(bTexts.withColumnRenamed("text", "tb")), "bench_id")
+      .join(textsA, idA)
+      .join(if (broadcastTextsB) broadcast(textsB) else textsB, idB)
     val extend = udf((ta: String, tb: String, seeds: Seq[Long]) =>
       extendSeeds(ta, tb, seeds, k, minLen))
     withTexts
-      .select(col("corpus_id"), col("bench_id"),
+      .select(col(idA), col(idB),
         explode(extend(col("ta"), col("tb"), col("seeds"))).as("s"))
-      .select(col("corpus_id"), col("bench_id"),
-        (col("s.sa") + 1).cast("int").as("start_corpus"),
-        (col("s.sb") + 1).cast("int").as("start_bench"),
+      .select(col(idA), col(idB),
+        (col("s.sa") + 1).cast("int").as(startA),
+        (col("s.sb") + 1).cast("int").as(startB),
         col("s.len").cast("int").as("span_len"))
   }
 
   /** Grow every candidate seed to its maximal common run and keep the
-    * distinct maximal spans of length >= minLen. Char-equality at the
-    * seed gram re-verifies the hash match (collision guard); two seeds
-    * inside one maximal run extend to the same (sa, sb) and dedupe.
+    * distinct maximal spans of length >= minLen. Code-point equality at
+    * the seed gram re-verifies the hash match (collision guard); two
+    * seeds inside one maximal run extend to the same (sa, sb) and dedupe.
     */
   private[graft] def extendSeeds(ta: String, tb: String, seeds: Seq[Long],
+                                 k: Int, minLen: Int): Seq[DupSpan] =
+    extendSeeds(ta.codePoints().toArray, tb.codePoints().toArray,
+      seeds, k, minLen)
+
+  private[graft] def extendSeeds(ta: Array[Int], tb: Array[Int],
+                                 seeds: Seq[Long],
                                  k: Int, minLen: Int): Seq[DupSpan] = {
     val seen = scala.collection.mutable.HashSet.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[DupSpan]
@@ -174,23 +197,41 @@ object SubstringDedup {
       var ok = pa + k <= ta.length && pb + k <= tb.length
       var i = 0
       while (ok && i < k) {
-        if (ta.charAt(pa + i) != tb.charAt(pb + i)) ok = false
+        if (ta(pa + i) != tb(pb + i)) ok = false
         i += 1
       }
       if (ok) {
         var sa = pa; var sb = pb
-        while (sa > 0 && sb > 0 && ta.charAt(sa - 1) == tb.charAt(sb - 1)) {
+        while (sa > 0 && sb > 0 && ta(sa - 1) == tb(sb - 1)) {
           sa -= 1; sb -= 1
         }
         var ea = pa + k; var eb = pb + k
         while (ea < ta.length && eb < tb.length &&
-          ta.charAt(ea) == tb.charAt(eb)) { ea += 1; eb += 1 }
+          ta(ea) == tb(eb)) { ea += 1; eb += 1 }
         val len = ea - sa
         if (len >= minLen && seen.add(sa.toLong << 32 | sb.toLong))
           out += DupSpan(sa, sb, len)
       }
     }
     out.toSeq
+  }
+
+  /** Classic interval union as a window-island pass (no UDF, no driver
+    * work): a row starts a new island iff its start clears the running
+    * max end of everything before it. Input (doc, s, e) half-open
+    * 1-based; output one row per merged island (doc, is, ie).
+    */
+  private def mergeIslands(ivals: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    ivals
+      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax, 1)
+        .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(byDoc))
+      .groupBy("doc", "_isl")
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .drop("_isl")
   }
 
   /** The curation step that CONSUMES the spans (Lee et al. §4: keep one
@@ -203,25 +244,17 @@ object SubstringDedup {
     *
     * The cut itself is pure codegen'd built-ins: merged removal islands
     * per doc (window pass), complement segments via `zip_with` over
-    * shifted boundaries, `substring` + `array_join` to reassemble — no
-    * UDF, no driver work.
+    * shifted boundaries, `substr` + `array_join` to reassemble — no UDF,
+    * no driver work; island offsets are code points, the unit `substr`
+    * slices in, so the cut is exact for any text.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            minLen: Int = 50, k: Int = 16,
                            maxAnchorDf: Int = Int.MaxValue): DataFrame = {
     val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
-    val ivals = spans.select(col("doc_b").as("doc"),
-      col("start_b").as("s"),
-      (col("start_b") + col("span_len")).as("e"))
-    val byDoc = Window.partitionBy("doc").orderBy(col("s"), col("e"))
-    val prevMax = max(col("e"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = ivals
-      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax, 1)
-        .otherwise(0))
-      .withColumn("_isl", sum(col("_new")).over(byDoc))
-      .groupBy("doc", "_isl")
-      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+    val islands = mergeIslands(
+        spans.select(col("doc_b").as("doc"), col("start_b").as("s"),
+          (col("start_b") + col("span_len")).as("e")))
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("is"), col("ie"))))
         .as("_cut"))
@@ -245,8 +278,8 @@ object SubstringDedup {
 
   /** Per-document duplicated-character coverage: the union of all span
     * intervals a doc participates in (either side of any pair), merged
-    * with a window-function island pass — no driver work, no UDF. Returns
-    * every input doc: (doc_id, dup_chars, dup_frac), zero for clean docs.
+    * with the window-island pass. Returns every input doc:
+    * (doc_id, dup_chars, dup_frac), zero for clean docs.
     */
   def duplicateCharStats(df: DataFrame, textCol: String, idCol: String,
                          minLen: Int = 50, k: Int = 16,
@@ -258,19 +291,9 @@ object SubstringDedup {
       .unionAll(spans.select(col("doc_b").as("doc"),
         col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e")))
-    // classic interval union: a row starts a new island iff its start
-    // clears the running max end of everything before it.
-    val byDoc = Window.partitionBy("doc").orderBy(col("s"), col("e"))
-    val prevMax = max(col("e"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val covered = ivals
-      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax, 1)
-        .otherwise(0))
-      .withColumn("_isl", sum(col("_new")).over(byDoc))
-      .groupBy("doc", "_isl")
-      .agg((max(col("e")) - min(col("s"))).as("_cov"))
+    val covered = mergeIslands(ivals)
       .groupBy("doc")
-      .agg(sum(col("_cov")).as("_dup"))
+      .agg(sum(col("ie") - col("is")).as("_dup"))
     df.select(col(idCol).cast("long").as("doc"),
         length(col(textCol)).as("_len"))
       .join(covered, Seq("doc"), "left")

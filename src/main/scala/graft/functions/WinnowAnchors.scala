@@ -27,8 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * contain a qualifying span). Raw polynomial hashes are finalized with
   * an xxhash64 long-mix so min-selection is unbiased on low-entropy text;
   * collisions merely create candidate pairs that die in the char-level
-  * verify/extension stage downstream. Positions count UTF-16 code units
-  * (== code points on BMP text; the corpus tables are ASCII).
+  * verify/extension stage downstream. Positions count Unicode CODE
+  * POINTS (SQL `substr`/`length` semantics), so downstream offsets are
+  * exact for supplementary-plane text too.
   */
 case class WinnowAnchors(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
@@ -78,9 +79,14 @@ object WinnowAnchors {
 
   /** The winnowing core on a plain String — also used driver-side to
     * build static benchmark sidecars (streaming decontamination). Returns
-    * parallel (positions, hashes) arrays, 0-based.
+    * parallel (positions, hashes) arrays, 0-based, in CODE POINTS — so
+    * downstream 1-based offsets are true SQL `substr` positions for any
+    * text, supplementary planes included.
     */
-  def winnow(s: String, k: Int, w: Int): (Array[Int], Array[Long]) = {
+  def winnow(str: String, k: Int, w: Int): (Array[Int], Array[Long]) =
+    winnow(str.codePoints().toArray, k, w)
+
+  def winnow(s: Array[Int], k: Int, w: Int): (Array[Int], Array[Long]) = {
     val m = s.length - k + 1
     if (m < w) return (Array.empty[Int], Array.empty[Long])
     // rolling polynomial hash of every k-gram, finalized with a long-mix
@@ -90,11 +96,11 @@ object WinnowAnchors {
     val hashes = new Array[Long](m)
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    while (i < k) { h = h * B + s(i); i += 1 }
     hashes(0) = XXH64.hashLong(h, MixSeed)
     i = 1
     while (i < m) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      h = (h - s(i - 1) * pow) * B + s(i + k - 1)
       hashes(i) = XXH64.hashLong(h, MixSeed)
       i += 1
     }

@@ -27,15 +27,24 @@ object SubstringScaleProbe {
     val docs = graft.Tables.documents(spark, base)
       .select("doc_id", "text")
 
-    val tenxDir = "/tmp/graft_substr_10x"
-    val p = java.nio.file.Paths.get(tenxDir)
-    if (!java.nio.file.Files.exists(p)) {
-      val az = "abcdefghijklmnopqrstuvwxyz"
+    // cache key includes the base dir; _SUCCESS guards against a partial
+    // previous write being silently reused
+    val tenxDir = "/tmp/graft_substr_10x_" +
+      base.replaceAll("[^A-Za-z0-9.]", "_")
+    val done = java.nio.file.Paths.get(
+      tenxDir, "documents.parquet", "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      // rotate letters AND digits so no >= minLen run escapes the cipher
+      val az = "abcdefghijklmnopqrstuvwxyz" +
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "0123456789"
+      def rot(s: String, c: Int) = s.drop(c) + s.take(c)
       val union = (0 until 10).map { c =>
         if (c == 0) docs.select(col("doc_id"), col("text"))
         else docs.select(
           (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-          translate(col("text"), az, az.drop(c) + az.take(c)).as("text"))
+          translate(col("text"), az,
+            rot(az.take(26), c) + rot(az.slice(26, 52), c)
+              + rot(az.drop(52), c)).as("text"))
       }.reduce(_ unionAll _)
       union.repartition(32).write.parquet(tenxDir + "/documents.parquet")
       println(s"[sscale] built 10x corpus at $tenxDir")
@@ -57,9 +66,16 @@ object SubstringScaleProbe {
     val (t1, n1) = run(docs)
     val (t10, n10) = run(docs10)
     val exp = math.log(t10 / t1) / math.log(10.0)
+    val ratio = n10.toDouble / math.max(1, n1)
     println(f"[sscale] duplicateSpans 1x: $t1%.2f s ($n1 spans)  " +
       f"10x: $t10%.2f s ($n10 spans)  exponent $exp%.2f  " +
-      f"span-ratio ${n10.toDouble / math.max(1, n1)}%.1f")
+      f"span-ratio $ratio%.1f")
+    // fairness gate: a ratio far from 10 means cross-copy duplicates
+    // leaked through the cipher (or the cached corpus is stale) and the
+    // exponent above is measuring duplication density, not scale
+    require(ratio >= 8 && ratio <= 12,
+      f"span-ratio $ratio%.1f outside [8, 12] — 10x corpus is not a fair " +
+        "10x; delete the cache dir and rebuild")
     spark.stop()
   }
 }

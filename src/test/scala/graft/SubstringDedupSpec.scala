@@ -148,6 +148,36 @@ class SubstringDedupSpec extends AnyFunSuite {
       c == 3L && b == 100L && len >= 70 && sb == 11 })
   }
 
+  test("supplementary-plane text: offsets are code points (substr-exact)") {
+    // 4 astral chars (2 UTF-16 units each) BEFORE the planted span: a
+    // UTF-16-based pipeline would report starts off by 4 and the substr
+    // round-trip below would slice the wrong chars.
+    val astral = "😀😁😂😃" // 😀😁😂😃
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq( // post-span chars differ so the run ends AT the span
+      1L -> (astral + span + " tail one 🚀 padding padding"),
+      2L -> ("prefix two " + span + "-other tail"))
+    val got = SubstringDedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minLen = 40, k = 16)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(got.length == 1)
+    val (_, _, sa, sb, len) = got.head
+    assert(sa == 5 && sb == 12 && len == span.length,
+      s"code-point offsets: got ($sa, $sb, $len)")
+    // the substr contract the offsets promise: slicing doc A at
+    // (start_a, span_len) in code points yields exactly the span
+    val sliced = docs.head._2.codePoints().toArray
+      .slice(sa - 1, sa - 1 + len).map(Character.toChars).flatten
+    assert(new String(sliced) == span)
+    // and removal cuts doc 2's copy exactly, astral chars untouched
+    val cleaned = SubstringDedup.removeDuplicateSpans(
+        docs.toDF("doc_id", "text"), "text", "doc_id", minLen = 40, k = 16)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(cleaned(0)._2 == docs.head._2 && cleaned(0)._3 == 0)
+    assert(cleaned(1)._2 == docs(1)._2.replace(span, ""))
+    assert(cleaned(1)._3 == len)
+  }
+
   test("contaminationFilter verdicts == crossSpans truth; streams clean") {
     val rng = new Random(29)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

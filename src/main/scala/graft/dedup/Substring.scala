@@ -125,6 +125,90 @@ object SubstringDedup {
       broadcastTextsB = true)
   }
 
+  /** Materialize a corpus's winnowing anchors + texts as an ON-DISK SPAN
+    * INDEX (`dir/anchors`, `dir/texts`, params sidecar) — the
+    * INCREMENTAL-dedup shape at 100 TB: each incoming crawl batch probes
+    * the index (`spansAgainstIndex`) without re-winnowing the corpus,
+    * then joins it (`appendToSpanIndex`) so later batches dedup against
+    * corpus + all prior batches. The anchor index is ~2/(w+1) of gram
+    * positions x 20 bytes (~1% of corpus bytes at the defaults), so a
+    * full anchor scan per batch is cheap by construction; texts are only
+    * read for docs that actually collide.
+    *
+    * The (minLen, k) params ride a JSON sidecar and are REUSED by probe
+    * and append — mixed-parameter indexes cannot happen by construction.
+    */
+  def writeSpanIndex(df: DataFrame, textCol: String, idCol: String,
+                     dir: String, minLen: Int = 50, k: Int = 16): Unit = {
+    require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
+    writeIndexData(df, textCol, idCol, dir, minLen, k, "overwrite")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((minLen, k)).toDF("minLen", "k")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Add a batch to an existing span index (same layout, sidecar params). */
+  def appendToSpanIndex(df: DataFrame, textCol: String, idCol: String,
+                        dir: String): Unit = {
+    val (minLen, k) = readIndexParams(df.sparkSession, dir)
+    writeIndexData(df, textCol, idCol, dir, minLen, k, "append")
+  }
+
+  private def writeIndexData(df: DataFrame, textCol: String, idCol: String,
+                             dir: String, minLen: Int, k: Int,
+                             mode: String): Unit = {
+    val w = minLen - k + 1
+    val texts = df.select(col(idCol).cast("long").as("doc"),
+        col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+    Par.fanOut(texts).select(col("doc"),
+        explode(WinnowAnchors(col("text"), k, w)).as("a"))
+      .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
+      .write.mode(mode).parquet(s"$dir/anchors")
+    texts.write.mode(mode).parquet(s"$dir/texts")
+  }
+
+  private def readIndexParams(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (Int, Int) = {
+    val r = spark.read.json(s"$dir/params").select("minLen", "k").head()
+    (r.getLong(0).toInt, r.getLong(1).toInt)
+  }
+
+  /** All maximal spans >= the INDEX's minLen between an incoming batch
+    * and the indexed corpus: (corpus_id, batch_id, start_corpus,
+    * start_batch, span_len). The batch side is winnowed in place with the
+    * index's own params and BROADCAST into the anchor-index scan — no
+    * index-side shuffle before the collision-bounded pair aggregation,
+    * and no corpus text is read except for colliding docs. Batch-internal
+    * duplicates are NOT reported (run `duplicateSpans` on the batch for
+    * those, then `appendToSpanIndex`).
+    */
+  def spansAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                        dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val (minLen, k) = readIndexParams(spark, dir)
+    val w = minLen - k + 1
+    val bTexts = batch
+      .select(col(idCol).cast("long").as("batch_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+    val bAnchors = bTexts.select(col("batch_id"),
+        explode(WinnowAnchors(col("text"), k, w)).as("a"))
+      .select(col("batch_id"), col("a.pos").as("bpos"), col("a.hash").as("h"))
+    val cand = spark.read.parquet(s"$dir/anchors")
+      .join(broadcast(bAnchors), "h")
+      .select(col("doc").as("corpus_id"), col("batch_id"),
+        packedSeed(col("pos"), col("bpos")).as("seed"))
+      .groupBy("corpus_id", "batch_id")
+      .agg(collect_list(col("seed")).as("seeds"))
+    seedsToSpans(cand,
+      spark.read.parquet(s"$dir/texts")
+        .select(col("doc").as("corpus_id"), col("text").as("ta")),
+      bTexts.withColumnRenamed("text", "tb"),
+      "corpus_id", "batch_id", "start_corpus", "start_batch", k, minLen,
+      broadcastTextsB = true)
+  }
+
   /** Viral-anchor document-frequency cap: the hot list (output = only
     * viral hashes) is tiny and broadcast into a left_anti, same plan as
     * the jaccard shingle cap — the index itself is never shuffled for the

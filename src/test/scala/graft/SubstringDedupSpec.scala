@@ -148,6 +148,38 @@ class SubstringDedupSpec extends AnyFunSuite {
       c == 3L && b == 100L && len >= 70 && sb == 11 })
   }
 
+  test("span index: probe == crossSpans; append extends the corpus side") {
+    val rng = new Random(31)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val corpus = (0L until 10L).map(i => i -> rand(120 + rng.nextInt(80)))
+    val leak = corpus(2)._2.substring(10, 90)
+    val batch1 = Seq(100L -> (rand(25) + leak + rand(25)), 101L -> rand(150))
+    val minLen = 24
+    val dir = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    SubstringDedup.writeSpanIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", dir, minLen, k = 8)
+    val viaIndex = SubstringDedup.spansAgainstIndex(
+        batch1.toDF("doc_id", "text"), "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    val direct = SubstringDedup.crossSpans(
+        corpus.toDF("doc_id", "text"), batch1.toDF("doc_id", "text"),
+        "text", "doc_id", minLen, k = 8)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(viaIndex == direct)
+    assert(viaIndex.exists { case (c, b, _, _, len) =>
+      c == 2L && b == 100L && len >= 80 })
+    // append batch1; a later batch that copies batch1 content is caught
+    // against the APPENDED docs, not just the original corpus
+    SubstringDedup.appendToSpanIndex(batch1.toDF("doc_id", "text"),
+      "text", "doc_id", dir)
+    val batch2 = Seq(200L -> (rand(30) + batch1(1)._2.substring(20, 100)))
+    val round2 = SubstringDedup.spansAgainstIndex(
+        batch2.toDF("doc_id", "text"), "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(round2.exists { case (c, b, _, _, len) =>
+      c == 101L && b == 200L && len >= 80 })
+  }
+
   test("supplementary-plane text: offsets are code points (substr-exact)") {
     // 4 astral chars (2 UTF-16 units each) BEFORE the planted span: a
     // UTF-16-based pipeline would report starts off by 4 and the substr

@@ -262,8 +262,16 @@ object SubstringDedup {
 
   /** Grow every candidate seed to its maximal common run and keep the
     * distinct maximal spans of length >= minLen. Code-point equality at
-    * the seed gram re-verifies the hash match (collision guard); two
-    * seeds inside one maximal run extend to the same (sa, sb) and dedupe.
+    * the seed gram re-verifies the hash match (collision guard).
+    *
+    * Seeds already COVERED by a run found earlier on the same diagonal
+    * are skipped before extending: a verbatim copy of an L-char doc
+    * yields ~2L/(w+1) seeds that all live on one diagonal, and naive
+    * re-extension would cost O(L) each — O(L²/w) for the pair, quadratic
+    * exactly in dedup's most common case. With the containment check the
+    * first seed walks the run once and the rest are O(log n) lookups;
+    * it also subsumes duplicate-span suppression (same run -> contained
+    * -> skipped; distinct diagonals can't produce the same (sa, sb)).
     */
   private[graft] def extendSeeds(ta: String, tb: String, seeds: Seq[Long],
                                  k: Int, minLen: Int): Seq[DupSpan] =
@@ -273,12 +281,18 @@ object SubstringDedup {
   private[graft] def extendSeeds(ta: Array[Int], tb: Array[Int],
                                  seeds: Seq[Long],
                                  k: Int, minLen: Int): Seq[DupSpan] = {
-    val seen = scala.collection.mutable.HashSet.empty[Long]
+    // diag -> runs found on it, as a sorted map start -> end (runs on one
+    // diagonal are disjoint, so floor-entry containment is exact)
+    val byDiag = scala.collection.mutable.HashMap
+      .empty[Int, java.util.TreeMap[Int, Int]]
     val out = scala.collection.mutable.ArrayBuffer.empty[DupSpan]
     seeds.foreach { packed =>
       val pa = (packed >>> 32).toInt
       val pb = (packed & 0xFFFFFFFFL).toInt
-      var ok = pa + k <= ta.length && pb + k <= tb.length
+      val runs = byDiag.getOrElseUpdate(pa - pb, new java.util.TreeMap())
+      val floor = runs.floorEntry(pa)
+      val covered = floor != null && pa + k <= floor.getValue
+      var ok = !covered && pa + k <= ta.length && pb + k <= tb.length
       var i = 0
       while (ok && i < k) {
         if (ta(pa + i) != tb(pb + i)) ok = false
@@ -292,9 +306,9 @@ object SubstringDedup {
         var ea = pa + k; var eb = pb + k
         while (ea < ta.length && eb < tb.length &&
           ta(ea) == tb(eb)) { ea += 1; eb += 1 }
+        runs.put(sa, ea)
         val len = ea - sa
-        if (len >= minLen && seen.add(sa.toLong << 32 | sb.toLong))
-          out += DupSpan(sa, sb, len)
+        if (len >= minLen) out += DupSpan(sa, sb, len)
       }
     }
     out.toSeq

@@ -148,6 +148,24 @@ class SubstringDedupSpec extends AnyFunSuite {
       c == 3L && b == 100L && len >= 70 && sb == 11 })
   }
 
+  test("verbatim long-doc copies: one span, linear-time extension") {
+    // dedup's most common case — an exact copy of a LONG doc. Every
+    // anchor of the copy pair sits on one diagonal; without the
+    // covered-seed skip this is O(L^2/w). 60k chars finishes instantly
+    // when linear and would take minutes quadratic.
+    val rng = new Random(37)
+    val big = Seq.fill(60000)(('a' + rng.nextInt(3)).toChar).mkString
+    val docs = Seq(1L -> big, 2L -> big,
+      3L -> big.substring(10000, 30000)) // interior 20k-char excerpt
+    val t0 = System.nanoTime()
+    val got = sparkSpans(docs, minLen = 50, k = 16)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.contains((1L, 2L, 1, 1, 60000)), s"full-copy span; got $got")
+    assert(got.exists { case (a, b, sa, sb, len) =>
+      a == 1L && b == 3L && sa == 10001 && sb == 1 && len == 20000 })
+    assert(secs < 60, s"extension took $secs s — quadratic regression")
+  }
+
   test("span index: probe == crossSpans; append extends the corpus side") {
     val rng = new Random(31)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

@@ -76,6 +76,25 @@ object SubstringScaleProbe {
     require(ratio >= 8 && ratio <= 12,
       f"span-ratio $ratio%.1f outside [8, 12] — 10x corpus is not a fair " +
         "10x; delete the cache dir and rebuild")
+
+    // incremental route at 10x: span index over the 50k-doc corpus,
+    // probed by the 5k copy-0 batch — the re-ingestion worst case (every
+    // batch doc is a verbatim full-copy of an indexed doc, so extension
+    // pays maximal spans on every one; planted pairs ride along)
+    val idxDir = tenxDir + "/spanidx"
+    val tb0 = System.nanoTime()
+    graft.dedup.SubstringDedup.writeSpanIndex(
+      docs10, "text", "doc_id", idxDir, minLen = 50, k = 16)
+    val tBuild = (System.nanoTime() - tb0) / 1e9
+    val tp = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val n = graft.dedup.SubstringDedup
+        .spansAgainstIndex(docs, "text", "doc_id", idxDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"[sscale] spanIndex build(50k docs): $tBuild%.2f s  " +
+      f"probe(5k batch): ${tp.map(_._1).min}%.2f s " +
+      f"(${tp.head._2} spans, full-copy hit per batch doc)")
     spark.stop()
   }
 }

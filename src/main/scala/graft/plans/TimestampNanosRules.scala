@@ -130,5 +130,20 @@ object GraftFunctions {
         require(args.length == 2, "intersect_count takes (array, array)")
         graft.functions.IntersectCount(args(0), args(1))
       }))
+    e.injectFunction((FunctionIdentifier("winnow_anchors"),
+      info("winnow_anchors",
+        "winnow_anchors(text, k, w) - MOSS winnowing fingerprints: " +
+          "array<struct<pos:int, hash:bigint>> of rightmost-min k-gram " +
+          "hashes per window of w (code-point positions)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_anchors takes (text, k, w)")
+        def lit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_anchors $name must be an integer literal, got $other")
+        }
+        graft.functions.WinnowAnchors(args(0),
+          lit(args(1), "k"), lit(args(2), "w"))
+      }))
   }
 }

@@ -72,6 +72,14 @@ class PlansSpec extends AnyFunSuite {
       .select(graft.functions.Simhash64(
         transform(col("t"), t => xxhash64(t)))).head().getLong(0)
     assert(sh == want)
+    // winnow_anchors: literal-int params, Column-API parity
+    val wa = spark.sql(
+      "SELECT winnow_anchors('abcabcabcabcabc', 4, 3) a").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    val waWant = Seq(Tuple1("abcabcabcabcabc")).toDF("t")
+      .select(graft.functions.WinnowAnchors(col("t"), 4, 3).as("a"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(wa == waWant && wa.nonEmpty)
   }
 
   test("bucketed tables join without a shuffle") {

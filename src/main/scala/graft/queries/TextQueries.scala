@@ -152,6 +152,27 @@ object TextQueries {
         .orderBy("corpus_id", "bench_id", "start_corpus", "start_bench")
     }),
 
+    // Curation composition v2: exact whole-doc dedup (q35's fingerprint
+    // survivors) THEN substring-level span removal among the survivors
+    // (partial overlaps that whole-doc dedup can't see), rolled up per
+    // lang. Oracles the COMPOSITION of the q35 and q85 stages.
+    "q88_curation_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = docs
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val survivors = docs.join(keep, "doc_id")
+      graft.dedup.SubstringDedup.removeDuplicateSpans(
+          survivors, "text", "doc_id", minLen = 50, k = 16)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_removed").cast("long")).as("chars_removed"),
+          sum(TextFunctions.tokenCount(col("text_cleaned")).cast("long"))
+            .as("tokens_after"))
+        .orderBy("lang")
+    }),
+
     // REAL streaming decontamination: the incoming corpus streamed from
     // the parquet file source, probed in-flight against the broadcast
     // bench-anchor sidecar (doc_id < 50). Stateless projection — no
@@ -784,6 +805,72 @@ object TextQueries {
         |  FROM runs GROUP BY da, db, diag, isl)
         |SELECT doc_a, doc_b, start_a, start_b, span_len
         |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "q88_curation_spans" ->
+      """WITH docs AS (SELECT doc_id, text, lang, len(text) AS L FROM documents),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, md5(lower(array_to_string(
+        |      string_split_regex(trim(text), '\s+'), ' '))) AS f
+        |    FROM docs) GROUP BY f),
+        |surv AS (SELECT d.* FROM docs d JOIN keep USING (doc_id)),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM surv))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM surv JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m),
+        |spans AS (
+        |  SELECT da, db, min(pa) AS sa, min(pa) - diag AS sb,
+        |    count(*) + 50 - 1 AS slen
+        |  FROM runs GROUP BY da, db, diag, isl),
+        |ivals AS (SELECT db AS doc, sb AS s, sb + slen AS e FROM spans),
+        |marked AS (
+        |  SELECT doc, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+        |  FROM ivals),
+        |isles AS (
+        |  SELECT doc, s, e,
+        |    sum(nw) OVER (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked),
+        |cuts AS (
+        |  SELECT doc, min(s) AS cs, max(e) AS ce
+        |  FROM isles GROUP BY doc, isl),
+        |segs AS (
+        |  SELECT doc, coalesce(lag(ce) OVER (PARTITION BY doc
+        |      ORDER BY cs), 1) AS ks, cs AS ke
+        |  FROM cuts
+        |  UNION ALL
+        |  SELECT c.doc, max(c.ce), max(d.L) + 1
+        |  FROM cuts c JOIN surv d ON d.doc_id = c.doc GROUP BY c.doc),
+        |cleaned AS (
+        |  SELECT s.doc,
+        |    string_agg(substr(d.text, s.ks, s.ke - s.ks), '' ORDER BY s.ks)
+        |      AS txt,
+        |    sum(s.ke - s.ks) AS kept
+        |  FROM segs s JOIN surv d ON d.doc_id = s.doc GROUP BY s.doc),
+        |final AS (
+        |  SELECT s.doc_id, s.lang, coalesce(c.txt, s.text) AS txt,
+        |    s.L - coalesce(c.kept, s.L) AS nrem
+        |  FROM surv s LEFT JOIN cleaned c ON s.doc_id = c.doc)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nrem) AS BIGINT) AS chars_removed,
+        |  -- fully-cut docs: the engine's tokens('') is the EMPTY array
+        |  -- (0 tokens), but string_split_regex('', ..) is [''] (1)
+        |  CAST(sum(CASE WHEN len(trim(txt)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(txt), '\s+')) END) AS BIGINT)
+        |    AS tokens_after
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q87_stream_decontaminate" ->
       """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),

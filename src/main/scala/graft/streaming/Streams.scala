@@ -164,7 +164,6 @@ object Streams {
         "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
         "eval sets here, not a corpus (or raise maxBenchBytes)")
     val texts = benchRows.map(_.getString(1))
-    val ids = benchRows.map(_.getLong(0))
     val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
     var b = 0
     while (b < texts.length) {
@@ -176,10 +175,10 @@ object Streams {
       }
       b += 1
     }
-    val sidecar = spark.sparkContext.broadcast((byHash.toMap, texts, ids))
+    val sidecar = spark.sparkContext.broadcast((byHash.toMap, texts))
     val kk = k; val ml = minLen; val ww = w
     val probe = udf((text: String) => {
-      val (bh, bt, _) = sidecar.value
+      val (bh, bt) = sidecar.value
       if (text == null || text.length < ml) (false, 0, 0)
       else {
         val (pos, hash) = graft.functions.WinnowAnchors.winnow(text, kk, ww)

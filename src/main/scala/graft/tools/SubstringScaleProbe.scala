@@ -95,6 +95,23 @@ object SubstringScaleProbe {
     println(f"[sscale] spanIndex build(50k docs): $tBuild%.2f s  " +
       f"probe(5k batch): ${tp.map(_._1).min}%.2f s " +
       f"(${tp.head._2} spans, full-copy hit per batch doc)")
+
+    // streaming-decontamination kernel throughput: the stateless
+    // winnow->probe->extend projection over the 50k corpus against a
+    // 500-doc bench sidecar (docs/s is the number a crawl pipeline sizes
+    // executors by; the kernel is shuffle-free so it scales with cores)
+    val bench = docs.filter(col("doc_id") < 500)
+    val tc = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val n = graft.streaming.Streams.contaminationFilter(
+        docs10, bench, "text", "doc_id", minLen = 50, k = 16)
+        .filter(col("contaminated")).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val rows10 = docs10.count()
+    println(f"[sscale] contaminationFilter 50k docs vs 500-doc bench: " +
+      f"${tc.map(_._1).min}%.2f s (${tc.head._2} contaminated, " +
+      f"${rows10 / tc.map(_._1).min}%.0f docs/s)")
     spark.stop()
   }
 }

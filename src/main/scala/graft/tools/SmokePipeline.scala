@@ -30,6 +30,30 @@ object SmokePipeline {
       .show(3, truncate = false)
     val frames = Multimodal.sampleFrames(media.limit(5), "media", "media_id", 32, 2)
     println(s"[smoke] sampled frames = ${frames.count()}")
+
+    // incremental substring-dedup flow: index the corpus, stream a crawl
+    // batch through in-flight decontamination, probe survivors against
+    // the index, append them
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    graft.dedup.SubstringDedup.writeSpanIndex(
+      docs.filter(col("doc_id") >= 10), "text", "doc_id", idxDir)
+    val docDir = java.nio.file.Files.createTempDirectory("crawl").toString + "/batch"
+    docs.filter(col("doc_id") < 10).write.parquet(docDir)
+    val screened = Streams.runToMemory(
+      Streams.contaminationFilter(
+        spark.readStream.schema(Streams.documentSchema).parquet(docDir),
+        docs.filter(col("doc_id") >= 10).limit(40), "text", "doc_id"),
+      "smoke_decon", "append")
+    println(s"[smoke] streamed batch: ${screened.count()} docs, " +
+      s"${screened.filter(col("contaminated")).count()} contaminated in-flight")
+    val survivors = screened.filter(!col("contaminated"))
+    val hits = graft.dedup.SubstringDedup.spansAgainstIndex(
+      survivors, "text", "doc_id", idxDir)
+    println(s"[smoke] index-probe spans on survivors = ${hits.count()}")
+    graft.dedup.SubstringDedup.appendToSpanIndex(
+      survivors, "text", "doc_id", idxDir)
+    println("[smoke] survivors appended to span index")
     spark.stop()
   }
 }

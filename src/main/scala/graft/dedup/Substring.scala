@@ -132,8 +132,9 @@ object SubstringDedup {
     * then joins it (`appendToSpanIndex`) so later batches dedup against
     * corpus + all prior batches. The anchor index is ~2/(w+1) of gram
     * positions x 20 bytes (~1% of corpus bytes at the defaults), so a
-    * full anchor scan per batch is cheap by construction; texts are only
-    * read for docs that actually collide.
+    * full anchor scan per batch is cheap by construction; the texts side
+    * is one columnar (id, text) scan per probe, with only COLLIDING docs
+    * surviving the join into the extension stage.
     *
     * The (minLen, k) params ride a JSON sidecar and are REUSED by probe
     * and append — mixed-parameter indexes cannot happen by construction.
@@ -179,8 +180,9 @@ object SubstringDedup {
     * and the indexed corpus: (corpus_id, batch_id, start_corpus,
     * start_batch, span_len). The batch side is winnowed in place with the
     * index's own params and BROADCAST into the anchor-index scan — no
-    * index-side shuffle before the collision-bounded pair aggregation,
-    * and no corpus text is read except for colliding docs. Batch-internal
+    * index-side shuffle before the collision-bounded pair aggregation;
+    * only colliding docs' texts survive the texts join (the scan itself
+    * is columnar and cannot skip rows by join key). Batch-internal
     * duplicates are NOT reported (run `duplicateSpans` on the batch for
     * those, then `appendToSpanIndex`).
     */

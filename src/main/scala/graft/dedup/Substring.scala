@@ -347,14 +347,45 @@ object SubstringDedup {
     * shifted boundaries, `substr` + `array_join` to reassemble — no UDF,
     * no driver work; island offsets are code points, the unit `substr`
     * slices in, so the cut is exact for any text.
+    *
+    * `snapToWords = true` expands each cut outward to whole-word
+    * boundaries before cutting (a mid-word boundary would leave a
+    * partial-word stump — garbage tokens in training data); the boundary
+    * words are partly duplicated anyway, so expansion is the
+    * conservative direction. Exact char-level mode (the q85 oracle)
+    * stays the default.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            minLen: Int = 50, k: Int = 16,
-                           maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+                           maxAnchorDf: Int = Int.MaxValue,
+                           snapToWords: Boolean = false): DataFrame = {
     val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
-    val islands = mergeIslands(
-        spans.select(col("doc_b").as("doc"), col("start_b").as("s"),
-          (col("start_b") + col("span_len")).as("e")))
+    val raw = mergeIslands(
+      spans.select(col("doc_b").as("doc"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e")))
+    val cuts =
+      if (!snapToWords) raw
+      else {
+        // A cut that starts or ends mid-word leaves a partial-word stump
+        // in the cleaned text — garbage tokens downstream. Snap each cut
+        // OUTWARD to whole-word boundaries (the boundary word is partly
+        // duplicated anyway): start moves left to its word's start (chars
+        // kept before the cut = everything through the last whitespace),
+        // end moves right past the rest of its word. Expansion can fuse
+        // adjacent cuts, so the islands are re-merged after snapping.
+        val texts = df.select(col(idCol).cast("long").as("doc"),
+          col(textCol).as("_t"))
+        val snapped = raw.join(texts, "doc")
+          .select(col("doc"),
+            (length(regexp_extract(
+              col("_t").substr(lit(1), col("is") - 1),
+              "(?s)^(.*\\s)", 1)) + 1).as("s"), // (?s): last \s across lines
+            (col("ie") + length(regexp_extract(
+              col("_t").substr(col("ie"), length(col("_t"))),
+              "^(\\S*)", 1))).as("e"))
+        mergeIslands(snapped)
+      }
+    val islands = cuts
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("is"), col("ie"))))
         .as("_cut"))

@@ -309,6 +309,36 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.find(_._1 == 0L).get._3 == 0)
   }
 
+  test("snapToWords removal cuts whole words, never leaves stumps") {
+    // span boundaries planted MID-WORD: "keepme ab|CDEF...|xy tail" — the
+    // char-exact cut leaves stumps "ab"/"xy"; word snapping removes the
+    // boundary words entirely.
+    val core = "zqj " * 30 // 120-char duplicated core, word-aligned inside
+    val span = "ab" + core.trim + " xy" // stump chars fused to real words
+    val docs = Seq(
+      1L -> ("alpha beta " + "gamab" + core.trim + " xydelta epsilon"),
+      2L -> ("one two " + "drab" + core.trim + " xylem four"))
+    // sanity: the shared maximal span starts/ends mid-word in both docs
+    val spans = SubstringDedup.duplicateSpans(docs.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 50, k = 16)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(spans.nonEmpty)
+    val snapped = SubstringDedup.removeDuplicateSpans(
+        docs.toDF("doc_id", "text"), "text", "doc_id",
+        minLen = 50, k = 16, snapToWords = true)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    // doc 1 (lower id) keeps everything; doc 2's cut swallows the whole
+    // boundary words ("drab..." and "...xylem"), leaving clean words only
+    assert(snapped(0)._2 == docs.head._2 && snapped(0)._3 == 0)
+    val cleaned = snapped(1)._2
+    assert(cleaned == "one two  four" || cleaned.trim == "one two four",
+      s"got '$cleaned'")
+    // no partial-word stumps: every whitespace token of the cleaned text
+    // is a token of the original
+    val orig = docs(1)._2.split("\\s+").toSet
+    assert(cleaned.trim.split("\\s+").filter(_.nonEmpty).forall(orig))
+  }
+
   test("coverage stats: interval union matches brute force, clean docs 0") {
     val rng = new Random(13)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

@@ -206,6 +206,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Span removal in WORD-SNAP mode: cuts expanded outward to word
+    // boundaries (no partial-word stumps in the cleaned text). Full
+    // string-equality oracle — the snap regexes are RE2-safe so DuckDB
+    // reproduces the boundary search verbatim.
+    "q89_dedup_snapped" -> ((s, d) => {
+      graft.dedup.SubstringDedup.removeDuplicateSpans(
+          Tables.documents(s, d), "text", "doc_id", minLen = 50, k = 16,
+          snapToWords = true)
+        .orderBy("doc_id")
+    }),
+
     // Substring-level dedup (Lee et al. ACL'22 re-designed on winnowing
     // fingerprints): all maximal cross-doc duplicated spans >= 50 chars.
     // The oracle brute-forces every 50-char gram and merges diagonal
@@ -923,6 +934,80 @@ object TextQueries {
         |  CAST(count(*) + 50 - 1 AS INT) AS span_len
         |FROM runs GROUP BY ci, bi, diag, isl
         |ORDER BY corpus_id, bench_id, start_corpus, start_bench""".stripMargin,
+
+    "q89_dedup_snapped" ->
+      """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM docs))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM docs JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m),
+        |spans AS (
+        |  SELECT da, db, min(pa) AS sa, min(pa) - diag AS sb,
+        |    count(*) + 50 - 1 AS slen
+        |  FROM runs GROUP BY da, db, diag, isl),
+        |ivals AS (SELECT db AS doc, sb AS s, sb + slen AS e FROM spans),
+        |marked AS (
+        |  SELECT doc, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+        |  FROM ivals),
+        |isles AS (
+        |  SELECT doc, s, e,
+        |    sum(nw) OVER (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked),
+        |cuts0 AS (
+        |  SELECT doc, min(s) AS cs, max(e) AS ce
+        |  FROM isles GROUP BY doc, isl),
+        |snap AS (
+        |  SELECT c.doc,
+        |    length(regexp_extract(substr(d.text, 1, c.cs - 1),
+        |      '(?s)^(.*\s)', 1)) + 1 AS s,
+        |    c.ce + length(regexp_extract(substr(d.text, c.ce),
+        |      '^(\S*)', 1)) AS e
+        |  FROM cuts0 c JOIN docs d ON d.doc_id = c.doc),
+        |marked2 AS (
+        |  SELECT doc, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+        |  FROM snap),
+        |isles2 AS (
+        |  SELECT doc, s, e,
+        |    sum(nw) OVER (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked2),
+        |cuts AS (
+        |  SELECT doc, min(s) AS cs, max(e) AS ce
+        |  FROM isles2 GROUP BY doc, isl),
+        |segs AS (
+        |  SELECT doc, coalesce(lag(ce) OVER (PARTITION BY doc
+        |      ORDER BY cs), 1) AS ks, cs AS ke
+        |  FROM cuts
+        |  UNION ALL
+        |  SELECT c.doc, max(c.ce), max(d.L) + 1
+        |  FROM cuts c JOIN docs d ON d.doc_id = c.doc GROUP BY c.doc),
+        |cleaned AS (
+        |  SELECT s.doc,
+        |    string_agg(substr(d.text, s.ks, s.ke - s.ks), '' ORDER BY s.ks)
+        |      AS txt,
+        |    sum(s.ke - s.ks) AS kept
+        |  FROM segs s JOIN docs d ON d.doc_id = s.doc GROUP BY s.doc)
+        |SELECT d.doc_id,
+        |  coalesce(c.txt, d.text) AS text_cleaned,
+        |  CAST(d.L - coalesce(c.kept, d.L) AS INT) AS n_removed
+        |FROM docs d LEFT JOIN cleaned c ON d.doc_id = c.doc
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q85_dedup_cleaned" ->
       """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),

@@ -126,48 +126,75 @@ object SubstringDedup {
   }
 
   /** Materialize a corpus's winnowing anchors + texts as an ON-DISK SPAN
-    * INDEX (`dir/anchors`, `dir/texts`, params sidecar) — the
-    * INCREMENTAL-dedup shape at 100 TB: each incoming crawl batch probes
-    * the index (`spansAgainstIndex`) without re-winnowing the corpus,
-    * then joins it (`appendToSpanIndex`) so later batches dedup against
-    * corpus + all prior batches. The anchor index is ~2/(w+1) of gram
-    * positions x 20 bytes (~1% of corpus bytes at the defaults), so a
-    * full anchor scan per batch is cheap by construction; the texts side
-    * is one columnar (id, text) scan per probe, with only COLLIDING docs
-    * surviving the join into the extension stage.
+    * INDEX — the INCREMENTAL-dedup shape at 100 TB: each incoming crawl
+    * batch probes the index (`spansAgainstIndex`) without re-winnowing
+    * the corpus, then joins it (`appendToSpanIndex`) so later batches
+    * dedup against corpus + all prior batches. The anchor index is
+    * ~2/(w+1) of gram positions x 20 bytes (~1% of corpus bytes at the
+    * defaults), so a full anchor scan per batch is cheap by
+    * construction; the texts side is one columnar (id, text) scan per
+    * probe, with only COLLIDING docs surviving the join into the
+    * extension stage.
     *
-    * The (minLen, k) params ride a JSON sidecar and are REUSED by probe
-    * and append — mixed-parameter indexes cannot happen by construction.
+    * Layout: `dir/params` (JSON sidecar — minLen/k are REUSED by probe
+    * and append, so mixed-parameter indexes cannot happen) and
+    * `dir/batches/<batchId>/{anchors,texts,_COMMIT}`. Each batch commits
+    * ATOMICALLY: data files first, the `_COMMIT` marker last, and
+    * readers union only committed batches — a crash mid-append leaves an
+    * invisible partial batch, and retrying the same batchId overwrites
+    * it (at-least-once orchestration is safe; ids must be unique across
+    * batches, which the probe's self-pair guard also relies on).
     */
   def writeSpanIndex(df: DataFrame, textCol: String, idCol: String,
                      dir: String, minLen: Int = 50, k: Int = 16): Unit = {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
-    writeIndexData(df, textCol, idCol, dir, minLen, k, "overwrite")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((minLen, k)).toDF("minLen", "k")
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
+    writeBatch(df, textCol, idCol, dir, "base", minLen, k)
   }
 
-  /** Add a batch to an existing span index (same layout, sidecar params). */
+  /** Add a crawl batch to an existing span index. `batchId` names the
+    * batch directory — reuse the SAME id when retrying a failed append
+    * (overwrite-idempotent); a new id for each new batch.
+    */
   def appendToSpanIndex(df: DataFrame, textCol: String, idCol: String,
-                        dir: String): Unit = {
+                        dir: String, batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9._-]+") && batchId != "base",
+      s"batchId '$batchId' must be a filesystem-safe name (not 'base')")
     val (minLen, k) = readIndexParams(df.sparkSession, dir)
-    writeIndexData(df, textCol, idCol, dir, minLen, k, "append")
+    writeBatch(df, textCol, idCol, dir, batchId, minLen, k)
   }
 
-  private def writeIndexData(df: DataFrame, textCol: String, idCol: String,
-                             dir: String, minLen: Int, k: Int,
-                             mode: String): Unit = {
+  private def writeBatch(df: DataFrame, textCol: String, idCol: String,
+                         dir: String, batchId: String,
+                         minLen: Int, k: Int): Unit = {
     val w = minLen - k + 1
+    val sub = s"$dir/batches/$batchId"
     val texts = df.select(col(idCol).cast("long").as("doc"),
         col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
     Par.fanOut(texts).select(col("doc"),
         explode(WinnowAnchors(col("text"), k, w)).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
-      .write.mode(mode).parquet(s"$dir/anchors")
-    texts.write.mode(mode).parquet(s"$dir/texts")
+      .write.mode("overwrite").parquet(s"$sub/anchors")
+    texts.write.mode("overwrite").parquet(s"$sub/texts")
+    // commit marker LAST: readers ignore batches without it, so the two
+    // writes above become atomic from a reader's point of view
+    val fs = new org.apache.hadoop.fs.Path(sub)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$sub/_COMMIT"), true).close()
+  }
+
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .map(_.toString).sorted.toSeq
   }
 
   private def readIndexParams(spark: org.apache.spark.sql.SparkSession,
@@ -187,24 +214,44 @@ object SubstringDedup {
     * those, then `appendToSpanIndex`).
     */
   def spansAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
-                        dir: String): DataFrame = {
+                        dir: String,
+                        maxBatchBytes: Long = 1L << 30): DataFrame = {
     val spark = batch.sparkSession
     val (minLen, k) = readIndexParams(spark, dir)
     val w = minLen - k + 1
+    val subs = committedBatches(spark, dir)
+    require(subs.nonEmpty, s"no committed batches under $dir/batches — " +
+      "writeSpanIndex first")
     val bTexts = batch
       .select(col(idCol).cast("long").as("batch_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
+    // the batch side is BROADCAST (anchors and texts) — guard against a
+    // caller feeding a corpus-sized frame where a crawl batch belongs, so
+    // the failure is this message instead of an opaque broadcast OOM
+    val bBytes = Option(bTexts
+      .agg(sum(length(col("text")).cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(bBytes * 2 <= maxBatchBytes,
+      s"batch is ~${bBytes * 2} text bytes (> $maxBatchBytes): " +
+        "spansAgainstIndex broadcasts the batch — probe in smaller " +
+        "batches (or raise maxBatchBytes)")
     val bAnchors = bTexts.select(col("batch_id"),
         explode(WinnowAnchors(col("text"), k, w)).as("a"))
       .select(col("batch_id"), col("a.pos").as("bpos"), col("a.hash").as("h"))
-    val cand = spark.read.parquet(s"$dir/anchors")
+    val cand = spark.read
+      .parquet(subs.map(_ + "/anchors"): _*)
       .join(broadcast(bAnchors), "h")
+      // ids share ONE space across index and batches (append merges
+      // them): without the self-pair guard, re-probing an already-
+      // appended batch (at-least-once retry) would report every doc as
+      // a full-length duplicate of itself
+      .filter(col("doc") =!= col("batch_id"))
       .select(col("doc").as("corpus_id"), col("batch_id"),
         packedSeed(col("pos"), col("bpos")).as("seed"))
       .groupBy("corpus_id", "batch_id")
       .agg(collect_list(col("seed")).as("seeds"))
     seedsToSpans(cand,
-      spark.read.parquet(s"$dir/texts")
+      spark.read.parquet(subs.map(_ + "/texts"): _*)
         .select(col("doc").as("corpus_id"), col("text").as("ta")),
       bTexts.withColumnRenamed("text", "tb"),
       "corpus_id", "batch_id", "start_corpus", "start_batch", k, minLen,
@@ -371,19 +418,41 @@ object SubstringDedup {
         // OUTWARD to whole-word boundaries (the boundary word is partly
         // duplicated anyway): start moves left to its word's start (chars
         // kept before the cut = everything through the last whitespace),
-        // end moves right past the rest of its word. Expansion can fuse
-        // adjacent cuts, so the islands are re-merged after snapping.
+        // end moves right past the rest of its word. A boundary snaps
+        // ONLY when it actually falls mid-word — both adjacent chars
+        // non-space — else a span starting/ending exactly on whitespace
+        // would swallow a fully-intact, 0%-duplicated neighbor word.
+        // Expansion can fuse adjacent cuts, so islands are re-merged.
         val texts = df.select(col(idCol).cast("long").as("doc"),
           col(textCol).as("_t"))
+        def nonSpace(c: Column) = c.rlike("^\\S$")
         val snapped = raw.join(texts, "doc")
-          .select(col("doc"),
-            (length(regexp_extract(
-              col("_t").substr(lit(1), col("is") - 1),
-              "(?s)^(.*\\s)", 1)) + 1).as("s"), // (?s): last \s across lines
-            (col("ie") + length(regexp_extract(
-              col("_t").substr(col("ie"), length(col("_t"))),
-              "^(\\S*)", 1))).as("e"))
-        mergeIslands(snapped)
+          .select(col("doc"), col("_t"),
+            when(col("is") > 1 &&
+                nonSpace(col("_t").substr(col("is") - 1, lit(1))) &&
+                nonSpace(col("_t").substr(col("is"), lit(1))),
+              length(regexp_extract(
+                col("_t").substr(lit(1), col("is") - 1),
+                "(?s)^(.*\\s)", 1)) + 1) // (?s): last \s across lines
+              .otherwise(col("is")).as("s"),
+            when(nonSpace(col("_t").substr(col("ie") - 1, lit(1))) &&
+                nonSpace(col("_t").substr(col("ie"), lit(1))),
+              col("ie") + length(regexp_extract(
+                col("_t").substr(col("ie"), length(col("_t"))),
+                "^(\\S*)", 1)))
+              .otherwise(col("ie")).as("e"))
+        // un-fuse: a cut whose kept neighbors are BOTH word chars would
+        // glue them into one garbage token ("two"+"four" -> "twofour");
+        // post-snap that can only happen when the cut itself starts with
+        // whitespace, so donate that first space back as the separator.
+        val unfused = snapped.select(col("doc"),
+          when(col("s") > 1 &&
+              nonSpace(col("_t").substr(col("s") - 1, lit(1))) &&
+              nonSpace(col("_t").substr(col("e"), lit(1))) &&
+              col("_t").substr(col("s"), lit(1)).rlike("^\\s$"),
+            col("s") + 1).otherwise(col("s")).as("s"),
+          col("e"))
+        mergeIslands(unfused)
       }
     val islands = cuts
       .groupBy("doc")

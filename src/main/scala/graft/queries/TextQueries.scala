@@ -971,17 +971,32 @@ object TextQueries {
         |  FROM isles GROUP BY doc, isl),
         |snap AS (
         |  SELECT c.doc,
-        |    length(regexp_extract(substr(d.text, 1, c.cs - 1),
-        |      '(?s)^(.*\s)', 1)) + 1 AS s,
-        |    c.ce + length(regexp_extract(substr(d.text, c.ce),
-        |      '^(\S*)', 1)) AS e
+        |    CASE WHEN c.cs > 1
+        |        AND regexp_matches(substr(d.text, c.cs - 1, 1), '^\S$')
+        |        AND regexp_matches(substr(d.text, c.cs, 1), '^\S$')
+        |      THEN length(regexp_extract(substr(d.text, 1, c.cs - 1),
+        |        '(?s)^(.*\s)', 1)) + 1
+        |      ELSE c.cs END AS s,
+        |    CASE WHEN regexp_matches(substr(d.text, c.ce - 1, 1), '^\S$')
+        |        AND regexp_matches(substr(d.text, c.ce, 1), '^\S$')
+        |      THEN c.ce + length(regexp_extract(substr(d.text, c.ce),
+        |        '^(\S*)', 1))
+        |      ELSE c.ce END AS e
         |  FROM cuts0 c JOIN docs d ON d.doc_id = c.doc),
+        |unfuse AS (
+        |  SELECT s.doc,
+        |    CASE WHEN s.s > 1
+        |        AND regexp_matches(substr(d.text, s.s - 1, 1), '^\S$')
+        |        AND regexp_matches(substr(d.text, s.e, 1), '^\S$')
+        |        AND regexp_matches(substr(d.text, s.s, 1), '^\s$')
+        |      THEN s.s + 1 ELSE s.s END AS s, s.e AS e
+        |  FROM snap s JOIN docs d ON d.doc_id = s.doc),
         |marked2 AS (
         |  SELECT doc, s, e,
         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc
         |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
-        |  FROM snap),
+        |  FROM unfuse),
         |isles2 AS (
         |  SELECT doc, s, e,
         |    sum(nw) OVER (PARTITION BY doc ORDER BY s, e

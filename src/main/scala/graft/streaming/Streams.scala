@@ -163,7 +163,9 @@ object Streams {
       s"benchmark side is ~$benchBytes bytes (> $maxBenchBytes): " +
         "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
         "eval sets here, not a corpus (or raise maxBenchBytes)")
-    val texts = benchRows.map(_.getString(1))
+    // bench texts are PRE-DECODED to code-point arrays once — the per-row
+    // probe must not re-decode a static text per incoming doc
+    val texts = benchRows.map(_.getString(1).codePoints().toArray)
     val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
     var b = 0
     while (b < texts.length) {
@@ -181,7 +183,9 @@ object Streams {
       val (bh, bt) = sidecar.value
       if (text == null || text.length < ml) (false, 0, 0)
       else {
-        val (pos, hash) = graft.functions.WinnowAnchors.winnow(text, kk, ww)
+        // decode the incoming doc ONCE; winnow and every extension share it
+        val cps = text.codePoints().toArray
+        val (pos, hash) = graft.functions.WinnowAnchors.winnow(cps, kk, ww)
         // group candidate seeds per bench doc, then one extension pass each
         val seeds = new scala.collection.mutable.HashMap[Int, List[Long]]()
         var i = 0
@@ -194,7 +198,7 @@ object Streams {
         var nDocs = 0; var maxSpan = 0
         seeds.foreach { case (bi, ss) =>
           val spans = graft.dedup.SubstringDedup
-            .extendSeeds(text, bt(bi), ss, kk, ml)
+            .extendSeeds(cps, bt(bi), ss, kk, ml)
           if (spans.nonEmpty) {
             nDocs += 1
             spans.foreach(sp => if (sp.len > maxSpan) maxSpan = sp.len)

@@ -52,7 +52,7 @@ object SmokePipeline {
       survivors, "text", "doc_id", idxDir)
     println(s"[smoke] index-probe spans on survivors = ${hits.count()}")
     graft.dedup.SubstringDedup.appendToSpanIndex(
-      survivors, "text", "doc_id", idxDir)
+      survivors, "text", "doc_id", idxDir, batchId = "crawl-0001")
     println("[smoke] survivors appended to span index")
     spark.stop()
   }

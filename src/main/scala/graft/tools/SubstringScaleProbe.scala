@@ -46,7 +46,10 @@ object SubstringScaleProbe {
             rot(az.take(26), c) + rot(az.slice(26, 52), c)
               + rot(az.drop(52), c)).as("text"))
       }.reduce(_ unionAll _)
-      union.repartition(32).write.parquet(tenxDir + "/documents.parquet")
+      // overwrite: the _SUCCESS guard exists precisely because a partial
+      // previous write may be present — ErrorIfExists would wedge here
+      union.repartition(32).write.mode("overwrite")
+        .parquet(tenxDir + "/documents.parquet")
       println(s"[sscale] built 10x corpus at $tenxDir")
     }
     val docs10 = spark.read.parquet(tenxDir + "/documents.parquet")

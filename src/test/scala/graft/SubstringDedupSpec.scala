@@ -189,13 +189,34 @@ class SubstringDedupSpec extends AnyFunSuite {
     // append batch1; a later batch that copies batch1 content is caught
     // against the APPENDED docs, not just the original corpus
     SubstringDedup.appendToSpanIndex(batch1.toDF("doc_id", "text"),
-      "text", "doc_id", dir)
+      "text", "doc_id", dir, batchId = "b1")
+    // retrying the SAME batchId is idempotent (overwrite, not duplicate)
+    SubstringDedup.appendToSpanIndex(batch1.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b1")
     val batch2 = Seq(200L -> (rand(30) + batch1(1)._2.substring(20, 100)))
     val round2 = SubstringDedup.spansAgainstIndex(
         batch2.toDF("doc_id", "text"), "text", "doc_id", dir)
       .as[(Long, Long, Int, Int, Int)].collect()
     assert(round2.exists { case (c, b, _, _, len) =>
       c == 101L && b == 200L && len >= 80 })
+    assert(round2.groupBy(r => (r._1, r._2, r._3, r._4)).values
+      .forall(_.size == 1), "no duplicate spans after append retry")
+    // at-least-once safety: re-probing the ALREADY-APPENDED batch1 must
+    // not report each doc as a full dup of itself (self-pair guard)
+    val reprobe = SubstringDedup.spansAgainstIndex(
+        batch1.toDF("doc_id", "text"), "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(!reprobe.exists(r => r._1 == r._2), "self-pairs filtered")
+    // an uncommitted partial batch is invisible to readers
+    val sneaky = Seq(300L -> corpus(0)._2).toDF("doc_id", "text")
+    SubstringDedup.duplicateSpans(sneaky, "text", "doc_id") // no-op warm
+    val partialDir = new java.io.File(s"$dir/batches/partial")
+    partialDir.mkdirs() // dir exists, no _COMMIT
+    val afterPartial = SubstringDedup.spansAgainstIndex(
+        batch2.toDF("doc_id", "text"), "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(afterPartial.sorted.toSeq == round2.sorted.toSeq,
+      "uncommitted batch dir ignored")
   }
 
   test("supplementary-plane text: offsets are code points (substr-exact)") {
@@ -337,6 +358,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     // is a token of the original
     val orig = docs(1)._2.split("\\s+").toSet
     assert(cleaned.trim.split("\\s+").filter(_.nonEmpty).forall(orig))
+    // a span that starts/ends exactly ON whitespace must NOT swallow the
+    // intact neighbor words: the whole dup region here is word-aligned
+    // (" <core> "), so snapping changes nothing and "two"/"four" survive
+    val aligned = Seq(
+      10L -> ("alpha beta " + core.trim + " gamma delta"),
+      11L -> ("one two " + core.trim + " four five"))
+    val snappedAligned = SubstringDedup.removeDuplicateSpans(
+        aligned.toDF("doc_id", "text"), "text", "doc_id",
+        minLen = 50, k = 16, snapToWords = true)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    val keptWords = snappedAligned(1)._2.trim.split("\\s+").toSet
+    assert(keptWords.contains("two") && keptWords.contains("four"),
+      s"intact neighbors survived unfused: '${snappedAligned(1)._2}'")
+    assert(snappedAligned(1)._2 == "one two four five",
+      s"separator donated back: '${snappedAligned(1)._2}'")
   }
 
   test("coverage stats: interval union matches brute force, clean docs 0") {

@@ -54,6 +54,32 @@ object SmokePipeline {
     graft.dedup.SubstringDedup.appendToSpanIndex(
       survivors, "text", "doc_id", idxDir, batchId = "crawl-0001")
     println("[smoke] survivors appended to span index")
+
+    // the reference's core (distributed hyperparameter search) feeding
+    // the curation surface: learn a quality filter from Gopher-rule
+    // labels over cheap text features, then score the corpus with the
+    // codegen'd LinearScore path
+    import graft.text.{Corpus, TextFunctions => TF}
+    val qfeats = docs.select(col("doc_id"),
+      array(
+        TF.tokenCount(col("text")).cast("double"),
+        TF.avgWordLen(col("text")),
+        TF.stopwordRatio(col("text")),
+        TF.punctRatio(col("text"))).as("f"))
+    val labeled = qfeats.join(
+      Corpus.gopherRules(docs, "text", "doc_id")
+        .select(col("doc_id"), col("pass").cast("double").as("y")), "doc_id")
+    val search = new graft.search.DistGridSearchCV(
+      graft.exec.LogisticRegressionLBFGS,
+      Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(50.0)), cv = 3)
+    val fitted = search.fit(spark, labeled, "f", "y")
+    val scored = graft.predict.Predict.withPredictions(
+      spark, qfeats, fitted.bestModel, "f")
+    val agree = scored.join(labeled.select("doc_id", "y"), "doc_id")
+      .filter(col("preds") === col("y")).count()
+    println(s"[smoke] learned quality filter agrees with gopher rules on " +
+      s"$agree/${labeled.count()} docs (cv acc ${
+        fitted.cvResults.agg(max("mean_test_score")).head().get(0)})")
     spark.stop()
   }
 }

@@ -476,6 +476,41 @@ object SubstringDedup {
           lit(0)).cast("int").as("n_removed"))
   }
 
+  /** Whole-doc near-dup PAIRS decided by substring coverage — the bridge
+    * from span detection to document-level dedup: two docs pair when the
+    * union of their shared maximal spans covers >= `minCoverage` of the
+    * SMALLER doc (containment semantics: a short doc wholly embedded in
+    * a long one scores 1.0, where symmetric Jaccard would dilute it).
+    * Output (id_a, id_b, coverage) feeds `Dedup.components`/`survivors`
+    * unchanged.
+    */
+  def coverageNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                           minCoverage: Double, minLen: Int = 50,
+                           k: Int = 16,
+                           maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
+    // union the span intervals per (pair, side) with the island pass —
+    // maximal spans on different diagonals can overlap on a doc's axis,
+    // so a plain sum would overcount
+    def sideCover(startCol: String) = mergeIslands(
+        spans.select(
+          concat_ws("_", col("doc_a"), col("doc_b")).as("doc"),
+          col(startCol).as("s"), (col(startCol) + col("span_len")).as("e")))
+      .groupBy("doc").agg(sum(col("ie") - col("is")).as(s"cov_$startCol"))
+    val lens = df.select(col(idCol).cast("long").as("id"),
+      length(col(textCol)).as("len"))
+    spans.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("doc", concat_ws("_", col("doc_a"), col("doc_b")))
+      .join(sideCover("start_a"), "doc")
+      .join(sideCover("start_b"), "doc")
+      .join(lens.select(col("id").as("doc_a"), col("len").as("_la")), "doc_a")
+      .join(lens.select(col("id").as("doc_b"), col("len").as("_lb")), "doc_b")
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        round(greatest(col("cov_start_a") / col("_la"),
+          col("cov_start_b") / col("_lb")), 6).as("coverage"))
+      .filter(col("coverage") >= minCoverage)
+  }
+
   /** Per-document duplicated-character coverage: the union of all span
     * intervals a doc participates in (either side of any pair), merged
     * with the window-island pass. Returns every input doc:

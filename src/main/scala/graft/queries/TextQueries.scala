@@ -206,6 +206,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Whole-doc dedup decided by substring COVERAGE (containment
+    // semantics: union of shared spans over the smaller doc's length),
+    // closed through connected components to per-lang survivors — the
+    // q64 pipeline with span coverage replacing shingle Jaccard.
+    "q90_coverage_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.dedup.SubstringDedup.coverageNearDupPairs(
+        docs, "text", "doc_id", minCoverage = 0.5, minLen = 50, k = 16)
+      Dedup.survivors(docs, pairs, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+        .orderBy("lang")
+    }),
+
     // Span removal in WORD-SNAP mode: cuts expanded outward to word
     // boundaries (no partial-word stumps in the cleaned text). Full
     // string-equality oracle — the snap regexes are RE2-safe so DuckDB
@@ -934,6 +947,68 @@ object TextQueries {
         |  CAST(count(*) + 50 - 1 AS INT) AS span_len
         |FROM runs GROUP BY ci, bi, diag, isl
         |ORDER BY corpus_id, bench_id, start_corpus, start_bench""".stripMargin,
+
+    "q90_coverage_survivors" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lang, text, len(text) AS L FROM documents),
+        |idx AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(L) FROM docs))) AS i),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i, 50) AS g
+        |  FROM docs JOIN idx ON i <= L - 50 + 1),
+        |m AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m),
+        |spans AS (
+        |  SELECT da, db, min(pa) AS sa, min(pa) - diag AS sb,
+        |    count(*) + 50 - 1 AS slen
+        |  FROM runs GROUP BY da, db, diag, isl),
+        |ivboth AS (
+        |  SELECT da, db, 'a' AS side, sa AS s, sa + slen AS e FROM spans
+        |  UNION ALL
+        |  SELECT da, db, 'b', sb, sb + slen FROM spans),
+        |marked AS (
+        |  SELECT da, db, side, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY da, db, side
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+        |  FROM ivboth),
+        |isles AS (
+        |  SELECT da, db, side, s, e,
+        |    sum(nw) OVER (PARTITION BY da, db, side ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked),
+        |cov AS (
+        |  SELECT da, db, side, sum(cv) AS cov FROM (
+        |    SELECT da, db, side, isl, max(e) - min(s) AS cv
+        |    FROM isles GROUP BY da, db, side, isl)
+        |  GROUP BY da, db, side),
+        |pairs AS (
+        |  SELECT ca.da AS id_a, ca.db AS id_b
+        |  FROM cov ca JOIN cov cb
+        |    ON ca.da = cb.da AND ca.db = cb.db
+        |    AND ca.side = 'a' AND cb.side = 'b'
+        |  JOIN docs la ON la.doc_id = ca.da
+        |  JOIN docs lb ON lb.doc_id = ca.db
+        |  WHERE round(greatest(ca.cov * 1.0 / la.L,
+        |    cb.cov * 1.0 / lb.L), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+        |labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        |removed AS (SELECT id AS doc_id FROM labels WHERE id <> comp)
+        |SELECT lang, count(*) AS n_survivors
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q89_dedup_snapped" ->
       """WITH docs AS (SELECT doc_id, text, len(text) AS L FROM documents),

@@ -375,6 +375,27 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"separator donated back: '${snappedAligned(1)._2}'")
   }
 
+  test("coverage pairs: containment scores by the smaller side") {
+    val rng = new Random(41)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val big = rand(400)
+    val docs = Seq(
+      1L -> big,
+      2L -> big.substring(50, 150), // wholly contained 100-char excerpt
+      3L -> (big.substring(0, 80) + rand(300)), // 80/380 of doc3, 80/400 of doc1
+      4L -> rand(200))
+    val pairs = graft.dedup.SubstringDedup.coverageNearDupPairs(
+        docs.toDF("doc_id", "text"), "text", "doc_id",
+        minCoverage = 0.5, minLen = 24, k = 8)
+      .as[(Long, Long, Double)].collect()
+    // doc2 is contained in doc1: coverage 1.0 on the smaller side even
+    // though it is only 25% of doc1 (symmetric Jaccard would miss it)
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 })
+    // doc3 shares only ~21% of its own length -> below 0.5, no pair
+    assert(!pairs.exists { case (a, b, _) => a == 1L && b == 3L })
+    assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
   test("coverage stats: interval union matches brute force, clean docs 0") {
     val rng = new Random(13)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

@@ -368,15 +368,17 @@ object SubstringDedup {
     * max end of everything before it. Input (doc, s, e) half-open
     * 1-based; output one row per merged island (doc, is, ie).
     */
-  private def mergeIslands(ivals: DataFrame): DataFrame = {
-    val byDoc = Window.partitionBy("doc").orderBy(col("s"), col("e"))
+  private def mergeIslands(ivals: DataFrame,
+                           keys: Seq[String] = Seq("doc")): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("s"), col("e"))
     val prevMax = max(col("e"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
     ivals
       .withColumn("_new", when(prevMax.isNull || col("s") > prevMax, 1)
         .otherwise(0))
-      .withColumn("_isl", sum(col("_new")).over(byDoc))
-      .groupBy("doc", "_isl")
+      .withColumn("_isl", sum(col("_new")).over(byKey))
+      .groupBy((keys :+ "_isl").map(col): _*)
       .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
       .drop("_isl")
   }
@@ -489,25 +491,29 @@ object SubstringDedup {
                            k: Int = 16,
                            maxAnchorDf: Int = Int.MaxValue): DataFrame = {
     val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
-    // union the span intervals per (pair, side) with the island pass —
-    // maximal spans on different diagonals can overlap on a doc's axis,
-    // so a plain sum would overcount
-    def sideCover(startCol: String) = mergeIslands(
-        spans.select(
-          concat_ws("_", col("doc_a"), col("doc_b")).as("doc"),
-          col(startCol).as("s"), (col(startCol) + col("span_len")).as("e")))
-      .groupBy("doc").agg(sum(col("ie") - col("is")).as(s"cov_$startCol"))
+    // union the span intervals per (pair, side) in ONE tagged island
+    // pass — maximal spans on different diagonals can overlap on a doc's
+    // axis, so a plain sum would overcount
+    val tagged = spans.select(col("doc_a"), col("doc_b"),
+        lit("a").as("side"), col("start_a").as("s"),
+        (col("start_a") + col("span_len")).as("e"))
+      .unionAll(spans.select(col("doc_a"), col("doc_b"),
+        lit("b").as("side"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e")))
+    val cov = mergeIslands(tagged, Seq("doc_a", "doc_b", "side"))
+      .groupBy("doc_a", "doc_b", "side")
+      .agg(sum(col("ie") - col("is")).as("_c"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col("side") === "a", col("_c"))).as("_ca"),
+        max(when(col("side") === "b", col("_c"))).as("_cb"))
     val lens = df.select(col(idCol).cast("long").as("id"),
       length(col(textCol)).as("len"))
-    spans.select(col("doc_a"), col("doc_b")).distinct()
-      .withColumn("doc", concat_ws("_", col("doc_a"), col("doc_b")))
-      .join(sideCover("start_a"), "doc")
-      .join(sideCover("start_b"), "doc")
+    cov
       .join(lens.select(col("id").as("doc_a"), col("len").as("_la")), "doc_a")
       .join(lens.select(col("id").as("doc_b"), col("len").as("_lb")), "doc_b")
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
-        round(greatest(col("cov_start_a") / col("_la"),
-          col("cov_start_b") / col("_lb")), 6).as("coverage"))
+        round(greatest(col("_ca") / col("_la"),
+          col("_cb") / col("_lb")), 6).as("coverage"))
       .filter(col("coverage") >= minCoverage)
   }
 

@@ -201,4 +201,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge(0L).get == Seq(0.0, 0.0))
     assert(edge(1L).isEmpty)
   }
+
+  test("winnow_anchors matches the driver-side core under forced codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(30 + rng.nextInt(120))(
+        ('a' + rng.nextInt(3)).toChar).mkString))
+    val got = rows.toDF("id", "t")
+      .select(col("id"),
+        graft.functions.WinnowAnchors(col("t"), 8, 5).as("a"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getInt(0), s.getLong(1)))
+      }.toMap
+    rows.foreach { case (id, t) =>
+      val (pos, hash) = graft.functions.WinnowAnchors.winnow(t, 8, 5)
+      assert(got(id) == pos.zip(hash).toSeq, s"row $id")
+    }
+    // short text (< w + k - 1) and null row
+    val edge = Seq((0L, Some("abc")), (1L, None))
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.WinnowAnchors(col("t"), 8, 5).as("a"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edge(0L).get.asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(edge(1L).isEmpty)
+  }
 }

@@ -493,13 +493,18 @@ object SubstringDedup {
     val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
     // union the span intervals per (pair, side) in ONE tagged island
     // pass — maximal spans on different diagonals can overlap on a doc's
-    // axis, so a plain sum would overcount
+    // axis, so a plain sum would overcount. Both sides come from a
+    // single explode (a unionAll of two selects would re-run the whole
+    // span pipeline once per branch — the extension stage carries no
+    // reusable exchange at its top).
     val tagged = spans.select(col("doc_a"), col("doc_b"),
-        lit("a").as("side"), col("start_a").as("s"),
-        (col("start_a") + col("span_len")).as("e"))
-      .unionAll(spans.select(col("doc_a"), col("doc_b"),
-        lit("b").as("side"), col("start_b").as("s"),
-        (col("start_b") + col("span_len")).as("e")))
+        explode(array(
+          struct(lit("a").as("side"), col("start_a").as("s"),
+            (col("start_a") + col("span_len")).as("e")),
+          struct(lit("b").as("side"), col("start_b").as("s"),
+            (col("start_b") + col("span_len")).as("e")))).as("x"))
+      .select(col("doc_a"), col("doc_b"),
+        col("x.side").as("side"), col("x.s").as("s"), col("x.e").as("e"))
     val cov = mergeIslands(tagged, Seq("doc_a", "doc_b", "side"))
       .groupBy("doc_a", "doc_b", "side")
       .agg(sum(col("ie") - col("is")).as("_c"))
@@ -526,12 +531,13 @@ object SubstringDedup {
                          minLen: Int = 50, k: Int = 16,
                          maxAnchorDf: Int = Int.MaxValue): DataFrame = {
     val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
-    val ivals = spans.select(col("doc_a").as("doc"),
-        col("start_a").as("s"),
-        (col("start_a") + col("span_len")).as("e"))
-      .unionAll(spans.select(col("doc_b").as("doc"),
-        col("start_b").as("s"),
-        (col("start_b") + col("span_len")).as("e")))
+    // both interval sides from one explode — see coverageNearDupPairs
+    val ivals = spans.select(explode(array(
+        struct(col("doc_a").as("doc"), col("start_a").as("s"),
+          (col("start_a") + col("span_len")).as("e")),
+        struct(col("doc_b").as("doc"), col("start_b").as("s"),
+          (col("start_b") + col("span_len")).as("e")))).as("x"))
+      .select(col("x.doc").as("doc"), col("x.s").as("s"), col("x.e").as("e"))
     val covered = mergeIslands(ivals)
       .groupBy("doc")
       .agg(sum(col("ie") - col("is")).as("_dup"))

@@ -480,9 +480,11 @@ object SubstringDedup {
 
   /** Whole-doc near-dup PAIRS decided by substring coverage — the bridge
     * from span detection to document-level dedup: two docs pair when the
-    * union of their shared maximal spans covers >= `minCoverage` of the
-    * SMALLER doc (containment semantics: a short doc wholly embedded in
-    * a long one scores 1.0, where symmetric Jaccard would dilute it).
+    * union of their shared maximal spans covers >= `minCoverage` of
+    * EITHER doc (each side's span union over its own length, max of the
+    * two ratios — containment semantics: a short doc wholly embedded in
+    * a long one scores 1.0, where symmetric Jaccard would dilute it;
+    * a doc mostly made of content repeated in its pair also qualifies).
     * Output (id_a, id_b, coverage) feeds `Dedup.components`/`survivors`
     * unchanged.
     */
@@ -505,12 +507,12 @@ object SubstringDedup {
             (col("start_b") + col("span_len")).as("e")))).as("x"))
       .select(col("doc_a"), col("doc_b"),
         col("x.side").as("side"), col("x.s").as("s"), col("x.e").as("e"))
+    // islands are disjoint per (pair, side), so one conditional-sum
+    // aggregate yields both sides' coverage in a single pass
     val cov = mergeIslands(tagged, Seq("doc_a", "doc_b", "side"))
-      .groupBy("doc_a", "doc_b", "side")
-      .agg(sum(col("ie") - col("is")).as("_c"))
       .groupBy("doc_a", "doc_b")
-      .agg(max(when(col("side") === "a", col("_c"))).as("_ca"),
-        max(when(col("side") === "b", col("_c"))).as("_cb"))
+      .agg(sum(when(col("side") === "a", col("ie") - col("is"))).as("_ca"),
+        sum(when(col("side") === "b", col("ie") - col("is"))).as("_cb"))
     val lens = df.select(col(idCol).cast("long").as("id"),
       length(col(textCol)).as("len"))
     cov

@@ -72,14 +72,15 @@ object SmokePipeline {
     val search = new graft.search.DistGridSearchCV(
       graft.exec.LogisticRegressionLBFGS,
       Map("c" -> Seq(0.1, 1.0), "max_iter" -> Seq(50.0)), cv = 3)
-    val fitted = search.fit(spark, labeled, "f", "y")
-    val scored = graft.predict.Predict.withPredictions(
-      spark, qfeats, fitted.bestModel, "f")
-    val agree = scored.join(labeled.select("doc_id", "y"), "doc_id")
-      .filter(col("preds") === col("y")).count()
+    val cached = labeled.cache() // fit + score + count share one compute
+    val fitted = search.fit(spark, cached, "f", "y")
+    // the codegen'd LinearScore scoring route (not the UDF fallback)
+    val scored = graft.predict.Predict.withLinearPredictions(
+      cached, fitted.bestModel.asInstanceOf[graft.exec.LogRegModel], "f")
+    val agree = scored.filter(col("preds") === col("y")).count()
     println(s"[smoke] learned quality filter agrees with gopher rules on " +
-      s"$agree/${labeled.count()} docs (cv acc ${
-        fitted.cvResults.agg(max("mean_test_score")).head().get(0)})")
+      s"$agree/${cached.count()} docs (cv acc ${fitted.bestScore})")
+    cached.unpersist(blocking = false)
     spark.stop()
   }
 }

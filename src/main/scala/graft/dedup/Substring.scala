@@ -42,8 +42,26 @@ private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
   * size. `maxAnchorDf` drops anchors shared by more docs than the cap —
   * the standard viral-shingle/boilerplate guard at 100 TB (off by
   * default: exactness for the oracle; set ~1000 in production).
+  *
+  * `maxPosPerHash` bounds WITHIN-doc anchor multiplicity (first n
+  * positions per hash per doc, applied inside `WinnowAnchors` before the
+  * explode — no extra shuffle): a hash at p positions in doc A and q in
+  * doc B otherwise lands p*q packed seeds in one pair's `collect_list`,
+  * so a single ~1 MB "ababab…" spam pair (~57k same-hash anchors per
+  * side) would materialize billions of longs in the aggregation buffer —
+  * executor OOM before extension's covered-seed skip can help
+  * (`maxAnchorDf` caps CROSS-doc frequency only). With the cap, per-pair
+  * seeds <= cap * min(side anchor count) and verbatim copies still cap
+  * to identical surviving positions (prefix rule), so full-copy
+  * detection is unaffected. Default 64 — the testdata's max within-doc
+  * 16-gram multiplicity is 3 (measured, both SFs), so the oracle path
+  * stays exact with a 20x margin; only degenerate internal repetition
+  * (the OOM case itself) can lose spans.
   */
 object SubstringDedup {
+
+  /** See class doc — within-doc per-hash anchor position cap. */
+  val DefaultMaxPosPerHash = 64
 
   /** All maximal duplicated spans of length >= `minLen` chars between
     * distinct document pairs: (doc_a, doc_b, start_a, start_b, span_len)
@@ -54,7 +72,8 @@ object SubstringDedup {
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      minLen: Int = 50, k: Int = 16,
-                     maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+                     maxAnchorDf: Int = Int.MaxValue,
+                     maxPosPerHash: Int = DefaultMaxPosPerHash): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val w = minLen - k + 1
     // docs shorter than minLen cannot hold a qualifying span; the filter
@@ -63,7 +82,7 @@ object SubstringDedup {
         col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
     val an = Par.fanOut(texts).select(col("doc"),
-        explode(WinnowAnchors(col("text"), k, w)).as("a"))
+        explode(WinnowAnchors(col("text"), k, w, maxPosPerHash)).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
     val index = capViral(an, "doc", maxAnchorDf)
     // Inverted-index self-join on the anchor hash. shuffle_hash for the
@@ -99,7 +118,8 @@ object SubstringDedup {
   def crossSpans(corpus: DataFrame, bench: DataFrame,
                  textCol: String, idCol: String,
                  minLen: Int = 50, k: Int = 16,
-                 maxAnchorDf: Int = Int.MaxValue): DataFrame = {
+                 maxAnchorDf: Int = Int.MaxValue,
+                 maxPosPerHash: Int = DefaultMaxPosPerHash): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val w = minLen - k + 1
     def texts(df: DataFrame, name: String) =
@@ -107,7 +127,7 @@ object SubstringDedup {
         .filter(length(col("text")) >= minLen)
     def anchorsOf(df: DataFrame, name: String) =
       df.select(col(name),
-          explode(WinnowAnchors(col("text"), k, w)).as("a"))
+          explode(WinnowAnchors(col("text"), k, w, maxPosPerHash)).as("a"))
         .select(col(name), col("a.pos").as(s"${name}_pos"), col("a.hash").as("h"))
     val cTexts = texts(corpus, "corpus_id")
     val bTexts = texts(bench, "bench_id")
@@ -146,13 +166,14 @@ object SubstringDedup {
     * batches, which the probe's self-pair guard also relies on).
     */
   def writeSpanIndex(df: DataFrame, textCol: String, idCol: String,
-                     dir: String, minLen: Int = 50, k: Int = 16): Unit = {
+                     dir: String, minLen: Int = 50, k: Int = 16,
+                     maxPosPerHash: Int = DefaultMaxPosPerHash): Unit = {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((minLen, k)).toDF("minLen", "k")
+    Seq((minLen, k, maxPosPerHash)).toDF("minLen", "k", "maxPosPerHash")
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
-    writeBatch(df, textCol, idCol, dir, "base", minLen, k)
+    writeBatch(df, textCol, idCol, dir, "base", minLen, k, maxPosPerHash)
   }
 
   /** Add a crawl batch to an existing span index. `batchId` names the
@@ -163,20 +184,20 @@ object SubstringDedup {
                         dir: String, batchId: String): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+") && batchId != "base",
       s"batchId '$batchId' must be a filesystem-safe name (not 'base')")
-    val (minLen, k) = readIndexParams(df.sparkSession, dir)
-    writeBatch(df, textCol, idCol, dir, batchId, minLen, k)
+    val (minLen, k, cap) = readIndexParams(df.sparkSession, dir)
+    writeBatch(df, textCol, idCol, dir, batchId, minLen, k, cap)
   }
 
   private def writeBatch(df: DataFrame, textCol: String, idCol: String,
                          dir: String, batchId: String,
-                         minLen: Int, k: Int): Unit = {
+                         minLen: Int, k: Int, maxPosPerHash: Int): Unit = {
     val w = minLen - k + 1
     val sub = s"$dir/batches/$batchId"
     val texts = df.select(col(idCol).cast("long").as("doc"),
         col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
     Par.fanOut(texts).select(col("doc"),
-        explode(WinnowAnchors(col("text"), k, w)).as("a"))
+        explode(WinnowAnchors(col("text"), k, w, maxPosPerHash)).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
       .write.mode("overwrite").parquet(s"$sub/anchors")
     texts.write.mode("overwrite").parquet(s"$sub/texts")
@@ -198,9 +219,15 @@ object SubstringDedup {
   }
 
   private def readIndexParams(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): (Int, Int) = {
-    val r = spark.read.json(s"$dir/params").select("minLen", "k").head()
-    (r.getLong(0).toInt, r.getLong(1).toInt)
+                              dir: String): (Int, Int, Int) = {
+    val df = spark.read.json(s"$dir/params")
+    // pre-cap indexes have no maxPosPerHash field — treat as uncapped so
+    // probes against them stay bit-identical to what was written
+    val hasCap = df.columns.contains("maxPosPerHash")
+    val r = df.select("minLen", "k").head()
+    val cap = if (hasCap) df.select("maxPosPerHash").head().getLong(0).toInt
+      else Int.MaxValue
+    (r.getLong(0).toInt, r.getLong(1).toInt, cap)
   }
 
   /** All maximal spans >= the INDEX's minLen between an incoming batch
@@ -217,7 +244,7 @@ object SubstringDedup {
                         dir: String,
                         maxBatchBytes: Long = 1L << 30): DataFrame = {
     val spark = batch.sparkSession
-    val (minLen, k) = readIndexParams(spark, dir)
+    val (minLen, k, cap) = readIndexParams(spark, dir)
     val w = minLen - k + 1
     val subs = committedBatches(spark, dir)
     require(subs.nonEmpty, s"no committed batches under $dir/batches — " +
@@ -236,7 +263,7 @@ object SubstringDedup {
         "spansAgainstIndex broadcasts the batch — probe in smaller " +
         "batches (or raise maxBatchBytes)")
     val bAnchors = bTexts.select(col("batch_id"),
-        explode(WinnowAnchors(col("text"), k, w)).as("a"))
+        explode(WinnowAnchors(col("text"), k, w, cap)).as("a"))
       .select(col("batch_id"), col("a.pos").as("bpos"), col("a.hash").as("h"))
     val cand = spark.read
       .parquet(subs.map(_ + "/anchors"): _*)
@@ -407,8 +434,10 @@ object SubstringDedup {
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            minLen: Int = 50, k: Int = 16,
                            maxAnchorDf: Int = Int.MaxValue,
-                           snapToWords: Boolean = false): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
+                           snapToWords: Boolean = false,
+                           maxPosPerHash: Int = DefaultMaxPosPerHash): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf,
+      maxPosPerHash)
     val raw = mergeIslands(
       spans.select(col("doc_b").as("doc"), col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e")))
@@ -491,8 +520,10 @@ object SubstringDedup {
   def coverageNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                            minCoverage: Double, minLen: Int = 50,
                            k: Int = 16,
-                           maxAnchorDf: Int = Int.MaxValue): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
+                           maxAnchorDf: Int = Int.MaxValue,
+                           maxPosPerHash: Int = DefaultMaxPosPerHash): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf,
+      maxPosPerHash)
     // union the span intervals per (pair, side) in ONE tagged island
     // pass — maximal spans on different diagonals can overlap on a doc's
     // axis, so a plain sum would overcount. Both sides come from a
@@ -531,8 +562,10 @@ object SubstringDedup {
     */
   def duplicateCharStats(df: DataFrame, textCol: String, idCol: String,
                          minLen: Int = 50, k: Int = 16,
-                         maxAnchorDf: Int = Int.MaxValue): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf)
+                         maxAnchorDf: Int = Int.MaxValue,
+                         maxPosPerHash: Int = DefaultMaxPosPerHash): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, minLen, k, maxAnchorDf,
+      maxPosPerHash)
     // both interval sides from one explode — see coverageNearDupPairs
     val ivals = spans.select(explode(array(
         struct(col("doc_a").as("doc"), col("start_a").as("s"),

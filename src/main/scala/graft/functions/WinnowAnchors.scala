@@ -30,12 +30,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * verify/extension stage downstream. Positions count Unicode CODE
   * POINTS (SQL `substr`/`length` semantics), so downstream offsets are
   * exact for supplementary-plane text too.
+  *
+  * `maxPerHash` keeps only the FIRST n selected positions of any one
+  * hash within a document (default unlimited). A hash at p positions in
+  * doc A and q in doc B contributes p*q seeds to that pair's downstream
+  * aggregation, so low-entropy text ("ababab…" spam: every window selects
+  * the same gram) turns one pair into billions of seeds without the cap;
+  * with it the per-pair seed count is bounded by cap * (other side's
+  * anchor count). Keeping a position PREFIX (not a sample) means verbatim
+  * copies — whose anchor position lists are identical — cap to the SAME
+  * surviving positions, so their diagonal-0 seeds always survive and
+  * full-copy detection is unaffected. Only a span whose every interior
+  * anchor hash already occurred >= cap times EARLIER in the same doc can
+  * be missed — degenerate internal repetition, the exact case the cap
+  * exists to bound.
   */
-case class WinnowAnchors(child: Expression, k: Int, w: Int)
+case class WinnowAnchors(child: Expression, k: Int, w: Int,
+                         maxPerHash: Int = Int.MaxValue)
   extends UnaryExpression {
 
   require(k >= 2, s"need gram size k >= 2, got $k")
   require(w >= 1, s"need window w >= 1, got $w")
+  require(maxPerHash >= 1, s"need maxPerHash >= 1, got $maxPerHash")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -50,11 +66,11 @@ case class WinnowAnchors(child: Expression, k: Int, w: Int)
   }
 
   override def nullSafeEval(v: Any): Any =
-    WinnowAnchors.build(v.asInstanceOf[UTF8String], k, w)
+    WinnowAnchors.build(v.asInstanceOf[UTF8String], k, w, maxPerHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.WinnowAnchors.build($t, $k, $w);")
+      s"${ev.value} = graft.functions.WinnowAnchors.build($t, $k, $w, $maxPerHash);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
     copy(child = newChild)
@@ -66,8 +82,9 @@ object WinnowAnchors {
   private val MixSeed = 0x9E3779B97F4A7C15L
 
   /** Shared by eval and generated code. */
-  def build(text: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val (pos, hash) = winnow(text.toString, k, w)
+  def build(text: UTF8String, k: Int, w: Int,
+            maxPerHash: Int = Int.MaxValue): GenericArrayData = {
+    val (pos, hash) = winnow(text.toString, k, w, maxPerHash)
     val out = new Array[Any](pos.length)
     var i = 0
     while (i < pos.length) {
@@ -83,10 +100,15 @@ object WinnowAnchors {
     * downstream 1-based offsets are true SQL `substr` positions for any
     * text, supplementary planes included.
     */
-  def winnow(str: String, k: Int, w: Int): (Array[Int], Array[Long]) =
-    winnow(str.codePoints().toArray, k, w)
+  def winnow(str: String, k: Int, w: Int,
+             maxPerHash: Int = Int.MaxValue): (Array[Int], Array[Long]) =
+    winnow(str.codePoints().toArray, k, w, maxPerHash)
 
-  def winnow(s: Array[Int], k: Int, w: Int): (Array[Int], Array[Long]) = {
+  def winnow(s: Array[Int], k: Int, w: Int): (Array[Int], Array[Long]) =
+    winnow(s, k, w, Int.MaxValue)
+
+  def winnow(s: Array[Int], k: Int, w: Int,
+             maxPerHash: Int): (Array[Int], Array[Long]) = {
     val m = s.length - k + 1
     if (m < w) return (Array.empty[Int], Array.empty[Long])
     // rolling polynomial hash of every k-gram, finalized with a long-mix
@@ -128,11 +150,29 @@ object WinnowAnchors {
       }
       i += 1
     }
-    (outPos.toArray, outHash.toArray)
+    if (maxPerHash == Int.MaxValue || outPos.length <= maxPerHash)
+      return (outPos.toArray, outHash.toArray)
+    // prefix cap per hash: selected positions arrive in increasing order,
+    // so counting forward keeps each hash's FIRST maxPerHash positions —
+    // verbatim copies produce identical position lists and therefore
+    // identical survivors (see class doc)
+    val seen = new java.util.HashMap[Long, Int]()
+    val cpPos = new scala.collection.mutable.ArrayBuffer[Int]()
+    val cpHash = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i < outPos.length) {
+      val n = seen.merge(outHash(i), 1, Integer.sum)
+      if (n <= maxPerHash) { cpPos += outPos(i); cpHash += outHash(i) }
+      i += 1
+    }
+    (cpPos.toArray, cpHash.toArray)
   }
 
   /** Column API: `winnow_anchors(text, k, w) -> array<struct<pos,hash>>`. */
   def apply(text: Column, k: Int, w: Int): Column =
+    apply(text, k, w, Int.MaxValue)
+
+  def apply(text: Column, k: Int, w: Int, maxPerHash: Int): Column =
     GraftSqlBridge.column(
-      WinnowAnchors(GraftSqlBridge.expression(text), k, w))
+      WinnowAnchors(GraftSqlBridge.expression(text), k, w, maxPerHash))
 }

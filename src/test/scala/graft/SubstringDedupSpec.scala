@@ -125,6 +125,53 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(capped.size < uncapped.size)
   }
 
+  test("maxPosPerHash: low-entropy spam pair stays bounded, full copy found") {
+    // Two identical 100k-char "ababab…" docs: every gram shares one hash
+    // and winnowing selects EVERY position (constant hash sequence ->
+    // rightmost-min per window), so uncapped the single pair would pack
+    // ~1e10 seeds into one collect_list — the executor-OOM case the cap
+    // exists for. Capped (default 64/hash/doc) the pair carries <= 64^2
+    // seeds, and because verbatim copies cap to IDENTICAL surviving
+    // positions, the diagonal-0 seed survives and extension still reports
+    // the full-length copy exactly.
+    val n = 100000
+    val spam = ("ab" * (n / 2))
+    val docs = Seq(1L -> spam, 2L -> spam)
+    val got = sparkSpans(docs, minLen = 50, k = 16)
+    assert(got.contains((1L, 2L, 1, 1, n)))
+    // off-diagonal self-overlap spans (shift-by-2 etc.) are the documented
+    // loss on degenerate text: only diagonals reachable from the first 64
+    // positions survive. Every reported span must still be a TRUE span.
+    assert(got.forall { case (_, _, sa, sb, len) =>
+      spam.substring(sa - 1, sa - 1 + len) == spam.substring(sb - 1, sb - 1 + len)
+    })
+    // anchor cap held on both sides
+    val (_, hashes) = graft.functions.WinnowAnchors.winnow(spam, 16, 35, 64)
+    assert(hashes.groupBy(identity).values.map(_.size).max <= 64)
+  }
+
+  test("maxPosPerHash: default cap never engages on natural text") {
+    val rng = new Random(31)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(150)
+    val docs = Seq(
+      1L -> (rand(40) + shared + rand(30)),
+      2L -> (rand(25) + shared + rand(10)),
+      3L -> rand(300))
+    val capped = sparkSpans(docs, minLen = 50, k = 16)
+    val uncapped = SubstringDedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", 50, 16, Int.MaxValue, maxPosPerHash = Int.MaxValue)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(capped == uncapped)
+    assert(capped == bruteSpans(docs, 50))
+    // winnow prefix rule: capping keeps each hash's FIRST positions
+    val (pos, hsh) = graft.functions.WinnowAnchors.winnow(docs.head._2, 16, 35)
+    val (cpos, chsh) = graft.functions.WinnowAnchors.winnow(docs.head._2, 16, 35, 2)
+    val firstTwo = hsh.zip(pos).groupBy(_._1).values
+      .flatMap(v => v.map(_._2).sorted.take(2)).toSet
+    assert(cpos.toSet == firstTwo && chsh.length == cpos.length)
+  }
+
   test("crossSpans: corpus-vs-bench spans match brute force, both ways") {
     val rng = new Random(23)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

@@ -125,7 +125,7 @@ object LinearSVC extends Learner {
           loss / math.max(1, side.evalX.length)
         }
         var bestLoss = evalHinge(new Array[Double](d + 1))
-        var bestW = new Array[Double](d + 1)
+        var bestW: Array[Double] = null
         var rounds = 0
         val monitor: Array[Double] => Boolean = { wv =>
           val el = evalHinge(wv)
@@ -134,8 +134,13 @@ object LinearSVC extends Learner {
             bestLoss = el; bestW = wv.clone(); rounds = 0; true
           } else { rounds += 1; rounds < side.earlyStoppingRounds }
         }
-        LBFGS.minimize(new Array[Double](d + 1), lossGrad, maxIter, tol, monitor)
-        bestW
+        val last = LBFGS.minimize(new Array[Double](d + 1), lossGrad,
+          maxIter, tol, monitor)
+        // the zero init is only a BASELINE, never a candidate: if no
+        // iterate beat it by minDelta (minDelta too coarse / degenerate
+        // eval slice), return the optimizer's final iterate — same model
+        // the un-monitored path yields — not an all-zero rewind
+        if (bestW == null) last else bestW
       }
     }
     LinearSVCModel(weights, k)

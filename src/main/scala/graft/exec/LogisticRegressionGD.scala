@@ -81,7 +81,7 @@ object LogisticRegressionGD extends Learner {
     val es = side.hasEarlyStopping
     var bestLoss =
       if (es) FitSideData.evalNll(model, side.evalX, side.evalY) else 0.0
-    var bestW: Array[Array[Double]] = if (es) w.map(_.clone()) else null
+    var bestW: Array[Array[Double]] = null
     var rounds = 0
     var it = 0
     while (it < maxIter) {
@@ -130,6 +130,9 @@ object LogisticRegressionGD extends Learner {
         }
       }
     }
-    if (es) LogRegModel(bestW, k) else model
+    // zero init is a baseline, not a candidate: if no epoch beat it by
+    // minDelta, keep the final iterate (the un-monitored path's model)
+    // instead of rewinding to all-zero weights
+    if (es && bestW != null) LogRegModel(bestW, k) else model
   }
 }

@@ -98,7 +98,7 @@ object LogisticRegressionLBFGS extends Learner {
     } else {
       var bestLoss = FitSideData.evalNll(toModel(new Array[Double](dim)),
         side.evalX, side.evalY)
-      var bestW = new Array[Double](dim)
+      var bestW: Array[Double] = null
       var rounds = 0
       val monitor: Array[Double] => Boolean = { wv =>
         val el = FitSideData.evalNll(toModel(wv), side.evalX, side.evalY)
@@ -107,8 +107,12 @@ object LogisticRegressionLBFGS extends Learner {
           bestLoss = el; bestW = wv.clone(); rounds = 0; true
         } else { rounds += 1; rounds < side.earlyStoppingRounds }
       }
-      LBFGS.minimize(new Array[Double](dim), lossGrad, maxIter, tol, monitor)
-      toModel(bestW)
+      val last = LBFGS.minimize(new Array[Double](dim), lossGrad, maxIter,
+        tol, monitor)
+      // zero init is a baseline, not a candidate: with no accepted
+      // iterate, fall back to the final iterate (the un-monitored
+      // path's model), never an all-zero rewind
+      toModel(if (bestW == null) last else bestW)
     }
   }
 }

@@ -15,6 +15,25 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Memoized contamination sidecars: (sc, canonicalized bench plan,
+    * cols, params) -> broadcast. See `contaminationFilter` — bounded by
+    * the number of distinct bench suites in a process (a handful), so no
+    * eviction; `clearSidecarCache` destroys entries for tests or after a
+    * bench suite is re-written in place under the same path.
+    */
+  private val sidecarCache = scala.collection.mutable.HashMap.empty[
+    Any, org.apache.spark.broadcast.Broadcast[
+      (Map[Long, List[(Int, Int)]], Array[Array[Int]])]]
+
+  /** Drop (and unpersist) every memoized contamination sidecar. Safe
+    * only when no returned frame is still being executed — unpersist
+    * (not destroy) so a straggling query can refetch.
+    */
+  def clearSidecarCache(): Unit = sidecarCache.synchronized {
+    sidecarCache.values.foreach(_.unpersist(blocking = false))
+    sidecarCache.clear()
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -154,30 +173,43 @@ object Streams {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val w = minLen - k + 1
     val spark = bench.sparkSession
-    val benchRows = bench
-      .select(col(idCol).cast("long"), col(textCol))
-      .filter(length(col(textCol)) >= minLen).collect()
-    val benchBytes = benchRows.iterator
-      .map(r => 16L + 2L * r.getString(1).length).sum
-    require(benchBytes <= maxBenchBytes,
-      s"benchmark side is ~$benchBytes bytes (> $maxBenchBytes): " +
-        "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
-        "eval sets here, not a corpus (or raise maxBenchBytes)")
-    // bench texts are PRE-DECODED to code-point arrays once — the per-row
-    // probe must not re-decode a static text per incoming doc
-    val texts = benchRows.map(_.getString(1).codePoints().toArray)
-    val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
-    var b = 0
-    while (b < texts.length) {
-      val (pos, hash) = graft.functions.WinnowAnchors.winnow(texts(b), k, w)
-      var i = 0
-      while (i < pos.length) {
-        byHash(hash(i)) = (b, pos(i)) :: byHash.getOrElse(hash(i), Nil)
-        i += 1
-      }
-      b += 1
+    // the sidecar is MEMOIZED per (bench plan, params): bench runs and
+    // stability retries call this repeatedly with the same static suite,
+    // and un-memoized each call would collect + broadcast a fresh copy
+    // that nothing unpersists until GC-driven ContextCleaner passes (an
+    // eager unpersist would break the lazily-returned stream frame).
+    // Canonicalized-plan equality keys semantically-identical frames; a
+    // re-written source under the same path needs clearSidecarCache().
+    val cacheKey = (spark.sparkContext, bench.queryExecution.analyzed.canonicalized,
+      idCol, textCol, minLen, k)
+    val sidecar = sidecarCache.synchronized {
+      sidecarCache.getOrElseUpdate(cacheKey, {
+        val benchRows = bench
+          .select(col(idCol).cast("long"), col(textCol))
+          .filter(length(col(textCol)) >= minLen).collect()
+        val benchBytes = benchRows.iterator
+          .map(r => 16L + 2L * r.getString(1).length).sum
+        require(benchBytes <= maxBenchBytes,
+          s"benchmark side is ~$benchBytes bytes (> $maxBenchBytes): " +
+            "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
+            "eval sets here, not a corpus (or raise maxBenchBytes)")
+        // bench texts are PRE-DECODED to code-point arrays once — the
+        // per-row probe must not re-decode a static text per incoming doc
+        val texts = benchRows.map(_.getString(1).codePoints().toArray)
+        val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+        var b = 0
+        while (b < texts.length) {
+          val (pos, hash) = graft.functions.WinnowAnchors.winnow(texts(b), k, w)
+          var i = 0
+          while (i < pos.length) {
+            byHash(hash(i)) = (b, pos(i)) :: byHash.getOrElse(hash(i), Nil)
+            i += 1
+          }
+          b += 1
+        }
+        spark.sparkContext.broadcast((byHash.toMap, texts))
+      })
     }
-    val sidecar = spark.sparkContext.broadcast((byHash.toMap, texts))
     val kk = k; val ml = minLen; val ww = w
     val probe = udf((text: String) => {
       val (bh, bt) = sidecar.value

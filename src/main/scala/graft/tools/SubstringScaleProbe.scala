@@ -81,18 +81,24 @@ object SubstringScaleProbe {
         "10x; delete the cache dir and rebuild")
 
     // incremental route at 10x: span index over the 50k-doc corpus,
-    // probed by the 5k copy-0 batch — the re-ingestion worst case (every
-    // batch doc is a verbatim full-copy of an indexed doc, so extension
-    // pays maximal spans on every one; planted pairs ride along)
+    // probed by the 5k copy-0 batch under SHIFTED ids (copy ids occupy
+    // doc_id + c*1e7 for c in 0..9, so +1e9 collides with nothing) — the
+    // re-ingestion worst case: every batch doc is a verbatim full-copy of
+    // an indexed doc AND survives the self-pair guard (probing with the
+    // copy-0 ids themselves would be filtered by doc =!= batch_id and
+    // measure the near-miss path instead), so extension pays maximal
+    // spans on every one; planted pairs ride along
     val idxDir = tenxDir + "/spanidx"
     val tb0 = System.nanoTime()
     graft.dedup.SubstringDedup.writeSpanIndex(
       docs10, "text", "doc_id", idxDir, minLen = 50, k = 16)
     val tBuild = (System.nanoTime() - tb0) / 1e9
+    val probeBatch = docs.select(
+      (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
     val tp = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       val n = graft.dedup.SubstringDedup
-        .spansAgainstIndex(docs, "text", "doc_id", idxDir).count()
+        .spansAgainstIndex(probeBatch, "text", "doc_id", idxDir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
     println(f"[sscale] spanIndex build(50k docs): $tBuild%.2f s  " +

@@ -478,8 +478,8 @@ class SearchExtrasSpec extends AnyFunSuite {
     // values, not probabilities — NLL does not apply). The noisy-dim set
     // above is no good here: its eval HINGE rises from step 1 (noise dims
     // produce confident wrong margins that hinge punishes quadratically),
-    // so best-on-eval correctly degenerates to the zero init — working
-    // semantics, nothing to compare. On separable blobs eval hinge drops
+    // so no iterate is ever accepted and the fit falls back to the final
+    // iterate — working semantics, nothing to compare. On separable blobs eval hinge drops
     // to ~0 within a few iterations and plateaus (measured: floor by iter
     // ~6 of a ~66-iteration natural run), so minDelta turns the plateau
     // into a stop far before the natural count.
@@ -507,6 +507,30 @@ class SearchExtrasSpec extends AnyFunSuite {
         s"svc: early ${earlyHist.length} vs full ${fullHist.length}")
       val accF = Metrics.accuracy(svc.fit(bx2, by2, svcParams, 1), ex2, ey2)
       assert(Metrics.accuracy(early, ex2, ey2) >= accF - 0.05, "svc eval accuracy")
+    }
+    // no-improvement fallback: minDelta = MaxValue means NO iterate is
+    // ever accepted, so the rewind has no candidate — the fit must return
+    // the optimizer's final iterate (patience stops it after
+    // earlyStoppingRounds steps), NEVER the all-zero init it used to
+    // rewind to (zero model = ln(2) eval NLL / coin-flip accuracy)
+    locally {
+      val m2 = blobs(n = 120)
+      val (b2x, b2y) = (m2.x.take(60), m2.y.take(60))
+      val (v2x, v2y) = (m2.x.drop(60), m2.y.drop(60))
+      val zeroNll = math.log(2)
+      for (lrn <- Seq[Learner](LogisticRegressionLBFGS, LogisticRegressionGD)) {
+        val mdl = lrn.fit(b2x, b2y, Map("c" -> 1.0, "max_iter" -> 200.0),
+          1, FitSideData(v2x, v2y, earlyStoppingRounds = 3,
+            minDelta = Double.MaxValue))
+        assert(FitSideData.evalNll(mdl, v2x, v2y) < zeroNll - 1e-6,
+          s"$lrn: no-improvement fallback returned the zero model")
+      }
+      val svcMdl = graft.exec.LinearSVC.fit(b2x, b2y,
+        Map("c" -> 1.0, "max_iter" -> 200.0), 1,
+        FitSideData(v2x, v2y, earlyStoppingRounds = 3,
+          minDelta = Double.MaxValue))
+      assert(Metrics.accuracy(svcMdl, v2x, v2y) >= 0.9,
+        "svc: no-improvement fallback returned the zero model")
     }
     // the search stack threads side data into every CV fit and the refit
     val m = blobs(n = 90)

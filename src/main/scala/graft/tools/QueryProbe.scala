@@ -14,6 +14,12 @@ object QueryProbe {
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables.lineitem(spark, sfDir).count()
+    // throwaway warm-up: the first probed query otherwise pays ~4x cold
+    // JIT/codegen (measured r6: q58 5.77 s cold vs 1.39 s warm), which
+    // poisons single-query probes — exactly the runs used to adjudicate
+    // bench noise. Warm with the first query itself so its own operators
+    // JIT too.
+    names.headOption.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>

@@ -121,6 +121,32 @@ object MLRelational {
         .orderBy("feature", "bin", "label")
     }),
 
+    // GBT stage-1 kernel (Friedman's gradient boosting, the exact math
+    // GBT.Classifier runs — GBTSpec pins the learner to these formulas on
+    // a known stump): binary y = label < 5, fixed depth-1 stump on
+    // embedding[0] at 0.0. Per leaf: Newton value sum(r)/sum(p0(1-p0))
+    // over the prior's residuals and the stage-updated probability at
+    // lr = 0.1, oracled cell-exact.
+    "q91_gbt_stage" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
+        col("embedding").getItem(0).cast("double").as("v"))
+      val stats = e.agg(avg(col("y")).as("p0"))
+      val den = col("n_rows") * col("_p0") * (lit(1.0) - col("_p0"))
+      val f1 = log(col("_p0") / (lit(1.0) - col("_p0"))) +
+        lit(0.1) * col("_num") / den
+      e.crossJoin(broadcast(stats))
+        .withColumn("leaf", when(col("v") <= 0.0, lit("L")).otherwise(lit("R")))
+        .groupBy("leaf")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p0")).as("_p0"),
+          sum(col("y") - col("p0")).as("_num"))
+        .select(col("leaf"), col("n_rows"),
+          round(col("_num") / den, 6).as("leaf_value"),
+          round(lit(1.0) / (lit(1.0) + exp(-f1)), 6).as("p_stage1"))
+        .orderBy("leaf")
+    }),
+
     // Multilabel binarization stats (MultiLabelBinarizer.fit over a
     // label-SET column): documents tagged with a derived label set
     // {lang, source, length-bucket}; per class -> positives/negatives/
@@ -185,6 +211,22 @@ object MLRelational {
         |       WHEN v <= 0.05 THEN 2 WHEN v <= 0.15 THEN 3 ELSE 4 END AS bin,
         |  label, count(*) AS n_rows
         |FROM ex GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q91_gbt_stage" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+        |         CAST(embedding[1] AS DOUBLE) AS v
+        |  FROM embeddings),
+        |s AS (SELECT avg(y) AS p0 FROM e),
+        |l AS (
+        |  SELECT CASE WHEN v <= 0.0 THEN 'L' ELSE 'R' END AS leaf,
+        |         count(*) AS n_rows, min(p0) AS p0, sum(y - p0) AS num
+        |  FROM e, s GROUP BY 1)
+        |SELECT leaf, n_rows,
+        |  round(num / (n_rows * p0 * (1 - p0)), 6) AS leaf_value,
+        |  round(1.0 / (1.0 + exp(-(ln(p0 / (1 - p0))
+        |    + 0.1 * num / (n_rows * p0 * (1 - p0))))), 6) AS p_stage1
+        |FROM l ORDER BY leaf""".stripMargin,
 
     "q21_fold_stratified" ->
       """SELECT fold_id, label, count(*) AS n_rows FROM (

@@ -124,7 +124,8 @@ class DistGridSearchCV(learner: Learner,
       case other => throw new IllegalArgumentException(
         s"data-parallel auto-route supports the logistic and CART learners, " +
           s"not $other; for tree ensembles over broadcast-overflow data use " +
-          "DataParallelForest")
+          "DataParallelForest (boosted trees are broadcast-only: stages are " +
+          "sequential by construction — raise withBroadcastBudget or sample)")
     }
     val cands = candidates()
     require(cands.nonEmpty, "empty parameter grid")

@@ -27,6 +27,34 @@ object Par {
     * count and need the fan-out just as much as a bare scan. Streaming
     * frames cannot be probed at all and pass through untouched.
     */
+  /** Run `f` over `items` on a bounded driver-side thread pool,
+    * preserving input order in the result. For CONCURRENT SPARK JOB
+    * SUBMISSION: a sequence of independent distributed fits submitted
+    * one-by-one leaves the cluster idle during each job's driver-side
+    * phases (planning, stat collection, model assembly); submitting from
+    * `parallelism` threads overlaps them (Spark's scheduler interleaves
+    * concurrent jobs at stage granularity under FIFO, fully under FAIR).
+    * Failures propagate: the first thrown exception rethrows here after
+    * the pool drains. NOT for executor-side code — this is a driver
+    * orchestration helper.
+    */
+  def concurrently[T, R](items: Seq[T], parallelism: Int)(f: T => R): Seq[R] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    if (parallelism == 1 || items.length <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.length))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(items.map(t => Future(f(t)))),
+          Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
+
   def fanOut(df: DataFrame): DataFrame = {
     val plansExchange = df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |

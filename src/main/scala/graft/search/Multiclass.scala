@@ -370,6 +370,18 @@ final case class OvOModel(classes: Array[Double],
 class DistOneVsOne(learner: Learner, seed: Long = 42)
     extends Serializable with BroadcastBudgeted with FitSideConfigured {
 
+  private var pairJobParallelism: Int = 8
+
+  /** Concurrent Spark-job submissions for the broadcast-overflow route's
+    * pair axis (default 8; 1 → sequential). Each pair's fit is already
+    * distributed — this overlaps the per-job driver-side phases so k(k-1)/2
+    * pairs don't serialize into k(k-1)/2 idle-cluster gaps.
+    */
+  def withPairJobParallelism(n: Int): this.type = {
+    require(n >= 1, s"pair-job parallelism must be >= 1, got $n")
+    pairJobParallelism = n; this
+  }
+
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvOModel = {
     if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
@@ -383,11 +395,16 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
     * Each pair restricts the DataFrame to its two classes — a filter, so
     * rows never reach the driver — and remaps to {0, 1}: the same
     * `_fit_ovo_binary` plan as the broadcast path (`multiclass.py:155-172`)
-    * with `DataParallelFit` as the executor. The pair axis is
-    * driver-sequenced; each fit already uses the whole cluster. Both
-    * classes of a pair are present by construction (they come from the
-    * observed-label inventory), so the degenerate-binary containment of
-    * the broadcast path has nothing to contain here.
+    * with `DataParallelFit` as the executor. The pair axis submits up to
+    * `pairJobParallelism` concurrent Spark jobs (`Par.concurrently`) —
+    * at 100 classes the 4,950 pair fits would otherwise run strictly one
+    * after another, forfeiting the pair-axis parallelism the broadcast
+    * regime (and the reference, `multiclass.py:440-459`) has; pair fits
+    * are independent, so concurrent submission changes nothing about the
+    * models, only the wall clock. Both classes of a pair are present by
+    * construction (they come from the observed-label inventory), so the
+    * degenerate-binary containment of the broadcast path has nothing to
+    * contain here.
     */
   private def fitDataParallel(spark: SparkSession, df: DataFrame,
                               featuresCol: String, labelCol: String): OvOModel = {
@@ -400,14 +417,15 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
       i <- classes.indices
       j <- (i + 1) until classes.length
     } yield (classes(i), classes(j))
-    val models: Seq[Model] = pairs.map { case (a, b) =>
-      val bin = labeled
-        .filter(col("_y") === lit(a) || col("_y") === lit(b))
-        .withColumn("_y", when(col("_y") === lit(a), 0.0).otherwise(1.0))
-      // Map.empty: DataParallelFit supplies the engine default c=1
-      // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
-      DataParallelFit.fit(learner, bin, "_x", "_y", Map.empty, seed)
-    }
+    val models: Seq[Model] =
+      graft.ops.Par.concurrently(pairs, pairJobParallelism) { case (a, b) =>
+        val bin = labeled
+          .filter(col("_y") === lit(a) || col("_y") === lit(b))
+          .withColumn("_y", when(col("_y") === lit(a), 0.0).otherwise(1.0))
+        // Map.empty: DataParallelFit supplies the engine default c=1
+        // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
+        DataParallelFit.fit(learner, bin, "_x", "_y", Map.empty, seed)
+      }
     labeled.unpersist(blocking = false)
     OvOModel(classes, pairs.toArray, models.toArray)
   }

@@ -596,10 +596,45 @@ class SearchExtrasSpec extends AnyFunSuite {
       assert(dp.predict(x(i)) == bc.predict(x(i)), s"row $i regime disagreement")
     }
     assert(Metrics.accuracy(dp, x, y) > 0.95)
+    // the pair axis submits concurrent jobs by default (8) — a
+    // sequential run (parallelism 1) must produce IDENTICAL models:
+    // pair fits are independent, concurrency may change only wall clock
+    val seqFit = new DistOneVsOne(graft.exec.LogisticRegressionLBFGS)
+      .withBroadcastBudget(1L).withPairJobParallelism(1)
+      .fit(spark, df, "features", "label")
+    assert(seqFit.pairs.toSeq == dp.pairs.toSeq)
+    x.indices.foreach { i =>
+      assert(seqFit.predictProba(x(i)).sameElements(dp.predictProba(x(i))),
+        s"row $i sequential/concurrent disagreement")
+    }
     // tree base learner routes through DataParallelCART per pair
     val dpTree = new DistOneVsOne(new graft.exec.CART.Classifier(2))
       .withBroadcastBudget(1L).fit(spark, df, "features", "label")
     assert(Metrics.accuracy(dpTree, x, y) > 0.95)
+  }
+
+  test("Par.concurrently: overlapping execution, ordered results, failure propagation") {
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = graft.ops.Par.concurrently(1 to 6, parallelism = 6) { i =>
+      val a = active.incrementAndGet()
+      peak.accumulateAndGet(a, math.max)
+      Thread.sleep(150)
+      active.decrementAndGet()
+      i * 10
+    }
+    assert(out == (1 to 6).map(_ * 10), "input order preserved")
+    assert(peak.get() > 1, s"no overlap observed (peak ${peak.get()})")
+    // parallelism 1 is the plain sequential map
+    val p1 = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.ops.Par.concurrently(1 to 3, parallelism = 1) { _ =>
+      assert(p1.incrementAndGet() == 1); Thread.sleep(10); p1.decrementAndGet()
+    }
+    intercept[IllegalStateException] {
+      graft.ops.Par.concurrently(1 to 4, parallelism = 4) { i =>
+        if (i == 3) throw new IllegalStateException("boom") else i
+      }
+    }
   }
 
   test("multi-model auto-route: over-budget race runs data-parallel, same winner") {

@@ -213,9 +213,103 @@ object SubstringDedup {
     val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-      .map(_.toString).sorted.toSeq
+    else {
+      val committed = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+        .toSeq
+      // a committed COMPACTED batch names the batches it merged in its
+      // _REPLACES manifest; excluding them here is what makes the
+      // compaction commit atomic — after a crash between the compacted
+      // batch's _COMMIT and the source deletes, both generations sit on
+      // disk but readers see exactly one
+      val replaced = committed.flatMap(p => readReplaces(fs, p)).toSet
+      committed.filterNot(p => replaced.contains(p.getName))
+        .map(_.toString).sorted
+    }
+  }
+
+  private def readReplaces(fs: org.apache.hadoop.fs.FileSystem,
+                           batchDir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(batchDir, "_REPLACES")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      } finally in.close()
+    }
+  }
+
+  /** Compact all committed batches of a span index into ONE batch named
+    * `newBatchId`. Pure maintenance — the probe-visible index content is
+    * unchanged (spec-pinned) — but each append adds a batch subdirectory,
+    * and at crawl cadence the probe's per-batch parquet scans accumulate
+    * into a many-small-files problem (1000 appends = 1000 file listings
+    * and tiny row groups per probe). Compaction rewrites the union into
+    * size-targeted files (~128 MB via `coalesce` — a split merge, no
+    * shuffle) so probe scan cost tracks index BYTES again, not append
+    * COUNT.
+    *
+    * Crash-safe with the same marker discipline as append: merged data
+    * files first, then a `_REPLACES` manifest naming the source batches,
+    * then `_COMMIT`, then source deletes. Readers exclude `_REPLACES`d
+    * batches, so the `_COMMIT` write is the atomic switch; a crash at any
+    * point leaves a readable index equal to pre- or post-compaction.
+    * Re-running with the same `newBatchId` is idempotent: a committed
+    * prior attempt only finishes the source deletes; an uncommitted one
+    * is overwritten. Run exclusively with appends (standard maintenance
+    * window); probes may race (they read one committed generation).
+    * `newBatchId` must be fresh — never reuse it for a later append.
+    */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, newBatchId: String): Unit =
+    compactImpl(spark, dir, newBatchId, deleteSources = true)
+
+  /** `deleteSources = false` stops after `_COMMIT` — the crash window the
+    * spec pins (both generations on disk, readers must see one). */
+  private[graft] def compactImpl(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, newBatchId: String,
+                                 deleteSources: Boolean): Unit = {
+    require(newBatchId.matches("[A-Za-z0-9._-]+"),
+      s"newBatchId '$newBatchId' must be a filesystem-safe name")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val newSub = new org.apache.hadoop.fs.Path(root, newBatchId)
+    if (fs.exists(new org.apache.hadoop.fs.Path(newSub, "_COMMIT"))) {
+      // prior attempt already switched readers over — finish its deletes
+      readReplaces(fs, newSub).foreach { name =>
+        val p = new org.apache.hadoop.fs.Path(root, name)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      return
+    }
+    val subs = committedBatches(spark, dir)
+    require(subs.nonEmpty, s"no committed batches under $dir/batches — " +
+      "nothing to compact")
+    val names = subs.map(new org.apache.hadoop.fs.Path(_).getName)
+    require(!names.contains(newBatchId),
+      s"newBatchId '$newBatchId' collides with a live batch")
+    def targetParts(part: String): Int = {
+      val bytes = subs.map(s => fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$s/$part")).getLength).sum
+      math.max(1, math.ceil(bytes / (128.0 * (1 << 20))).toInt)
+    }
+    spark.read.parquet(subs.map(_ + "/anchors"): _*)
+      .coalesce(targetParts("anchors"))
+      .write.mode("overwrite").parquet(s"$dir/batches/$newBatchId/anchors")
+    spark.read.parquet(subs.map(_ + "/texts"): _*)
+      .coalesce(targetParts("texts"))
+      .write.mode("overwrite").parquet(s"$dir/batches/$newBatchId/texts")
+    val rep = fs.create(
+      new org.apache.hadoop.fs.Path(newSub, "_REPLACES"), true)
+    try rep.write(names.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally rep.close()
+    fs.create(new org.apache.hadoop.fs.Path(newSub, "_COMMIT"), true).close()
+    if (deleteSources)
+      subs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
   }
 
   private def readIndexParams(spark: org.apache.spark.sql.SparkSession,

@@ -266,6 +266,54 @@ class SubstringDedupSpec extends AnyFunSuite {
       "uncommitted batch dir ignored")
   }
 
+  test("span index compaction: probe-invariant, crash-safe, idempotent") {
+    val rng = new Random(47)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val corpus = (0L until 8L).map(i => i -> rand(120 + rng.nextInt(60)))
+    val b1 = Seq(100L -> (rand(20) + corpus(3)._2.substring(5, 85) + rand(20)))
+    val b2 = Seq(110L -> rand(140), 111L -> (rand(10) + b1.head._2.substring(15, 95)))
+    val minLen = 24
+    val dir = java.nio.file.Files.createTempDirectory("spanidxc").toString + "/idx"
+    SubstringDedup.writeSpanIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", dir, minLen, k = 8)
+    SubstringDedup.appendToSpanIndex(b1.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b1")
+    SubstringDedup.appendToSpanIndex(b2.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b2")
+    val probe = Seq(200L -> (rand(15) + corpus(3)._2.substring(5, 85)),
+      201L -> (b2(1)._2.substring(5, 70) + rand(25))).toDF("doc_id", "text")
+    def spans() = SubstringDedup.spansAgainstIndex(probe, "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    val before = spans()
+    assert(before.exists(_._1 == 3L) && before.exists(_._1 == 111L),
+      "probe hits base AND appended docs pre-compaction")
+    def batchNames() = new java.io.File(s"$dir/batches").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // CRASH WINDOW: compacted batch committed, sources NOT yet deleted —
+    // both generations on disk; readers must see exactly one (no double
+    // counting: duplicated texts would double every probe span row)
+    SubstringDedup.compactImpl(spark, dir, "c1", deleteSources = false)
+    assert(batchNames() == Set("base", "b1", "b2", "c1"))
+    assert(spans() == before, "mid-crash index reads as one generation")
+    // retrying the SAME compaction finishes the interrupted deletes
+    SubstringDedup.compactSpanIndex(spark, dir, "c1")
+    assert(batchNames() == Set("c1"), "sources deleted on retry")
+    assert(spans() == before, "compaction is probe-invariant")
+    // the index stays appendable after compaction (params sidecar intact)
+    val b3 = Seq(300L -> (rand(12) + corpus(5)._2.substring(10, 90)))
+    SubstringDedup.appendToSpanIndex(b3.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b3")
+    val probe2 = Seq(400L -> (b3.head._2.substring(8, 80) + rand(30)))
+      .toDF("doc_id", "text")
+    val after = SubstringDedup.spansAgainstIndex(probe2, "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(after.exists(_._1 == 300L), "post-compaction append probed")
+    // second-generation compaction (compacted + new batches)
+    SubstringDedup.compactSpanIndex(spark, dir, "c2")
+    assert(batchNames() == Set("c2"))
+    assert(spans() == before)
+  }
+
   test("supplementary-plane text: offsets are code points (substr-exact)") {
     // 4 astral chars (2 UTF-16 units each) BEFORE the planted span: a
     // UTF-16-based pipeline would report starts off by 4 and the substr

@@ -145,7 +145,8 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
                     featuresCol: String, labelCol: String,
                     cands: Seq[Map[String, Double]],
                     iid: Boolean = false,
-                    extraScorings: Seq[String] = Nil): DpResult = {
+                    extraScorings: Seq[String] = Nil,
+                    jobParallelism: Int = 8): DpResult = {
     require(cands.nonEmpty, "empty candidate list")
     val cvf = DpCvFrame(df.select(
       // keep the array form alongside the vector: Spark ML fits on the
@@ -157,15 +158,20 @@ class DataParallelGridSearch(grid: Map[String, Seq[Double]],
     val nTotal = cvf.nTotal
 
     val allMetrics = scoring +: extraScorings
-    val scoreRows = for {
+    val tasks = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
-    } yield {
-      val model = SparkMLBridge.toLogRegModel(
-        mkEstimator(params, cvf.nTrain(fold)).fit(cvf.train(fold)))
-      val ms = DistributedScore.scoreMany(allMetrics, model, cvf.test(fold),
-        "_xs", "_label")
-      (ci, fold, ms(scoring), cvf.nTest(fold), ms)
+    } yield (params, ci, fold)
+    // the (candidate, fold) fits are independent distributed jobs —
+    // submit them concurrently (see `JobParallel`); order-preserving, so
+    // candidate_id/fold_id keying is identical to the sequential loop
+    val scoreRows = graft.ops.Par.concurrently(tasks, jobParallelism) {
+      case (params, ci, fold) =>
+        val model = SparkMLBridge.toLogRegModel(
+          mkEstimator(params, cvf.nTrain(fold)).fit(cvf.train(fold)))
+        val ms = DistributedScore.scoreMany(allMetrics, model, cvf.test(fold),
+          "_xs", "_label")
+        (ci, fold, ms(scoring), cvf.nTest(fold), ms)
     }
     import spark.implicits._
     val agg = (if (extraScorings.isEmpty) {

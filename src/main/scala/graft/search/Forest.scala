@@ -310,7 +310,8 @@ object OutOfFold {
                  featuresCol: String, labelCol: String,
                  learner: graft.exec.Learner, cv: Int, seed: Long,
                  params: Map[String, Double] = Map.empty,
-                 outCol: String = "oof_proba"): org.apache.spark.sql.DataFrame = {
+                 outCol: String = "oof_proba",
+                 jobParallelism: Int = 8): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(cv >= 2, s"cv must be >= 2, got $cv")
     val spark = df.sparkSession
@@ -322,7 +323,10 @@ object OutOfFold {
         monotonically_increasing_id(), cv, seed))
       .cache()
     prepared.count()
-    val parts = (0 until cv).map { fold =>
+    // the per-fold fits are independent distributed jobs — submit them
+    // concurrently (see `JobParallel`); the lazy predict frames cost
+    // nothing here, the fits inside DataParallelFit are the jobs
+    val parts = graft.ops.Par.concurrently(0 until cv, jobParallelism) { fold =>
       val model = DataParallelFit.fit(learner,
         prepared.filter(col("_fold") =!= fold), featuresCol, labelCol,
         params, seed + fold)

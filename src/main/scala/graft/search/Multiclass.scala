@@ -58,7 +58,8 @@ class DistOneVsRest(learner: Learner,
                     maxNegatives: Option[Double] = None,
                     negMethod: String = "ratio",
                     seed: Long = 42)
-    extends Serializable with BroadcastBudgeted with FitSideConfigured {
+    extends Serializable with BroadcastBudgeted with FitSideConfigured
+    with JobParallel {
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvRModel = {
@@ -91,7 +92,11 @@ class DistOneVsRest(learner: Learner,
     val labeled = df.select(col(featuresCol), col(labelCol).cast("double").as("_y"))
     val classes = labeled.select("_y").distinct()
       .collect().map(_.getDouble(0)).sorted
-    val models: Array[Model] = classes.map { c =>
+    // per-class fits are independent distributed jobs — submit them
+    // concurrently (see `JobParallel`); order-preserving, so the
+    // class->model alignment is identical to the sequential loop
+    val models: Array[Model] =
+      graft.ops.Par.concurrently(classes.toSeq, jobParallelism) { c =>
       val capped = maxNegatives match {
         case Some(v) => graft.plan.Expansions
           .negativesMask(labeled, "_y", c, v, negMethod, seed + c.toLong)
@@ -112,7 +117,7 @@ class DistOneVsRest(learner: Learner,
       // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
       else DataParallelFit.fit(learner, bin, featuresCol, "_y",
         Map.empty, seed + c.toLong)
-    }
+    }.toArray
     OvRModel(classes, models, norm)
   }
 
@@ -210,7 +215,7 @@ class DistMultilabelOvR(learner: Learner,
                         maxNegatives: Option[Double] = None,
                         negMethod: String = "ratio",
                         seed: Long = 42)
-    extends Serializable with BroadcastBudgeted {
+    extends Serializable with BroadcastBudgeted with JobParallel {
 
   /** Auto-routed fit: task-parallel per-class fits against broadcast
     * (x, label-sets) under the budget; one data-parallel binary fit per
@@ -246,7 +251,9 @@ class DistMultilabelOvR(learner: Learner,
       .groupBy("_c").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val classes = posCounts.keys.toArray.sorted // MultiLabelBinarizer order
-    val models: Array[Model] = classes.map { c =>
+    // independent per-class fits -> concurrent job submission (JobParallel)
+    val models: Array[Model] =
+      graft.ops.Par.concurrently(classes.toSeq, jobParallelism) { c =>
       val bin = labeled.withColumn("_y",
         when(array_contains(col("_ls"), c), 1.0).otherwise(0.0))
       val capped = maxNegatives match {
@@ -268,7 +275,7 @@ class DistMultilabelOvR(learner: Learner,
       // ML's unregularized default
       else DataParallelFit.fit(learner, capped, "_x", "_y",
         Map("c" -> 1.0), seed + c.hashCode)
-    }
+    }.toArray
     labeled.unpersist(blocking = false)
     MultilabelOvRModel(classes, models, norm)
   }
@@ -368,19 +375,8 @@ final case class OvOModel(classes: Array[Double],
 }
 
 class DistOneVsOne(learner: Learner, seed: Long = 42)
-    extends Serializable with BroadcastBudgeted with FitSideConfigured {
-
-  private var pairJobParallelism: Int = 8
-
-  /** Concurrent Spark-job submissions for the broadcast-overflow route's
-    * pair axis (default 8; 1 → sequential). Each pair's fit is already
-    * distributed — this overlaps the per-job driver-side phases so k(k-1)/2
-    * pairs don't serialize into k(k-1)/2 idle-cluster gaps.
-    */
-  def withPairJobParallelism(n: Int): this.type = {
-    require(n >= 1, s"pair-job parallelism must be >= 1, got $n")
-    pairJobParallelism = n; this
-  }
+    extends Serializable with BroadcastBudgeted with FitSideConfigured
+    with JobParallel {
 
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvOModel = {
@@ -396,7 +392,7 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
     * rows never reach the driver — and remaps to {0, 1}: the same
     * `_fit_ovo_binary` plan as the broadcast path (`multiclass.py:155-172`)
     * with `DataParallelFit` as the executor. The pair axis submits up to
-    * `pairJobParallelism` concurrent Spark jobs (`Par.concurrently`) —
+    * `jobParallelism` concurrent Spark jobs (`Par.concurrently`) —
     * at 100 classes the 4,950 pair fits would otherwise run strictly one
     * after another, forfeiting the pair-axis parallelism the broadcast
     * regime (and the reference, `multiclass.py:440-459`) has; pair fits
@@ -418,7 +414,7 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
       j <- (i + 1) until classes.length
     } yield (classes(i), classes(j))
     val models: Seq[Model] =
-      graft.ops.Par.concurrently(pairs, pairJobParallelism) { case (a, b) =>
+      graft.ops.Par.concurrently(pairs, jobParallelism) { case (a, b) =>
         val bin = labeled
           .filter(col("_y") === lit(a) || col("_y") === lit(b))
           .withColumn("_y", when(col("_y") === lit(a), 0.0).otherwise(1.0))

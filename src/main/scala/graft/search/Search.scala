@@ -40,6 +40,25 @@ trait BroadcastBudgeted {
   * deliberately NOT covered: its eval truth is a label SET per row,
   * which `FitSideData`'s double-typed labels cannot represent.
   */
+/** Concurrent Spark-job submission width for the data-parallel regime's
+  * INDEPENDENT-fit axes (candidates x folds, classes, class pairs, OOF
+  * folds). Each fit is already distributed; submitting them from
+  * `jobParallelism` driver threads (`Par.concurrently`) overlaps the
+  * per-job driver-side phases and lets the scheduler interleave stages,
+  * instead of serializing N distributed jobs with an idle cluster
+  * between them. Fits are seed-isolated and independent, so concurrency
+  * changes wall clock only, never models (spec-pinned on the OvO
+  * surface). One definition so the width policy can't drift between the
+  * search, multiclass, and forest surfaces.
+  */
+trait JobParallel {
+  protected var jobParallelism: Int = 8
+  def withJobParallelism(n: Int): this.type = {
+    require(n >= 1, s"job parallelism must be >= 1, got $n")
+    jobParallelism = n; this
+  }
+}
+
 trait FitSideConfigured {
   protected var fitSide: graft.exec.FitSideData = graft.exec.FitSideData.empty
   def withFitSideData(side: graft.exec.FitSideData): this.type = {
@@ -61,7 +80,8 @@ class DistGridSearchCV(learner: Learner,
                        iid: Boolean = false,
                        seed: Long = 42,
                        errorScore: Option[Double] = None)
-    extends Serializable with BroadcastBudgeted with FitSideConfigured {
+    extends Serializable with BroadcastBudgeted with FitSideConfigured
+    with JobParallel {
 
   /** Secondary metrics (reference scorer-dict): each task still fits once;
     * cv_results grows mean_test_<m>/std_test_<m> columns per metric while
@@ -136,7 +156,8 @@ class DistGridSearchCV(learner: Learner,
     }
     val dp = new DataParallelGridSearch(Map.empty, cv, scoring, seed)
       .fitCandidates(spark, df, featuresCol, labelCol, translated,
-        iid = iid, extraScorings = extraScorings)
+        iid = iid, extraScorings = extraScorings,
+        jobParallelism = jobParallelism)
     val cvResults = dp.cvResults
       .join(broadcast(paramsFrame(spark, cands)), "candidate_id")
       .orderBy("candidate_id")
@@ -176,14 +197,16 @@ class DistGridSearchCV(learner: Learner,
     // same multi-metric contract as the logistic DP route and the
     // broadcast fan-out: one fit, every metric, rank on the primary
     val allMetrics = scoring +: extraScorings
-    val scoreRows = for {
+    val tasks = for {
       (params, ci) <- cands.zipWithIndex
       fold <- 0 until cv
-    } yield {
-      val model = fitOne(cvf.train(fold), params)
-      val ms = DistributedScore.scoreMany(allMetrics, model, cvf.test(fold),
-        "_x", "_y")
-      (ci, fold, ms(scoring), cvf.nTest(fold), ms)
+    } yield (params, ci, fold)
+    val scoreRows = graft.ops.Par.concurrently(tasks, jobParallelism) {
+      case (params, ci, fold) =>
+        val model = fitOne(cvf.train(fold), params)
+        val ms = DistributedScore.scoreMany(allMetrics, model, cvf.test(fold),
+          "_x", "_y")
+        (ci, fold, ms(scoring), cvf.nTest(fold), ms)
     }
     import spark.implicits._
     val agg = (if (extraScorings.isEmpty) {
@@ -315,7 +338,7 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
                            cv: Int = 5,
                            scoring: String = "accuracy",
                            seed: Long = 42)
-    extends Serializable with BroadcastBudgeted {
+    extends Serializable with BroadcastBudgeted with JobParallel {
   require(models.map(_._1).distinct.size == models.size,
     s"model names must be unique (they key the cv_results rows): " +
       models.map(_._1).mkString(", "))
@@ -387,16 +410,18 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
     // and candidate pi of model B would draw identical subsampling /
     // random-split streams (correlated scores across entrants).
     val seedOffsets = perModel.scanLeft(0)(_ + _._3.size * cv).init
-    val scoreRows = for {
+    val tasks = for {
       ((name, learner, cands), off) <- perModel.zip(seedOffsets)
       (params, pi) <- cands.zipWithIndex
       fold <- 0 until cv
-    } yield {
-      val model = DataParallelFit.fit(learner, cvf.train(fold), "_x", "_y",
-        params, seed + off + pi * cv + fold, nRows = cvf.nTrain(fold))
-      (name, pi, fold,
-        DistributedScore(scoring, model, cvf.test(fold), "_x", "_y"),
-        cvf.nTest(fold))
+    } yield (name, learner, params, pi, fold, off)
+    val scoreRows = graft.ops.Par.concurrently(tasks, jobParallelism) {
+      case (name, learner, params, pi, fold, off) =>
+        val model = DataParallelFit.fit(learner, cvf.train(fold), "_x", "_y",
+          params, seed + off + pi * cv + fold, nRows = cvf.nTrain(fold))
+        (name, pi, fold,
+          DistributedScore(scoring, model, cvf.test(fold), "_x", "_y"),
+          cvf.nTest(fold))
     }
     import spark.implicits._
     val scores = scoreRows

@@ -600,7 +600,7 @@ class SearchExtrasSpec extends AnyFunSuite {
     // sequential run (parallelism 1) must produce IDENTICAL models:
     // pair fits are independent, concurrency may change only wall clock
     val seqFit = new DistOneVsOne(graft.exec.LogisticRegressionLBFGS)
-      .withBroadcastBudget(1L).withPairJobParallelism(1)
+      .withBroadcastBudget(1L).withJobParallelism(1)
       .fit(spark, df, "features", "label")
     assert(seqFit.pairs.toSeq == dp.pairs.toSeq)
     x.indices.foreach { i =>

@@ -45,7 +45,7 @@ object GBT {
                             trees: Array[Array[CART.TreeModel]],
                             lr: Double, nClasses: Int) extends Model {
 
-    private def rawScores(x: Array[Double]): Array[Double] = {
+    private[graft] def rawScores(x: Array[Double]): Array[Double] = {
       val out = prior.clone()
       var m = 0
       while (m < trees.length) {
@@ -97,7 +97,7 @@ object GBT {
       if (m >= trees.length) this else copy(trees = trees.take(m))
   }
 
-  private def mixSeed(seed: Long, stage: Int, cls: Int): Long = {
+  private[graft] def mixSeed(seed: Long, stage: Int, cls: Int): Long = {
     var z = seed ^ ((stage.toLong * 131 + cls + 1) * 0x9E3779B97F4A7C15L)
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -149,6 +149,74 @@ object GBT {
       w
     }
 
+  /** Driver-side early-stopping monitor SHARED by the broadcast and
+    * data-parallel boosting loops: incremental held-out scores (eval rows
+    * carry their own running F — no O(stages² x |eval|) rewalk), loss per
+    * round, patience, and the best-stage bookmark for the exact rewind.
+    * The eval slice lives in driver arrays (`FitSideData`) in BOTH
+    * regimes, so early-stopping decisions are regime-identical up to the
+    * regimes' floating-point summation order.
+    */
+  private[graft] final class EvalMonitor(side: FitSideData,
+                                         prior: Array[Double],
+                                         k: Int, lr: Double) {
+    val active: Boolean = side != null && side.hasEarlyStopping
+    private val evalF: Array[Array[Double]] =
+      if (active) Array.fill(side.evalX.length)(prior.clone()) else null
+    // the 0-stage prior IS a genuine candidate (unlike the linear
+    // solvers' zero init): xgboost semantics, best_iteration may be 0
+    private var bestLoss: Double = if (active) loss() else 0.0
+    private var rounds = 0
+    var bestStages: Int = 0
+
+    private def loss(): Double = {
+      var s = 0.0; var i = 0
+      while (i < evalF.length) {
+        val f = evalF(i)
+        if (k == 0) { val e = f(0) - side.evalY(i); s += e * e }
+        else if (k == 2) {
+          val p1 = 1.0 / (1.0 + math.exp(-f(0)))
+          val p = if (side.evalY(i) == 1.0) p1 else 1.0 - p1
+          s -= math.log(math.max(1e-15, p))
+        } else {
+          var mx = f(0); var c = 1
+          while (c < k) { if (f(c) > mx) mx = f(c); c += 1 }
+          var tot = 0.0
+          c = 0
+          while (c < k) { tot += math.exp(f(c) - mx); c += 1 }
+          val yi = side.evalY(i).toInt
+          val p = if (yi >= 0 && yi < k) math.exp(f(yi) - mx) / tot else 1e-15
+          s -= math.log(math.max(1e-15, p))
+        }
+        i += 1
+      }
+      s / math.max(1, evalF.length)
+    }
+
+    /** Update after the `nStagesSoFar`-th stage (1-based); true →
+      * patience exhausted, stop boosting.
+      */
+    def afterStage(stage: Array[CART.TreeModel], nStagesSoFar: Int): Boolean = {
+      if (!active) return false
+      var j = 0
+      while (j < evalF.length) {
+        var c = 0
+        while (c < stage.length) {
+          evalF(j)(c) += lr * stage(c).predict(side.evalX(j)); c += 1
+        }
+        j += 1
+      }
+      val el = loss()
+      if (side.history != null) side.history += el
+      if (el < bestLoss - side.minDelta) {
+        bestLoss = el; bestStages = nStagesSoFar; rounds = 0; false
+      } else {
+        rounds += 1
+        rounds >= side.earlyStoppingRounds
+      }
+    }
+  }
+
   /** Shared boosting loop. `k == 0` → regression. */
   private[exec] def boost(X: Array[Array[Double]], y: Array[Double],
                           params: Map[String, Double], seed: Long,
@@ -182,42 +250,9 @@ object GBT {
     val F = Array.fill(n)(prior.clone())
     val stages = scala.collection.mutable.ArrayBuffer.empty[Array[CART.TreeModel]]
 
-    val es = side != null && side.hasEarlyStopping
-    // incremental eval scores: walking every stage per round would be
-    // O(stages^2 x |eval|); instead eval rows carry their own running F
-    val evalF: Array[Array[Double]] =
-      if (es) Array.fill(side.evalX.length)(prior.clone()) else null
-    def evalLoss(): Double = {
-      var s = 0.0; var i = 0
-      while (i < evalF.length) {
-        val f = evalF(i)
-        if (k == 0) { val e = f(0) - side.evalY(i); s += e * e }
-        else if (k == 2) {
-          val p1 = 1.0 / (1.0 + math.exp(-f(0)))
-          val p = if (side.evalY(i) == 1.0) p1 else 1.0 - p1
-          s -= math.log(math.max(1e-15, p))
-        } else {
-          var mx = f(0); var c = 1
-          while (c < k) { if (f(c) > mx) mx = f(c); c += 1 }
-          var tot = 0.0
-          c = 0
-          while (c < k) { tot += math.exp(f(c) - mx); c += 1 }
-          val yi = side.evalY(i).toInt
-          val p = if (yi >= 0 && yi < k) math.exp(f(yi) - mx) / tot else 1e-15
-          s -= math.log(math.max(1e-15, p))
-        }
-        i += 1
-      }
-      s / math.max(1, evalF.length)
-    }
-
     def snapshot(): GBTModel = GBTModel(prior, stages.toArray, lr, k)
 
-    // the 0-stage prior IS a genuine candidate here (unlike the linear
-    // solvers' zero init): xgboost semantics, best_iteration may be 0
-    var bestLoss = if (es) evalLoss() else 0.0
-    var bestStages = 0
-    var rounds = 0
+    val monitor = new EvalMonitor(side, prior, k, lr)
     var m = 0
     var stop = false
     while (m < nStages && !stop) {
@@ -270,27 +305,10 @@ object GBT {
       }
       stages += stage
       m += 1
-      if (es) {
-        var j = 0
-        while (j < evalF.length) {
-          var c = 0
-          while (c < nScores) {
-            evalF(j)(c) += lr * stage(c).predict(side.evalX(j)); c += 1
-          }
-          j += 1
-        }
-        val el = evalLoss()
-        if (side.history != null) side.history += el
-        if (el < bestLoss - side.minDelta) {
-          bestLoss = el; bestStages = stages.length; rounds = 0
-        } else {
-          rounds += 1
-          if (rounds >= side.earlyStoppingRounds) stop = true // patience out
-        }
-      }
+      stop = monitor.afterStage(stage, stages.length) // patience out
     }
     val full = snapshot()
-    if (es) full.truncate(bestStages) else full
+    if (monitor.active) full.truncate(monitor.bestStages) else full
   }
 
   object Classifier extends Learner {

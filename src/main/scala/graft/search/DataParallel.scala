@@ -346,8 +346,16 @@ object DataParallelFit {
           seed, nClasses = math.max(0, c.nClassesHint))
       case CART.Regressor =>
         DataParallelCART.fitRegressor(data, featuresCol, labelCol, params, seed)
+      case graft.exec.GBT.Classifier =>
+        // class inventory from the data, like the broadcast fit's
+        // y.max + 1 (one tiny agg job per fit)
+        val k = math.max(2, data.agg(max(col(labelCol).cast("double")))
+          .head().getDouble(0).toInt + 1)
+        DataParallelGBT.fit(data, featuresCol, labelCol, params, seed, k)
+      case graft.exec.GBT.Regressor =>
+        DataParallelGBT.fit(data, featuresCol, labelCol, params, seed, 0)
       case other => throw new IllegalArgumentException(
-        s"the data-parallel regime supports the logistic and CART " +
+        s"the data-parallel regime supports the logistic, CART, and GBT " +
           s"learners, not $other")
     }
   }

@@ -47,6 +47,17 @@ class DistFeatureEliminator(learner: Learner,
       (0 until d).map(j => lr.weights.map(w => math.abs(w(j))).sum).toArray
     case t: CART.TreeModel => t.featureImportances(d)
     case f: ForestModel    => f.featureImportances(d)
+    case g: graft.exec.GBT.GBTModel =>
+      // gain-importance summed over every stage tree (all trees of one
+      // stage share the lr scale, so the sum ranks like xgboost's
+      // total_gain)
+      val acc = new Array[Double](d)
+      g.trees.foreach(_.foreach { t =>
+        val fi = t.featureImportances(d)
+        var j = 0
+        while (j < d) { acc(j) += fi(j); j += 1 }
+      })
+      acc
     case _                 => Array.fill(d)(1.0)
   }
 

@@ -82,11 +82,11 @@ class DistOneVsRest(learner: Learner,
                               featuresCol: String, labelCol: String): OvRModel = {
     learner match {
       case graft.exec.LogisticRegressionGD | graft.exec.LogisticRegressionLBFGS |
-           _: graft.exec.CART.Classifier => ()
+           _: graft.exec.CART.Classifier | graft.exec.GBT.Classifier => ()
       case other => throw new IllegalArgumentException(
-        s"data-parallel auto-route supports the logistic and CART learners, " +
-          s"not $other; for tree ensembles over broadcast-overflow data use " +
-          "DataParallelForest")
+        s"data-parallel auto-route supports the logistic, CART, and GBT " +
+          s"learners, not $other; for bagged tree ensembles over " +
+          "broadcast-overflow data use DataParallelForest")
     }
     import org.apache.spark.sql.functions.{col, lit, when, min, max}
     val labeled = df.select(col(featuresCol), col(labelCol).cast("double").as("_y"))

@@ -141,11 +141,16 @@ class DistGridSearchCV(learner: Learner,
       case graft.exec.CART.Regressor =>
         return fitDataParallelTree(spark, df, featuresCol, labelCol,
           nClasses = 0, classification = false)
+      case graft.exec.GBT.Classifier =>
+        return fitDataParallelTree(spark, df, featuresCol, labelCol,
+          nClasses = 0, classification = true)
+      case graft.exec.GBT.Regressor =>
+        return fitDataParallelTree(spark, df, featuresCol, labelCol,
+          nClasses = 0, classification = false)
       case other => throw new IllegalArgumentException(
-        s"data-parallel auto-route supports the logistic and CART learners, " +
-          s"not $other; for tree ensembles over broadcast-overflow data use " +
-          "DataParallelForest (boosted trees are broadcast-only: stages are " +
-          "sequential by construction — raise withBroadcastBudget or sample)")
+        s"data-parallel auto-route supports the logistic, CART, and GBT " +
+          s"learners, not $other; for bagged tree ensembles over " +
+          "broadcast-overflow data use DataParallelForest")
     }
     val cands = candidates()
     require(cands.nonEmpty, "empty parameter grid")
@@ -190,9 +195,18 @@ class DistGridSearchCV(learner: Learner,
       else cvf.prepared.agg(max(col("_y"))).head().getDouble(0).toInt + 1
 
     def fitOne(train: DataFrame, params: Map[String, Double]): Model =
-      if (classification)
-        DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
-      else DataParallelCART.fitRegressor(train, "_x", "_y", params, seed)
+      learner match {
+        // GBT honors FitSideData here too: the eval slice is driver-
+        // resident, so the DP regime early-stops exactly like broadcast
+        case graft.exec.GBT.Classifier =>
+          DataParallelGBT.fit(train, "_x", "_y", params, seed, k, fitSide)
+        case graft.exec.GBT.Regressor =>
+          DataParallelGBT.fit(train, "_x", "_y", params, seed, 0, fitSide)
+        case _ if classification =>
+          DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
+        case _ =>
+          DataParallelCART.fitRegressor(train, "_x", "_y", params, seed)
+      }
 
     // same multi-metric contract as the logistic DP route and the
     // broadcast fan-out: one fit, every metric, rank on the primary
@@ -381,11 +395,12 @@ class DistMultiModelSearch(models: Seq[(String, Learner, Map[String, Seq[Double]
       learner match {
         case graft.exec.LogisticRegressionGD |
              graft.exec.LogisticRegressionLBFGS |
-             _: graft.exec.CART.Classifier | graft.exec.CART.Regressor => ()
+             _: graft.exec.CART.Classifier | graft.exec.CART.Regressor |
+             graft.exec.GBT.Classifier | graft.exec.GBT.Regressor => ()
         case other => throw new IllegalArgumentException(
           s"model '$name': the data-parallel auto-route supports the " +
-            s"logistic and CART learners, not $other; shrink the data or " +
-            "raise withBroadcastBudget")
+            s"logistic, CART, and GBT learners, not $other; shrink the " +
+            "data or raise withBroadcastBudget")
       }
     }
     // DpCvFrame hashes folds, not labels; the broadcast route stratifies

@@ -131,7 +131,7 @@ class GBTSpec extends AnyFunSuite {
     assert(evalNll <= FitSideData.evalNll(full, ex, ey) + 1e-9)
   }
 
-  test("search-stack integration: grid search + fit_params; DP route is loud") {
+  test("search-stack integration: grid search + fit_params, both regimes") {
     val (x, y) = blobs(2, 120)
     val matrix = TrainMatrix(x, y, ModelParallel.stratifiedFolds(y, 3, 7))
     val (ex, ey) = blobs(2, 80, seed = 9)
@@ -142,17 +142,18 @@ class GBTSpec extends AnyFunSuite {
       .fitMatrix(spark, matrix)
     assert(r.bestScore > 0.95, s"GBT grid search, got ${r.bestScore}")
     assert(Metrics.accuracy(r.bestModel, ex, ey) > 0.95)
-    // broadcast-overflow: boosted trees have no DP route — the error
-    // must say so loudly instead of collecting over budget
+    // broadcast-overflow: boosted trees route through DataParallelGBT
+    // (stage trees via histogram CART) — same search surface, same
+    // fit_params early stopping, a usable model out
     import spark.implicits._
     val df = x.zip(y).toSeq.map { case (v, l) => (v.toSeq, l) }
       .toDF("features", "label")
-    val ex2 = intercept[IllegalArgumentException] {
-      new DistGridSearchCV(GBT.Classifier,
-        Map("n_estimators" -> Seq(5.0)), cv = 3)
-        .withBroadcastBudget(1L)
-        .fit(spark, df, "features", "label")
-    }
-    assert(ex2.getMessage.contains("broadcast-only"))
+    val dp = new DistGridSearchCV(GBT.Classifier,
+      Map("n_estimators" -> Seq(40.0), "learning_rate" -> Seq(0.3)), cv = 3)
+      .withBroadcastBudget(1L)
+      .withFitSideData(FitSideData(ex, ey, earlyStoppingRounds = 3))
+      .fit(spark, df, "features", "label")
+    assert(dp.bestScore > 0.95, s"DP GBT grid search, got ${dp.bestScore}")
+    assert(Metrics.accuracy(dp.bestModel, ex, ey) > 0.95)
   }
 }

@@ -184,6 +184,14 @@ object SubstringDedup {
                         dir: String, batchId: String): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+") && batchId != "base",
       s"batchId '$batchId' must be a filesystem-safe name (not 'base')")
+    // a name listed in a live _REPLACES manifest is permanently excluded
+    // by readers — re-appending under it would write data no probe ever
+    // sees (silently passing contamination checks on contaminated docs)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    require(!replacedNames(fs, root).contains(batchId),
+      s"batchId '$batchId' was consumed by a prior compaction and is " +
+        "reader-invisible forever — use a fresh id")
     val (minLen, k, cap) = readIndexParams(df.sparkSession, dir)
     writeBatch(df, textCol, idCol, dir, batchId, minLen, k, cap)
   }
@@ -228,6 +236,14 @@ object SubstringDedup {
     }
   }
 
+  /** Every batch name consumed by a live compaction manifest. */
+  private def replacedNames(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .flatMap(p => readReplaces(fs, p)).toSet
+
   private def readReplaces(fs: org.apache.hadoop.fs.FileSystem,
                            batchDir: org.apache.hadoop.fs.Path): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(batchDir, "_REPLACES")
@@ -259,8 +275,11 @@ object SubstringDedup {
     * point leaves a readable index equal to pre- or post-compaction.
     * Re-running with the same `newBatchId` is idempotent: a committed
     * prior attempt only finishes the source deletes; an uncommitted one
-    * is overwritten. Run exclusively with appends (standard maintenance
-    * window); probes may race (they read one committed generation).
+    * is overwritten. Run in a maintenance window, exclusive with appends
+    * AND probes: the crash guarantee covers a compaction that DIES (the
+    * index reads as exactly one generation afterwards), not a probe
+    * racing the source deletes — a probe that listed batches pre-commit
+    * holds lazy scans over paths the deletes then remove.
     * `newBatchId` must be fresh — never reuse it for a later append.
     */
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
@@ -278,8 +297,16 @@ object SubstringDedup {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val newSub = new org.apache.hadoop.fs.Path(root, newBatchId)
     if (fs.exists(new org.apache.hadoop.fs.Path(newSub, "_COMMIT"))) {
-      // prior attempt already switched readers over — finish its deletes
-      readReplaces(fs, newSub).foreach { name =>
+      // a committed batch of this name is only a PRIOR COMPACTION ATTEMPT
+      // if it carries a _REPLACES manifest — then finish its deletes. A
+      // plain committed batch of the same name is an id collision: a
+      // silent early return would leave the operator believing the index
+      // was compacted.
+      val replaces = readReplaces(fs, newSub)
+      require(replaces.nonEmpty,
+        s"newBatchId '$newBatchId' collides with a live append batch — " +
+          "pick a fresh id")
+      replaces.foreach { name =>
         val p = new org.apache.hadoop.fs.Path(root, name)
         if (fs.exists(p)) fs.delete(p, true)
       }
@@ -289,8 +316,6 @@ object SubstringDedup {
     require(subs.nonEmpty, s"no committed batches under $dir/batches — " +
       "nothing to compact")
     val names = subs.map(new org.apache.hadoop.fs.Path(_).getName)
-    require(!names.contains(newBatchId),
-      s"newBatchId '$newBatchId' collides with a live batch")
     def targetParts(part: String): Int = {
       val bytes = subs.map(s => fs.getContentSummary(
         new org.apache.hadoop.fs.Path(s"$s/$part")).getLength).sum

@@ -145,9 +145,19 @@ object GBT {
         if (rng.nextDouble() < frac) { w(i) = 1.0; any = true }
         i += 1
       }
-      if (!any) { w(seed.toInt.abs % n) = 1.0 } // never an empty stage
+      // never an empty stage (floorMod: .abs % n goes negative at
+      // Int.MinValue)
+      if (!any) { w(java.lang.Math.floorMod(seed.toInt, n)) = 1.0 }
       w
     }
+
+  /** Seed stream for the per-stage subsample weights — mixed off a
+    * DISTINCT base so it can never collide with any class tree's
+    * `mixSeed(seed, m, c)` stream (an affine cls offset like 17 collides
+    * with class 17). Shared verbatim by the data-parallel regime.
+    */
+  private[graft] def weightSeed(seed: Long, stage: Int): Long =
+    mixSeed(seed ^ 0x5DEECE66DL, stage, 0)
 
   /** Driver-side early-stopping monitor SHARED by the broadcast and
     * data-parallel boosting loops: incremental held-out scores (eval rows
@@ -256,7 +266,7 @@ object GBT {
     var m = 0
     var stop = false
     while (m < nStages && !stop) {
-      val w = subsampleWeights(n, subsample, mixSeed(seed, m, 17))
+      val w = subsampleWeights(n, subsample, weightSeed(seed, m))
       val stage = new Array[CART.TreeModel](nScores)
       if (k == 0) {
         val r = Array.tabulate(n)(i => y(i) - F(i)(0))

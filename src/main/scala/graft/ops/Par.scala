@@ -34,8 +34,11 @@ object Par {
     * phases (planning, stat collection, model assembly); submitting from
     * `parallelism` threads overlaps them (Spark's scheduler interleaves
     * concurrent jobs at stage granularity under FIFO, fully under FAIR).
-    * Failures propagate: the first thrown exception rethrows here after
-    * the pool drains. NOT for executor-side code — this is a driver
+    * Fails FAST: the first thrown exception rethrows here immediately;
+    * queued tasks are cancelled (`shutdownNow`), but tasks already
+    * mid-flight finish in the background — their Spark jobs were
+    * submitted and Spark does not unwind a running job on driver-thread
+    * interrupt. NOT for executor-side code — this is a driver
     * orchestration helper.
     */
   def concurrently[T, R](items: Seq[T], parallelism: Int)(f: T => R): Seq[R] = {
@@ -44,14 +47,19 @@ object Par {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, items.length))
+      var failed = false
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutor(pool)
-        Await.result(Future.sequence(items.map(t => Future(f(t)))),
+        try Await.result(Future.sequence(items.map(t => Future(f(t)))),
           Duration.Inf)
-      } finally pool.shutdown()
+        catch { case e: Throwable => failed = true; throw e }
+      } finally {
+        if (failed) pool.shutdownNow() else pool.shutdown()
+        ()
+      }
     }
   }
 

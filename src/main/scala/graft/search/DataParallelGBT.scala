@@ -167,11 +167,11 @@ object DataParallelGBT {
 
   /** Seeded per-row Bernoulli(subsample) as a 0/1 weight expression —
     * deterministic off the frozen `_rid` across the fit/refit passes of
-    * one stage, freshly seeded per stage (`mixSeed(seed, m, 17)`, the
-    * broadcast loop's own stage-weight stream id).
+    * one stage, freshly seeded per stage (`GBT.weightSeed`, the
+    * broadcast loop's own stage-weight stream).
     */
   private def weightExpr(subsample: Double, seed: Long, m: Int) =
-    when(pmod(xxhash64(col("_rid"), lit(GBT.mixSeed(seed, m, 17))),
+    when(pmod(xxhash64(col("_rid"), lit(GBT.weightSeed(seed, m))),
         lit(1000000L)) < lit((subsample * 1000000L).toLong), 1.0)
       .otherwise(0.0)
 

@@ -197,11 +197,18 @@ class DistGridSearchCV(learner: Learner,
     def fitOne(train: DataFrame, params: Map[String, Double]): Model =
       learner match {
         // GBT honors FitSideData here too: the eval slice is driver-
-        // resident, so the DP regime early-stops exactly like broadcast
+        // resident, so the DP regime early-stops exactly like broadcast.
+        // History stays off in the search fan-out: concurrent (candidate,
+        // fold) fits appending to ONE driver buffer would interleave (and
+        // race) — same visibility the broadcast regime's executor-side
+        // fits give it. max(2, k): single-class folds fit a constant-ish
+        // binary like the broadcast path's y.max clamp, not a crash.
         case graft.exec.GBT.Classifier =>
-          DataParallelGBT.fit(train, "_x", "_y", params, seed, k, fitSide)
+          DataParallelGBT.fit(train, "_x", "_y", params, seed,
+            math.max(2, k), fitSide.copy(history = null))
         case graft.exec.GBT.Regressor =>
-          DataParallelGBT.fit(train, "_x", "_y", params, seed, 0, fitSide)
+          DataParallelGBT.fit(train, "_x", "_y", params, seed, 0,
+            fitSide.copy(history = null))
         case _ if classification =>
           DataParallelCART.fitClassifier(train, "_x", "_y", params, seed, k)
         case _ =>

@@ -22,15 +22,15 @@ object Streams {
     * bench suite is re-written in place under the same path.
     */
   private val sidecarCache = scala.collection.mutable.HashMap.empty[
-    Any, org.apache.spark.broadcast.Broadcast[
-      (Map[Long, List[(Int, Int)]], Array[Array[Int]])]]
+    Any, (org.apache.spark.broadcast.Broadcast[
+      (Map[Long, List[(Int, Int)]], Array[Array[Int]])], Long)]
 
   /** Drop (and unpersist) every memoized contamination sidecar. Safe
     * only when no returned frame is still being executed — unpersist
     * (not destroy) so a straggling query can refetch.
     */
   def clearSidecarCache(): Unit = sidecarCache.synchronized {
-    sidecarCache.values.foreach(_.unpersist(blocking = false))
+    sidecarCache.values.foreach(_._1.unpersist(blocking = false))
     sidecarCache.clear()
   }
 
@@ -182,17 +182,19 @@ object Streams {
     // re-written source under the same path needs clearSidecarCache().
     val cacheKey = (spark.sparkContext, bench.queryExecution.analyzed.canonicalized,
       idCol, textCol, minLen, k)
-    val sidecar = sidecarCache.synchronized {
+    val (sidecar, sidecarBytes) = sidecarCache.synchronized {
       sidecarCache.getOrElseUpdate(cacheKey, {
         val benchRows = bench
           .select(col(idCol).cast("long"), col(textCol))
           .filter(length(col(textCol)) >= minLen).collect()
         val benchBytes = benchRows.iterator
           .map(r => 16L + 2L * r.getString(1).length).sum
+        // refuse BEFORE broadcasting (a failed require caches nothing);
+        // the post-memo require below re-checks on cache hits
         require(benchBytes <= maxBenchBytes,
           s"benchmark side is ~$benchBytes bytes (> $maxBenchBytes): " +
-            "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
-            "eval sets here, not a corpus (or raise maxBenchBytes)")
+            "contaminationFilter broadcasts the WHOLE bench suite — pass " +
+            "the eval sets here, not a corpus (or raise maxBenchBytes)")
         // bench texts are PRE-DECODED to code-point arrays once — the
         // per-row probe must not re-decode a static text per incoming doc
         val texts = benchRows.map(_.getString(1).codePoints().toArray)
@@ -207,9 +209,17 @@ object Streams {
           }
           b += 1
         }
-        spark.sparkContext.broadcast((byHash.toMap, texts))
+        (spark.sparkContext.broadcast((byHash.toMap, texts)), benchBytes)
       })
     }
+    // the size guard binds on cache HITS too: the memo key omits
+    // maxBenchBytes on purpose (one sidecar per suite), so a caller with
+    // a stricter cap must still be refused, not silently handed the big
+    // broadcast a laxer caller built
+    require(sidecarBytes <= maxBenchBytes,
+      s"benchmark side is ~$sidecarBytes bytes (> $maxBenchBytes): " +
+        "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
+        "eval sets here, not a corpus (or raise maxBenchBytes)")
     val kk = k; val ml = minLen; val ww = w
     val probe = udf((text: String) => {
       val (bh, bt) = sidecar.value

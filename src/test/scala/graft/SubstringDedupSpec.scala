@@ -312,6 +312,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     SubstringDedup.compactSpanIndex(spark, dir, "c2")
     assert(batchNames() == Set("c2"))
     assert(spans() == before)
+    // a batch name in a LIVE compaction manifest (c2 lists c1, b3) is
+    // reader-invisible — re-appending under it must refuse, not silently
+    // hide data; names only DELETED manifests knew (b1) are free again
+    val exApp = intercept[IllegalArgumentException] {
+      SubstringDedup.appendToSpanIndex(b3.toDF("doc_id", "text"),
+        "text", "doc_id", dir, batchId = "b3")
+    }
+    assert(exApp.getMessage.contains("consumed"))
+    // compacting INTO a live append batch's name is an id collision, not
+    // a silent no-op
+    SubstringDedup.appendToSpanIndex(b3.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b4")
+    val exCol = intercept[IllegalArgumentException] {
+      SubstringDedup.compactSpanIndex(spark, dir, "b4")
+    }
+    assert(exCol.getMessage.contains("collides"))
   }
 
   test("supplementary-plane text: offsets are code points (substr-exact)") {

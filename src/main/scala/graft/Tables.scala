@@ -11,18 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reach the scan.
   */
 object Tables {
-  /** Timestamp columns per table. lineitem/orders store TIMESTAMP(MILLIS)
-    * which Spark reads natively (timestamp_ntz). events.ts stores
-    * TIMESTAMP(NANOS), which Spark rejects outright — we read nanos as
-    * long (legacy conf) and rebuild a timestamp with integer division (a
-    * double division would lose precision above 2^53 ns ≈ 1970+104 days).
-    * Filters on the rebuilt column would lose parquet pushdown; the
-    * graft.plans.PushTimestampNanosFilters optimizer rule restores it.
+  /** Timestamp columns per table. lineitem/orders store TIMESTAMP(MILLIS/
+    * MICROS) which Spark reads natively (timestamp_ntz). events.ts has
+    * shipped in two layouts across testdata generations:
+    *  - TIMESTAMP(NANOS), which Spark rejects outright — read nanos as
+    *    long (legacy conf) and rebuild a timestamp with integer division
+    *    (a double division would lose precision above 2^53 ns);
+    *  - TIMESTAMP(MICROS) no-tz, which Spark reads as timestamp_ntz —
+    *    normalized to TimestampType (sessions pin UTC, so the cast is
+    *    value-identical) because every downstream consumer (epoch-second
+    *    casts, streaming watermark twins) was built on TimestampType.
+    * Filters on the rebuilt/normalized column would lose parquet pushdown;
+    * the graft.plans.PushTimestampNanosFilters optimizer rule restores it
+    * for both layouts.
     */
-  private val tsCols: Map[String, Seq[String]] = Map(
-    "orders"   -> Seq("o_orderdate"),
-    "lineitem" -> Seq("l_shipdate"),
-    "events"   -> Seq("ts"))
+  private val normalizeTs: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"))
 
   /** Table-handle cache (the engine's catalog): `spark.read.parquet`
     * re-lists files and re-reads footers on every call, which a session
@@ -52,6 +56,17 @@ object Tables {
     df.withColumn(c,
       org.apache.spark.sql.functions.expr(s"timestamp_micros(`$c` DIV 1000)"))
 
+  /** Normalize a natively-read timestamp_ntz column to TimestampType.
+    * Sessions pin `spark.sql.session.timeZone=UTC` (tools.Sessions), so
+    * the cast re-tags the same micros value — no instant shifts. The ONE
+    * definition of the micros normalization, shared by this batch loader
+    * and `streaming.Streams.readEventsRaw`.
+    */
+  def ntzToTimestamp(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c,
+      org.apache.spark.sql.functions.col(c)
+        .cast(org.apache.spark.sql.types.TimestampType))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // lazy sweep: entries of stopped sessions are unusable garbage that
     // would otherwise pin the session object for the JVM's lifetime
@@ -59,10 +74,12 @@ object Tables {
     handles.getOrElseUpdate((spark, dir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      tsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      normalizeTs.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
         acc.schema.find(_.name == c) match {
           case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
             rebuildNanosTs(acc, c)
+          case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+            ntzToTimestamp(acc, c)
           case _ => acc
         }
       }

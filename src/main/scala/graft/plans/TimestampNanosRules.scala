@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Restores parquet filter pushdown through the nanos→timestamp rebuild.
   *
@@ -57,7 +57,37 @@ object PushTimestampNanosFilters extends Rule[LogicalPlan] {
 
   private def nanos(micros: Long): Long = Math.multiplyExact(micros, 1000L)
 
+  /** Matches the micros-layout normalization `cast(c as timestamp)` over a
+    * timestamp_ntz scan column (Tables.ntzToTimestamp), when the cast's
+    * effective zone is UTC — there the cast re-tags the same micros value,
+    * so `cast(c) cmp TS ⟺ c cmp TS_ntz` exactly, and the rewritten
+    * predicate references the raw ntz column the parquet scan can prune on.
+    */
+  private object NtzRetag {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(child, TimestampType, _, _)
+        if child.dataType == TimestampNTZType && c.timeZoneId.exists(z =>
+          z == "UTC" || z == "Etc/UTC" || z == "GMT" || z == "Z" || z == "+00:00") =>
+        Some(child)
+      case _ => None
+    }
+  }
+
+  private def ntzLit(micros: Long): Literal = Literal(micros, TimestampNTZType)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // micros-layout retag unwrap: exact re-tag, so the comparison carries
+    // over literally (both orientations, all five comparators)
+    case GreaterThanOrEqual(NtzRetag(c), TsLit(t)) => GreaterThanOrEqual(c, ntzLit(t))
+    case GreaterThan(NtzRetag(c), TsLit(t))        => GreaterThan(c, ntzLit(t))
+    case LessThan(NtzRetag(c), TsLit(t))           => LessThan(c, ntzLit(t))
+    case LessThanOrEqual(NtzRetag(c), TsLit(t))    => LessThanOrEqual(c, ntzLit(t))
+    case EqualTo(NtzRetag(c), TsLit(t))            => EqualTo(c, ntzLit(t))
+    case GreaterThanOrEqual(TsLit(t), NtzRetag(c)) => LessThanOrEqual(c, ntzLit(t))
+    case GreaterThan(TsLit(t), NtzRetag(c))        => LessThan(c, ntzLit(t))
+    case LessThan(TsLit(t), NtzRetag(c))           => GreaterThan(c, ntzLit(t))
+    case LessThanOrEqual(TsLit(t), NtzRetag(c))    => GreaterThanOrEqual(c, ntzLit(t))
+    case EqualTo(TsLit(t), NtzRetag(c))            => EqualTo(c, ntzLit(t))
     case GreaterThanOrEqual(NanosRebuild(c), TsLit(t)) =>
       GreaterThanOrEqual(c, Literal(nanos(t)))
     case GreaterThan(NanosRebuild(c), TsLit(t)) =>

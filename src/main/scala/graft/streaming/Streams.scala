@@ -46,27 +46,44 @@ object Streams {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Raw-layout event schema: `ts` as it sits in the driver's parquet —
-    * TIMESTAMP(NANOS), which Spark surfaces as long under the legacy
-    * nanosAsLong conf (see graft.Tables.load).
+  /** Raw-layout event schema: `ts` as it sits in a TIMESTAMP(NANOS)
+    * parquet — surfaced as long under the legacy nanosAsLong conf (see
+    * graft.Tables.load).
     */
   val rawEventSchema: StructType = StructType(
     eventSchema.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
 
-  /** Stream straight over the RAW nanos events parquet — no pre-normalized
-    * copy. The streaming parquet source shares the batch reader, so the
-    * legacy nanosAsLong conf applies; the long column is rebuilt to a
-    * micros timestamp with integer division (a double division would lose
-    * precision above 2^53 ns), mirroring the batch-side Tables.load.
+  /** Stream straight over the RAW events parquet — no pre-normalized copy.
+    *
+    * The raw `ts` layout has shipped two ways across testdata generations
+    * (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) no-tz), and the streaming
+    * source's user-supplied schema CANNOT be trusted to catch a mismatch:
+    * the vectorized reader happily serves a micros INT64 column through a
+    * LongType schema, which a nanos rebuild would then silently shrink
+    * 1000× (measured: 1970-era windows). So peek the actual file footer
+    * with a one-time batch read and pick the matching projection:
+    *  - long (nanos): rebuild micros via integer DIV 1000;
+    *  - timestamp_ntz (micros): re-tag to TimestampType (UTC sessions
+    *    make this value-identical), mirroring batch-side Tables.load.
     */
   def readEventsRaw(spark: SparkSession, dir: String,
                     glob: String = "*.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.Tables.rebuildNanosTs(
-      spark.readStream.schema(rawEventSchema)
+    val fileTsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema.find(_.name == "ts").map(_.dataType)
+    def stream(schema: StructType): DataFrame =
+      spark.readStream.schema(schema)
         .option("pathGlobFilter", glob) // streaming sources need a DIRECTORY
-        .parquet(dir),
-      "ts")
+        .parquet(dir)
+    fileTsType match {
+      case Some(LongType) =>
+        graft.Tables.rebuildNanosTs(stream(rawEventSchema), "ts")
+      case Some(TimestampNTZType) =>
+        val ntzSchema = StructType(eventSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+        graft.Tables.ntzToTimestamp(stream(ntzSchema), "ts")
+      case _ => stream(eventSchema)
+    }
   }
 
   /** Windowed rollup (shared shape with batch q11): tumbling window +

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an sf1-scale testdata set (default 10× sf0.1) so the bench
+  * can measure one more order of magnitude than the driver provides.
+  *
+  * Fairness model (the same one SubstringScaleProbe established): a naive
+  * k-fold concatenation is UNFAIR for any pair-based operator — every row
+  * gains k−1 verbatim clones and the probe measures duplication density,
+  * not scale. Each copy therefore gets:
+  *  - **key offsets** (copy × 10M on every entity/foreign key, applied
+  *    consistently on both sides of each join) — join fan-out per entity
+  *    stays exactly sf0.1's, which matches TPC-H's own scaling law
+  *    (more entities, constant per-entity fan-out). Absolute-constant
+  *    filters (e.g. `l_suppkey <= 5`) keep selecting copy-0's entities:
+  *    matched work stays constant while scan volume grows 10× — also
+  *    what the real generator would produce.
+  *  - **documents**: copy-specific alphabet-rotation substitution cipher
+  *    (length-preserving bijection) so cross-copy substring/shingle/
+  *    simhash collisions stay at random-noise level; within-copy spans
+  *    are preserved exactly → true duplicate structure scales ×k.
+  *  - **embeddings**: copy-specific deterministic orthogonal transform
+  *    (dimension permutation + sign flips, seeded by copy index) —
+  *    within-copy geometry (norms, dot products, neighbor sets) is
+  *    EXACT, cross-copy similarities drop to ~random, so top-k work
+  *    scales like fresh data instead of k−1 exact duplicates per vector.
+  *  - **region/nation copied as-is** (fixed 5/25-row dimensions at every
+  *    SF, per TPC-H), and low-cardinality categoricals (brands, types,
+  *    segments, langs) keep their values — their cardinality is
+  *    SF-invariant in the real generator too.
+  *
+  * Known approximations (timing probe, not a correctness surface):
+  * high-cardinality name strings repeat across copies (distinct-name
+  * counts read k× low) and embeddings' label mix repeats per copy.
+  *
+  * Usage: runMain graft.tools.ScaleDataGen [baseDir] [factor] [outDir]
+  */
+object ScaleDataGen {
+  private val Offset = 10000000L
+
+  private val az =
+    "abcdefghijklmnopqrstuvwxyz" + "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "0123456789"
+  private def rot(s: String, c: Int) = s.drop(c % s.length) + s.take(c % s.length)
+  /** Copy-specific substitution cipher alphabet (identity for copy 0). */
+  def cipherTo(c: Int): String =
+    rot(az.take(26), c) + rot(az.slice(26, 52), c) + rot(az.drop(52), c)
+
+  /** k-fold union with per-copy transform. */
+  private def fanOut(df: DataFrame, k: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(c => f(df, c)).reduce(_ unionAll _)
+
+  private def offsetKeys(df: DataFrame, c: Int, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((acc, key) =>
+      acc.withColumn(key, col(key) + lit(c * Offset)))
+
+  /** Deterministic per-copy orthogonal transform of a float-array column:
+    * permute dimensions then flip signs, both seeded by the copy index.
+    * Copy 0 is the identity (the base data itself stays byte-identical).
+    */
+  private def orthoTransform(df: DataFrame, c: Int, colName: String, dim: Int): DataFrame = {
+    if (c == 0) df else {
+      val rnd = new scala.util.Random(c * 7919L)
+      val perm = rnd.shuffle((0 until dim).toVector)
+      val sign = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      val permuted = array(perm.indices.map(i =>
+        (col(colName).getItem(perm(i)) * lit(sign(i))).cast("float")): _*)
+      df.withColumn(colName, permuted)
+    }
+  }
+
+  def generate(spark: SparkSession, base: String, factor: Int, out: String): Unit = {
+    val done = java.nio.file.Paths.get(out, "_GEN_SUCCESS")
+    if (java.nio.file.Files.exists(done)) { println(s"[sfgen] cached: $out"); return }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    def write(name: String, df: DataFrame, parts: Int = 32): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[sfgen] wrote $name")
+    }
+
+    // fixed dimensions: SF-invariant in TPC-H
+    write("region", graft.Tables.region(spark, base), 1)
+    write("nation", graft.Tables.nation(spark, base), 1)
+
+    write("customer", fanOut(graft.Tables.customer(spark, base), factor)(
+      (df, c) => offsetKeys(df, c, Seq("c_custkey"))), 4)
+    write("supplier", fanOut(graft.Tables.supplier(spark, base), factor)(
+      (df, c) => offsetKeys(df, c, Seq("s_suppkey"))), 1)
+    write("part", fanOut(graft.Tables.part(spark, base), factor)(
+      (df, c) => offsetKeys(df, c, Seq("p_partkey"))), 4)
+    write("orders", fanOut(graft.Tables.orders(spark, base), factor)(
+      (df, c) => offsetKeys(df, c, Seq("o_orderkey", "o_custkey"))), 8)
+    write("lineitem", fanOut(graft.Tables.lineitem(spark, base), factor)(
+      (df, c) => offsetKeys(df, c, Seq("l_orderkey", "l_partkey", "l_suppkey"))), 32)
+
+    // events: the loader normalizes ts to TimestampType; write it back as
+    // NTZ micros (what the driver's layout stores) so the generated dir
+    // round-trips through Tables.load exactly like real testdata
+    val ev = graft.Tables.events(spark, base)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    write("events", fanOut(ev, factor)(
+      (df, c) => offsetKeys(df, c, Seq("event_id", "user_id"))), 8)
+
+    write("documents", fanOut(
+      graft.Tables.documents(spark, base), factor) { (df, c) =>
+      val d = offsetKeys(df, c, Seq("doc_id"))
+      if (c == 0) d
+      else d.withColumn("text", translate(col("text"), az, cipherTo(c)))
+    }, 16)
+
+    val emb = graft.Tables.embeddings(spark, base)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    write("embeddings", fanOut(emb, factor)((df, c) =>
+      orthoTransform(offsetKeys(df, c, Seq("vec_id")), c, "embedding", dim)), 8)
+
+    java.nio.file.Files.createFile(done)
+    println(s"[sfgen] done: $out (${factor}x $base)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = args.lift(2).getOrElse(
+      "/tmp/graft_sfgen_" + factor + "x_" + base.replaceAll("[^A-Za-z0-9.]", "_"))
+    val spark = Sessions.build("local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, factor, out)
+    spark.stop()
+  }
+}

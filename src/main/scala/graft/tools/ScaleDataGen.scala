@@ -80,6 +80,27 @@ object ScaleDataGen {
       println(s"[sfgen] wrote $name")
     }
 
+    /** Streaming sources select files with `pathGlobFilter=<name>.parquet`,
+      * which matches LEAF FILE names — a part-file directory named
+      * `<name>.parquet` matches nothing and the stream sees zero files
+      * (q65/q66/q81 failed to infer, q87 silently streamed nothing on the
+      * first directory-layout attempt). Tables consumed by streams must
+      * therefore mirror the driver's FLAT-FILE layout exactly: write a
+      * single part, then move it to `$out/$name.parquet` as a plain file.
+      */
+    def writeFlat(name: String, df: DataFrame): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$out/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      Files.move(part, Paths.get(s"$out/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      println(s"[sfgen] wrote $name (flat)")
+    }
+
     // fixed dimensions: SF-invariant in TPC-H
     write("region", graft.Tables.region(spark, base), 1)
     write("nation", graft.Tables.nation(spark, base), 1)
@@ -100,15 +121,15 @@ object ScaleDataGen {
     // round-trips through Tables.load exactly like real testdata
     val ev = graft.Tables.events(spark, base)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    write("events", fanOut(ev, factor)(
-      (df, c) => offsetKeys(df, c, Seq("event_id", "user_id"))), 8)
+    writeFlat("events", fanOut(ev, factor)(
+      (df, c) => offsetKeys(df, c, Seq("event_id", "user_id"))))
 
-    write("documents", fanOut(
+    writeFlat("documents", fanOut(
       graft.Tables.documents(spark, base), factor) { (df, c) =>
       val d = offsetKeys(df, c, Seq("doc_id"))
       if (c == 0) d
       else d.withColumn("text", translate(col("text"), az, cipherTo(c)))
-    }, 16)
+    })
 
     val emb = graft.Tables.embeddings(spark, base)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)

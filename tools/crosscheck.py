@@ -27,8 +27,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships flat files; ScaleDataGen writes part-file
+        # directories for the big tables — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -401,7 +401,7 @@ object Dedup {
     * machinery (sign-sketch banding) in graft.sim.Similarity.
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-                     minCosine: Double, planes: Int = 16,
+                     minCosine: Double, planes: Int = 0,
                      seed: Long = 42): DataFrame =
     graft.sim.Similarity.cosinePairs(df, vecCol, idCol, minCosine, planes, seed)
 }

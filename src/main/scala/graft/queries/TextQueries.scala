@@ -180,7 +180,8 @@ object TextQueries {
     // oracled against the batch gram-join truth.
     "q87_stream_decontaminate" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Streams.sizedStatePartitions(s, d, "documents.parquet").toString)
       try {
         val stream = graft.streaming.Streams.readDocuments(s, d)
           .filter(col("doc_id") >= 50)
@@ -375,7 +376,8 @@ object TextQueries {
       // conf applies at stream START and is restored after the (fully
       // synchronous) run, so surrounding batch queries are unaffected.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet").toString)
       try {
         val stream = graft.streaming.Streams.windowedRollup(
           graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet"))
@@ -396,9 +398,11 @@ object TextQueries {
     "q66_stream_sessionize" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       // session-window state store cost scales with partitions per
-      // microbatch; measured floor at this corpus size is 2 (16 -> 5.5s,
-      // 4 -> 4.3s, 2 -> 3.9s, 1 -> 4.4s at sf0.1)
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      // microbatch (measured sf0.1 floor: 2 — 16 -> 5.5s, 4 -> 4.3s,
+      // 2 -> 3.9s, 1 -> 4.4s), but a pinned constant throttles keyed
+      // state work at bigger inputs — size by input bytes instead
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet").toString)
       // declared outside the try so the finally can reclaim it: the
       // memory sink holds the results, so the sentinel parquet is dead
       // the moment the (synchronous) runToMemory returns
@@ -462,7 +466,8 @@ object TextQueries {
     // state is watermark-bounded; matches emit eagerly in append mode.
     "q81_stream_attribution" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet").toString)
       try {
         def evs = graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet")
           .select(col("event_id"),
@@ -525,7 +530,7 @@ object TextQueries {
         emb.filter(pmod(col("vec_id"), lit(20)) === 0)
           .withColumn("vec_id", col("vec_id") + 100000))
       Similarity.cosinePairs(planted, "embedding", "vec_id",
-        minCosine = 0.9, planes = 24)
+        minCosine = 0.9) // planes auto-sized to the corpus (see autoPlanes)
         .orderBy("id_a", "id_b")
     }),
 

@@ -86,10 +86,11 @@ object Similarity {
     * cost ≈ nProbe/nClusters of brute force. At 100 TB the cell id is the
     * partition key — candidate generation is an equi-join on it, and the
     * corpus can be written bucketed by cell so probes touch only matching
-    * files.
+    * files. `nClusters` defaults to 0 = auto (~sqrt(n), the standard IVF
+    * sizing — see the comment in the body).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 3,
+              idCol: String, k: Int, nClusters: Int = 0, nProbe: Int = 3,
               seed: Long = 42, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     // Spherical-KMeans approximation: the quantizer clusters L2-NORMALIZED
@@ -101,6 +102,19 @@ object Similarity {
       col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_vec", array_to_vector(normalized(col("_cv"))))
       .cache()
+    // nClusters = 0 (default) auto-scales cells to ~sqrt(n): candidate
+    // volume per query is nProbe/nClusters × n, so FIXED cells make probe
+    // cost grow linearly per query — quadratic in total when the query
+    // panel grows with the corpus (measured: 16 fixed cells at 200k
+    // vectors × 4k queries = 141 s; sqrt-scaled = the linear path). The
+    // sqrt rule is also the RECALL-optimal sizing at a given probe
+    // fraction (AnnScaleRecallProbe: fixed 16 cells drop below the
+    // calibrated floor at 40× corpus; sqrt(n) cells at half probed hold
+    // 0.93). Mirrors semanticDedup's nClusters = 0 convention.
+    val kCells =
+      if (nClusters > 0) nClusters
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(toVec.count().toDouble)).toInt))
     // maxIter trades quantizer quality for fit time; recall comes from
     // nProbe overlap, so even a coarse quantizer keeps recall high.
     // kmeans|| init is KEPT deliberately: swapping it for random init
@@ -108,7 +122,7 @@ object Similarity {
     // the AnnRecallSpec natural floors failed — IVF recall 0.90 -> 0.80
     // @nProbe=8, cell recall 0.50 -> 0.15 @nProbe=1. The init passes buy
     // real serving recall here.
-    val model = fitSphericalKMeans(toVec, "_vec", nClusters, seed, maxIter)
+    val model = fitSphericalKMeans(toVec, "_vec", kCells, seed, maxIter)
     val cells = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     val assigned = model.transform(toVec).select("neighbor_id", "_cv", "_cell")
@@ -175,7 +189,7 @@ object Similarity {
     * before any row is read).
     */
   def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-                    dir: String, nClusters: Int = 16,
+                    dir: String, nClusters: Int = 0,
                     seed: Long = 42, maxIter: Int = 20): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -191,7 +205,12 @@ object Similarity {
     // MLlib stack; an index over nothing is a caller bug, not a no-op
     require(toVec.limit(1).count() > 0,
       s"cannot build an IVF index over an empty corpus ($vecCol all null/empty?)")
-    val km = fitSphericalKMeans(toVec, "_nv", nClusters, seed, maxIter)
+    // nClusters = 0 auto-scales to ~sqrt(n), as in ivfTopK
+    val kCells =
+      if (nClusters > 0) nClusters
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(toVec.count().toDouble)).toInt))
+    val km = fitSphericalKMeans(toVec, "_nv", kCells, seed, maxIter)
     km.transform(toVec).select(col("id"), col("vec"), col("_cell"))
       // repartition ON the partition column first: without it every input
       // partition writes its own file into every cell dir (tasks x cells
@@ -279,13 +298,19 @@ object Similarity {
   }
 
   /** Plane count for a target LSH bucket density: candidate volume is
-    * Σ bucket², and buckets hold ~n / 2^(planes/bands) vectors, so planes
-    * must GROW with the corpus — planes = bands × ceil(log2(n/target)).
-    * (6-bit bands at 100k vectors produced ~320M candidate pairs; 8-bit
-    * bands keep buckets ~n/256.) Recall per band falls as bits rise —
-    * the standard LSH trade; raise `bands` to buy recall back.
+    * Σ bucket² ≈ bands × n × targetBucket/2, and buckets hold
+    * ~n / 2^(planes/bands) vectors, so planes must GROW with the corpus —
+    * planes = bands × ceil(log2(n/target)). The target is the per-vector
+    * candidate budget: 64 ⇒ ~bands×32 candidate pairs per vector, a
+    * constant the exact rerank absorbs (1024 was measured to GC-thrash a
+    * 210k-vector corpus at ~430M candidates; 64 ⇒ ~27M there). Recall
+    * per band falls as bits rise — the standard LSH trade; raise `bands`
+    * to buy recall back. The 64-bit signature caps bits/band at 64/bands:
+    * past n ≈ targetBucket × 2^(64/bands) per-band buckets saturate and
+    * occupancy grows linearly again — at that scale raise `bands` (or
+    * shard the corpus) rather than asking one long for more bits.
     */
-  def autoPlanes(n: Long, bands: Int = 4, targetBucket: Int = 1024): Int = {
+  def autoPlanes(n: Long, bands: Int = 4, targetBucket: Int = 64): Int = {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
     val bits = math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
@@ -319,15 +344,11 @@ object Similarity {
     * signatures, banded equi-join candidates, exact cosine >= minCosine.
     */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
-                  minCosine: Double, planes: Int = 16, seed: Long = 42,
+                  minCosine: Double, planes: Int = 0, seed: Long = 42,
                   bands: Int = 4): DataFrame = {
-    require(bands >= 1 && planes >= bands && planes <= 64,
-      s"need 1 <= bands <= planes <= 64, got planes=$planes bands=$bands")
-    val bits = planes / bands
-    // (1L << 64) wraps to 1 (Java shifts are mod 64): a 64-bit band mask
-    // must be -1L, not (1L << 64) - 1 == 0 — the zero mask would key
-    // EVERY vector into one bucket and cross-join the corpus
-    val bandMask = if (bits >= 64) -1L else (1L << bits) - 1
+    require(bands >= 1 && (planes == 0 || (planes >= bands && planes <= 64)),
+      s"need 1 <= bands <= planes <= 64 (or planes = 0 = auto), " +
+        s"got planes=$planes bands=$bands")
     // max-size probe, not head(): head() throws on an empty corpus and
     // NPEs on a null first vector — emptiness is a legitimate state for
     // a pre-filtered pipeline stage
@@ -340,7 +361,23 @@ object Similarity {
     // rerank joins) — persist; eager unpersist would break the lazy result.
     val vecs = graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("_v"))).persist()
-    val sigDf = withSignature(vecs, "_v", dim, planes, seed)
+    // planes = 0 (default): size band bits to the corpus via autoPlanes —
+    // a FIXED signature width is a scale bug, not a tuning choice: bucket
+    // occupancy is ~n/2^(planes/bands) per band, so candidate volume
+    // (Σ bucket²) grows QUADRATICALLY once n outruns the bucket count
+    // (measured: planes=24/4 bands = 6-bit buckets at 210k vectors →
+    // ~3.3k/bucket → hundreds of millions of candidate pairs → executor
+    // OOM; auto picks 8-bit buckets there and the run completes).
+    // Recall on planted/true near-dup pairs is unaffected (identical
+    // vectors share every signature); natural-pair recall per band falls
+    // as bits rise — the standard LSH trade, bought back with `bands`.
+    val nPlanes = if (planes > 0) planes else autoPlanes(vecs.count(), bands)
+    val bits = nPlanes / bands
+    // (1L << 64) wraps to 1 (Java shifts are mod 64): a 64-bit band mask
+    // must be -1L, not (1L << 64) - 1 == 0 — the zero mask would key
+    // EVERY vector into one bucket and cross-join the corpus
+    val bandMask = if (bits >= 64) -1L else (1L << bits) - 1
+    val sigDf = withSignature(vecs, "_v", dim, nPlanes, seed)
     // explode_outer: a plain explode's inferred not-null filter would
     // recompute the full `planes`-dot-product signature below the fan-out
     // exchange (see Dedup.ngramJaccardPairs); the band array is never empty.

@@ -53,6 +53,32 @@ object Streams {
   val rawEventSchema: StructType = StructType(
     eventSchema.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
 
+  /** Input-sized shuffle/state partition count for a file-backed stream.
+    *
+    * Stateful streaming cost has two scale regimes: each shuffle
+    * partition pays a state-store open/commit PER MICRO-BATCH (so tiny
+    * inputs want few partitions — measured sf0.1 floor: 2 beats 16 by
+    * 1.6 s/run on session windows), while a fixed small constant
+    * serializes state work once the keyed data outgrows it (the same
+    * pinned "2" costs 2× at 10× the input). Scale with input bytes at
+    * ~2 MB/partition — the measured sf0.1 break-even — clamped to
+    * [2, defaultParallelism] so a real cluster fans out to its width.
+    */
+  def sizedStatePartitions(spark: SparkSession, dir: String,
+                           glob: String): Int = {
+    val f = new java.io.File(dir, glob)
+    val bytes =
+      if (f.isFile) f.length
+      else { // directory table (part files) or glob miss: sum the parts
+        val d = new java.io.File(dir, glob.stripSuffix("/"))
+        if (d.isDirectory)
+          d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        else 0L
+      }
+    val byBytes = math.ceil(bytes.toDouble / (2L << 20)).toInt
+    math.max(2, math.min(spark.sparkContext.defaultParallelism, byBytes))
+  }
+
   /** Stream straight over the RAW events parquet — no pre-normalized copy.
     *
     * The raw `ts` layout has shipped two ways across testdata generations

@@ -43,9 +43,28 @@ object ScaleDataGen {
   private val az =
     "abcdefghijklmnopqrstuvwxyz" + "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "0123456789"
   private def rot(s: String, c: Int) = s.drop(c % s.length) + s.take(c % s.length)
-  /** Copy-specific substitution cipher alphabet (identity for copy 0). */
+  /** Copy-specific substitution cipher alphabet (identity for copy 0).
+    * ROTATION cipher — only valid for factors <= 10: rotations repeat mod
+    * 26 on letters and mod 10 on digits, so e.g. copies 0 and 26 would be
+    * VERBATIM-identical and every pair operator would measure duplication,
+    * not scale. Kept for the fixed-single-copy uses (SubstringScaleProbe,
+    * DecontaminationScaleProbe); `generate` uses [[cipherPerm]].
+    */
   def cipherTo(c: Int): String =
     rot(az.take(26), c) + rot(az.slice(26, 52), c) + rot(az.drop(52), c)
+
+  /** Seeded random permutation cipher (identity for copy 0): shuffles each
+    * character class independently, so case/digit structure is preserved
+    * but any two distinct copies differ in (62!-ish) ways — no repeat
+    * period, safe at any factor.
+    */
+  def cipherPerm(c: Int): String =
+    if (c == 0) az
+    else {
+      val rnd = new scala.util.Random(0x5eed + c.toLong * 104729L)
+      def sh(s: String) = rnd.shuffle(s.toVector).mkString
+      sh(az.take(26)) + sh(az.slice(26, 52)) + sh(az.drop(52))
+    }
 
   /** k-fold union with per-copy transform. */
   private def fanOut(df: DataFrame, k: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -70,15 +89,18 @@ object ScaleDataGen {
     }
   }
 
-  def generate(spark: SparkSession, base: String, factor: Int, out: String): Unit = {
+  def generate(spark: SparkSession, base: String, factor: Int, out: String,
+               only: Set[String] = Set.empty): Unit = {
     val done = java.nio.file.Paths.get(out, "_GEN_SUCCESS")
     if (java.nio.file.Files.exists(done)) { println(s"[sfgen] cached: $out"); return }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
 
-    def write(name: String, df: DataFrame, parts: Int = 32): Unit = {
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[sfgen] wrote $name")
-    }
+    def write(name: String, df: => DataFrame, parts: Int = 32): Unit =
+      if (wanted(name)) {
+        df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[sfgen] wrote $name")
+      }
 
     /** Streaming sources select files with `pathGlobFilter=<name>.parquet`,
       * which matches LEAF FILE names — a part-file directory named
@@ -88,7 +110,7 @@ object ScaleDataGen {
       * therefore mirror the driver's FLAT-FILE layout exactly: write a
       * single part, then move it to `$out/$name.parquet` as a plain file.
       */
-    def writeFlat(name: String, df: DataFrame): Unit = {
+    def writeFlat(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -119,22 +141,25 @@ object ScaleDataGen {
     // events: the loader normalizes ts to TimestampType; write it back as
     // NTZ micros (what the driver's layout stores) so the generated dir
     // round-trips through Tables.load exactly like real testdata
-    val ev = graft.Tables.events(spark, base)
-      .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    writeFlat("events", fanOut(ev, factor)(
-      (df, c) => offsetKeys(df, c, Seq("event_id", "user_id"))))
+    writeFlat("events", {
+      val ev = graft.Tables.events(spark, base)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      fanOut(ev, factor)((df, c) => offsetKeys(df, c, Seq("event_id", "user_id")))
+    })
 
     writeFlat("documents", fanOut(
       graft.Tables.documents(spark, base), factor) { (df, c) =>
       val d = offsetKeys(df, c, Seq("doc_id"))
       if (c == 0) d
-      else d.withColumn("text", translate(col("text"), az, cipherTo(c)))
+      else d.withColumn("text", translate(col("text"), az, cipherPerm(c)))
     })
 
-    val emb = graft.Tables.embeddings(spark, base)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    write("embeddings", fanOut(emb, factor)((df, c) =>
-      orthoTransform(offsetKeys(df, c, Seq("vec_id")), c, "embedding", dim)), 8)
+    if (wanted("embeddings")) {
+      val emb = graft.Tables.embeddings(spark, base)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      write("embeddings", fanOut(emb, factor)((df, c) =>
+        orthoTransform(offsetKeys(df, c, Seq("vec_id")), c, "embedding", dim)), 8)
+    }
 
     java.nio.file.Files.createFile(done)
     println(s"[sfgen] done: $out (${factor}x $base)")
@@ -145,9 +170,11 @@ object ScaleDataGen {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val out = args.lift(2).getOrElse(
       "/tmp/graft_sfgen_" + factor + "x_" + base.replaceAll("[^A-Za-z0-9.]", "_"))
+    // optional 4th arg: comma-separated table subset (e.g. "documents,embeddings")
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val spark = Sessions.build("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, base, factor, out)
+    generate(spark, base, factor, out, only)
     spark.stop()
   }
 }

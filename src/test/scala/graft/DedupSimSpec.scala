@@ -130,13 +130,14 @@ class DedupSimSpec extends AnyFunSuite {
   test("autoPlanes scales bits with corpus at fixed bucket density") {
     import graft.sim.Similarity.autoPlanes
     assert(autoPlanes(1000) == 16, "small corpus floors at 4-bit bands")
-    assert(autoPlanes(100000) == 28, "100k -> 7-bit bands")
-    assert(autoPlanes(10000000) == 56, "10M -> 14-bit bands")
+    assert(autoPlanes(100000) == 44, "100k -> 11-bit bands")
+    assert(autoPlanes(10000000) == 64, "10M -> capped 16-bit bands")
     assert(autoPlanes(1L << 40) == 64, "bits per band capped at 16")
-    // bucket density holds: n / 2^(planes/bands) <= target (above floor)
-    Seq(10000L, 1000000L, 50000000L).foreach { n =>
+    // bucket density holds: n / 2^(planes/bands) <= target (above floor,
+    // below the 64-bit signature saturation point of ~4.2M at 4 bands)
+    Seq(10000L, 100000L, 1000000L).foreach { n =>
       val bits = autoPlanes(n) / 4
-      assert(n.toDouble / math.pow(2, bits) <= 1024.0, s"n=$n bits=$bits")
+      assert(n.toDouble / math.pow(2, bits) <= 64.0, s"n=$n bits=$bits")
     }
   }
 

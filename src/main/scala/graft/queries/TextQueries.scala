@@ -401,6 +401,7 @@ object TextQueries {
       // microbatch (measured sf0.1 floor: 2 — 16 -> 5.5s, 4 -> 4.3s,
       // 2 -> 3.9s, 1 -> 4.4s), but a pinned constant throttles keyed
       // state work at bigger inputs — size by input bytes instead
+      // (sf1: pinned 2 -> 13.0 s in the paired bench, sized 8 -> 6.0 s)
       s.conf.set("spark.sql.shuffle.partitions",
         graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet").toString)
       // declared outside the try so the finally can reclaim it: the

@@ -602,4 +602,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("id_a", "id_b", "cos"))
   }
+
+  test("auto-sized defaults match their explicit equivalents") {
+    // The r7 scale fixes turned three frozen tuning constants into
+    // functions of input size; pin that auto = explicit-at-that-size so
+    // the auto paths can't silently drift from the probed configurations.
+    val rng = new Random(41)
+    val base = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rng.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    // planted twin so there is at least one certain pair/neighbor
+    val vecs = base.unionByName(
+      base.filter(col("vec_id") === 0).withColumn("vec_id", lit(9000L)))
+
+    // cosinePairs: planes = 0 resolves to autoPlanes(n, bands)
+    val expectedPlanes = Similarity.autoPlanes(301L, bands = 4)
+    val auto = Similarity.cosinePairs(vecs, "embedding", "vec_id",
+      minCosine = 0.95, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.cosinePairs(vecs, "embedding", "vec_id",
+      minCosine = 0.95, planes = expectedPlanes, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit, s"auto planes != explicit $expectedPlanes")
+    assert(auto.contains((0L, 9000L)), "planted twin pair must be recalled")
+
+    // ivfTopK: nClusters = 0 resolves to max(16, ceil(sqrt(n)))
+    val queries = vecs.filter(col("vec_id") === 9000L)
+    val kAuto = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
+      k = 3, nProbe = 2, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val kExpl = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
+      k = 3, nClusters = math.ceil(math.sqrt(301.0)).toInt, nProbe = 2, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(kAuto.toSet == kExpl.toSet,
+      s"auto cells != explicit sqrt(n): ${kAuto.toSeq} vs ${kExpl.toSeq}")
+    assert(kAuto.exists { case (_, nb, rank) => nb == 0L && rank == 1 },
+      "identical twin must win top-1 under auto sizing")
+  }
 }

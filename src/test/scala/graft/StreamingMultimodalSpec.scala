@@ -508,4 +508,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
     assert(frames.count() > 10, "one row per sampled frame")
   }
+
+  test("sizedStatePartitions scales with input bytes within clamps") {
+    val dir = java.nio.file.Files.createTempDirectory("ssp").toString
+    def put(name: String, bytes: Int): Unit = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, new Array[Byte](bytes))
+    }
+    // floor: tiny and missing inputs both get the 2-partition floor
+    put("tiny.parquet", 1024)
+    assert(Streams.sizedStatePartitions(spark, dir, "tiny.parquet") == 2)
+    assert(Streams.sizedStatePartitions(spark, dir, "absent.parquet") == 2)
+    // scaling: ~2 MB per partition (a 7 MB flat file -> 4)
+    put("mid.parquet", 7 * 1024 * 1024)
+    assert(Streams.sizedStatePartitions(spark, dir, "mid.parquet") == 4)
+    // directory tables: part files are summed
+    put("tbl.parquet/part-0.parquet", 3 * 1024 * 1024)
+    put("tbl.parquet/part-1.parquet", 3 * 1024 * 1024)
+    assert(Streams.sizedStatePartitions(spark, dir, "tbl.parquet") == 3)
+    // ceiling: never past the session's parallelism
+    put("huge.parquet", 200 * 1024 * 1024)
+    assert(Streams.sizedStatePartitions(spark, dir, "huge.parquet") ==
+      spark.sparkContext.defaultParallelism)
+  }
 }

@@ -90,7 +90,7 @@ object Similarity {
     * sizing — see the comment in the body).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, nClusters: Int = 0, nProbe: Int = 3,
+              idCol: String, k: Int, nClusters: Int = 0, nProbe: Int = 0,
               seed: Long = 42, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     // Spherical-KMeans approximation: the quantizer clusters L2-NORMALIZED
@@ -115,6 +115,20 @@ object Similarity {
       if (nClusters > 0) nClusters
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(toVec.count().toDouble)).toInt))
+    // nProbe = 0 (default) holds a CONSTANT probe fraction (1/16 of the
+    // cells, floor 3 — at the 16-cell calibration corpus this reproduces
+    // the historical nProbe=3 exactly) instead of a constant cell count:
+    // with auto-scaled cells a fixed nProbe silently shrinks the probed
+    // fraction as n grows (3/16 = 19% at calibration vs 3/459 = 0.7% at
+    // 200k vectors) and natural recall shrinks with it. Recall on
+    // CLUSTERED corpora concentrates in the nearest cells (FAISS ships
+    // nprobe=1 for the same reason), so a small constant fraction is a
+    // serving-grade default; planted/verbatim-duplicate recall is 1.0 at
+    // ANY setting (the twin's cell is always the query's nearest). The
+    // corpus-dependent trade is the caller's explicit-nProbe knob;
+    // measured numbers at 20k near-uniform vectors are in NOTES.
+    val probeCells =
+      if (nProbe > 0) nProbe else math.max(3, (kCells / 16.0).ceil.toInt)
     // maxIter trades quantizer quality for fit time; recall comes from
     // nProbe overlap, so even a coarse quantizer keeps recall high.
     // kmeans|| init is KEPT deliberately: swapping it for random init
@@ -143,7 +157,7 @@ object Similarity {
         zip_with(normalized(col("_qv")), col("_centroid"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, v) => a + v))
       .withColumn("_pr", row_number().over(w))
-      .filter(col("_pr") <= nProbe)
+      .filter(col("_pr") <= probeCells)
       .select("query_id", "_qv", "_cell")
 
     val wk = Window.partitionBy("query_id")

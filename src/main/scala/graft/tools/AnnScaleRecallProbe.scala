@@ -58,6 +58,11 @@ object AnnScaleRecallProbe {
     // tighter probe budget at scaled cells: the 100 TB operating curve
     val tight = ivfRecall(scaledClusters, math.max(1, scaledClusters / 8), 10)
     println(f"[annscale] IVF recall@10 nProbe=${math.max(1, scaledClusters / 8)}/$scaledClusters (tight): $tight%.3f")
+    // the engine's AUTO default (cells = sqrt(n), probe fraction 1/16,
+    // floor 3) — what a caller gets with no tuning at this corpus size
+    val autoProbe = math.max(3, math.ceil(scaledClusters / 16.0).toInt)
+    val auto = ivfRecall(scaledClusters, autoProbe, 10)
+    println(f"[annscale] IVF recall@10 nProbe=$autoProbe/$scaledClusters (AUTO default): $auto%.3f")
 
     // SRP NN-pair recall at the spec's operating point. Truth = exact
     // top-1 pairs over the full corpus (canonicalized, dedup'd).

@@ -625,13 +625,16 @@ class DedupSimSpec extends AnyFunSuite {
     assert(auto == explicit, s"auto planes != explicit $expectedPlanes")
     assert(auto.contains((0L, 9000L)), "planted twin pair must be recalled")
 
-    // ivfTopK: nClusters = 0 resolves to max(16, ceil(sqrt(n)))
+    // ivfTopK: nClusters = 0 resolves to max(16, ceil(sqrt(n))); nProbe=0
+    // resolves to max(3, ceil(cells/16)) — the constant probe FRACTION
     val queries = vecs.filter(col("vec_id") === 9000L)
+    val cells = math.ceil(math.sqrt(301.0)).toInt
     val kAuto = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
-      k = 3, nProbe = 2, seed = 7)
+      k = 3, seed = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     val kExpl = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
-      k = 3, nClusters = math.ceil(math.sqrt(301.0)).toInt, nProbe = 2, seed = 7)
+      k = 3, nClusters = cells,
+      nProbe = math.max(3, math.ceil(cells / 16.0).toInt), seed = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(kAuto.toSet == kExpl.toSet,
       s"auto cells != explicit sqrt(n): ${kAuto.toSeq} vs ${kExpl.toSeq}")

@@ -91,9 +91,9 @@ object Dedup {
       // hot-shingle aggregate, the post-cap sizes aggregate, and the
       // self-join) — exchange reuse only dedups the identical join sides,
       // so without persistence the shingle build would run ~3x.
-      val exploded = base.select(col("doc"), explode_outer(arr).as("s"))
-        .filter(col("s").isNotNull) // see no-cap branch: dodge InferFiltersFromGenerate
-        .persist()
+      val exploded = Par.pinLatest("jaccard.index",
+        base.select(col("doc"), explode_outer(arr).as("s"))
+          .filter(col("s").isNotNull)) // see no-cap branch: dodge InferFiltersFromGenerate
       val hot = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxShingleDf).select("s")
       val filtered = exploded.join(broadcast(hot), Seq("s"), "left_anti")
@@ -185,11 +185,11 @@ object Dedup {
     // reuse cannot dedup it — persist it. MEMORY_AND_DISK (the default)
     // spills rather than evicts at corpus scale; this is a deliberate
     // recompute-vs-storage trade, measured ~2x end-to-end.
-    val sh = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"),
-        TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist()
+    val sh = Par.pinLatest("minhash.shingles",
+      Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"),
+          TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
+        .filter(size(col("shingles")) > 0))
     // Codegen'd signature build (bit-identical to the array_min/transform/
     // xxhash64 composition — see MinHashSig): one bytes-hash per shingle,
     // k long-folds, no interpreted lambdas. posexplode_outer (not plain):
@@ -382,7 +382,9 @@ object Dedup {
       s"components did not converge in $maxIter rounds — the pair graph " +
         "has a component with diameter > maxIter; raise maxIter or " +
         "pre-collapse exact duplicates")
-    labels
+    // register the (already persisted, already materialized) result so a
+    // long-lived session keeps one live label frame, not one per call
+    Par.pinLatest("components.labels", labels)
   }
 
   /** Near-dup survivors: one document per connected component of the pair

@@ -416,7 +416,7 @@ object SubstringDedup {
                        maxAnchorDf: Int): DataFrame =
     if (maxAnchorDf == Int.MaxValue) index
     else {
-      val idx = index.persist()
+      val idx = graft.ops.Par.pinLatest("substring.capIndex", index)
       val hot = idx.groupBy("h")
         .agg(countDistinct(docCol).as("_df"))
         .filter(col("_df") > maxAnchorDf).select("h")

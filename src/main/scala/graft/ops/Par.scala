@@ -63,6 +63,33 @@ object Par {
     }
   }
 
+  private val pinned = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** Persist `df` as the ONE live pinned intermediate for (session, key):
+    * a new call under the same key unpersists the previous pin
+    * (non-blocking). For the large per-call intermediates that back LAZY
+    * operator results (shingle sets, exploded inverted indexes, vector
+    * projections): each call must keep its intermediate persisted while
+    * its result is alive, but a long-lived session — a bench loop, a
+    * serving process — would otherwise accumulate one multi-GB pin PER
+    * CALL with nothing ever unpersisting them (measured: a full-bench
+    * session at 100× data OOM'd an 8 GB heap on exactly this). With the
+    * registry a session holds at most one live intermediate per operator
+    * family; an OLDER lazy result re-collected later just recomputes —
+    * correct, slower — the same trade `Similarity.lastIvfResult`
+    * documents. Entries of stopped sessions are swept lazily.
+    */
+  def pinLatest(key: String, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    pinned.keySet.asScala.filter(_._1.sparkContext.isStopped)
+      .foreach(pinned.remove)
+    val p = df.persist()
+    val prev = pinned.put((df.sparkSession, key), p)
+    if (prev != null && (prev ne p)) prev.unpersist(blocking = false)
+    p
+  }
+
   def fanOut(df: DataFrame): DataFrame = {
     val plansExchange = df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |

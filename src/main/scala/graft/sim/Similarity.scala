@@ -373,8 +373,9 @@ object Similarity {
     val dim = dimRow.getInt(0)
     // Consumed three times with divergent plans (signature build + the two
     // rerank joins) — persist; eager unpersist would break the lazy result.
-    val vecs = graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("_v"))).persist()
+    val vecs = graft.ops.Par.pinLatest("srp.vecs",
+      graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("_v"))))
     // planes = 0 (default): size band bits to the corpus via autoPlanes —
     // a FIXED signature width is a scale bug, not a tuning choice: bucket
     // occupancy is ~n/2^(planes/bands) per band, so candidate volume
@@ -448,10 +449,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // Same spherical-quantizer trick as ivfTopK: cluster NORMALIZED
     // vectors so Euclidean cell geometry is monotone in cosine.
-    val vecs = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .withColumn("_nv", array_to_vector(normalized(col("_v"))))
-      .persist()
+    val vecs = graft.ops.Par.pinLatest("semdedup.vecs",
+      df.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("_v"))
+        .withColumn("_nv", array_to_vector(normalized(col("_v")))))
     // A dedup quantizer only has to keep cells BOUNDED, not optimal:
     // duplicate recall is structural (identical vectors share any cell),
     // so random init + few iterations beats k-means||'s extra passes —

@@ -86,8 +86,31 @@ object Par {
       .foreach(pinned.remove)
     val p = df.persist()
     val prev = pinned.put((df.sparkSession, key), p)
-    if (prev != null && (prev ne p)) prev.unpersist(blocking = false)
+    // The eviction guard must compare LOGICAL PLANS, not references:
+    // `Dataset.persist`/`unpersist` both resolve against the shared cache
+    // by plan `sameResult`, so re-pinning a logically-identical frame (a
+    // repeat bench iteration, a repeated serving call) makes the new
+    // persist a no-op against the SAME cache entry — a reference-equality
+    // guard then lets `prev.unpersist` remove that shared entry, and the
+    // expensive intermediate silently recomputes at every consumption
+    // site while the registry believes it is pinned.
+    if (prev != null && (prev ne p) &&
+        !prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     p
+  }
+
+  /** Release a pin EAGERLY (for callers whose result no longer needs the
+    * intermediate — e.g. semanticDedup once the pair graph is
+    * materialized) and drop its registry entry, so a later `pinLatest`
+    * under the same key does not find a stale entry whose logical plan
+    * matches the fresh pin. Removes the entry only when `df` IS the live
+    * pin — a concurrent re-pin under the same key keeps its own entry.
+    */
+  def unpin(key: String, df: DataFrame): Unit = {
+    pinned.remove((df.sparkSession, key), df)
+    df.unpersist(blocking = false)
+    ()
   }
 
   def fanOut(df: DataFrame): DataFrame = {

@@ -127,8 +127,7 @@ object Similarity {
     // ANY setting (the twin's cell is always the query's nearest). The
     // corpus-dependent trade is the caller's explicit-nProbe knob;
     // measured numbers at 20k near-uniform vectors are in NOTES.
-    val probeCells =
-      if (nProbe > 0) nProbe else math.max(3, (kCells / 16.0).ceil.toInt)
+    val probeCells = if (nProbe > 0) nProbe else autoNProbe(kCells)
     // maxIter trades quantizer quality for fit time; recall comes from
     // nProbe overlap, so even a coarse quantizer keeps recall high.
     // kmeans|| init is KEPT deliberately: swapping it for random init
@@ -193,6 +192,18 @@ object Similarity {
 
   private val lastIvfResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
+  /** The ONE probe-count rule for auto mode: a CONSTANT fraction of the
+    * cells (1/16, floor 3) — shared by `ivfTopK` and `probeIvfIndex` so
+    * the in-memory and on-disk serving paths cannot diverge. A fixed
+    * probe COUNT against sqrt-n auto-sized cells silently shrinks the
+    * probed fraction as the corpus grows (3/16 = 19% at the 16-cell
+    * calibration corpus vs 3/459 = 0.7% at 200k vectors) and recall
+    * shrinks with it; the constant fraction reproduces the historical
+    * nProbe=3 exactly at calibration and holds the recall floor past it.
+    */
+  private[graft] def autoNProbe(cells: Int): Int =
+    math.max(3, (cells / 16.0).ceil.toInt)
 
   /** Materialize the IVF scale path ivfTopK's doc promises: the corpus
     * written HIVE-PARTITIONED BY QUANTIZER CELL (`dir/cells/_cell=N/…`)
@@ -278,9 +289,15 @@ object Similarity {
     * driver (the sidecar is tiny), then an exact cosine top-k over ONLY
     * the nProbe matching cell partitions — `.explain` shows
     * PartitionFilters on `_cell`, i.e. non-probed cells are never read.
+    *
+    * `nProbe = 0` (default) = auto: the same constant probe FRACTION as
+    * `ivfTopK` ([[autoNProbe]], cells/16 floor 3), derived from the
+    * centroid sidecar. A fixed default count here against
+    * `writeIvfIndex`'s sqrt-n auto-sized cells would probe ~0.7% of a
+    * 200k-vector corpus instead of the calibrated ~19%.
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    query: Seq[Double], k: Int, nProbe: Int = 3): DataFrame = {
+                    query: Seq[Double], k: Int, nProbe: Int = 0): DataFrame = {
     val stamp = sidecarStamp(spark, dir)
     val cents = centroidCache.compute(dir, (d, cached) =>
       if (cached != null && cached._1 == stamp) cached
@@ -300,9 +317,10 @@ object Similarity {
       val n2 = math.sqrt(query.map(x => x * x).sum)
       if (n2 == 0) query else query.map(_ / n2)
     }
+    val probeCells = if (nProbe > 0) nProbe else autoNProbe(cents.length)
     val cells = cents.sortBy { case (c, cent) =>
       (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
-    }.take(math.max(1, nProbe)).map(_._1)
+    }.take(math.max(1, probeCells)).map(_._1)
     spark.read.parquet(s"$dir/cells")
       .filter(col("_cell").isin(cells.map(Int.box): _*))
       .select(col("id").as("neighbor_id"),
@@ -494,8 +512,11 @@ object Similarity {
     val out = graft.dedup.Dedup.survivors(df, pairs, idCol)
     // components() has materialized the pair graph by now (its label
     // frame is persisted or driver-built); dropping the vector cache
-    // only costs a recompute if labels are later evicted.
-    vecs.unpersist(blocking = false)
+    // only costs a recompute if labels are later evicted. Release via
+    // unpin (not a bare unpersist) so the registry entry goes with it —
+    // a stale entry would otherwise alias the NEXT call's
+    // logically-identical pin and evict its fresh cache.
+    graft.ops.Par.unpin("semdedup.vecs", vecs)
     out
   }
 }

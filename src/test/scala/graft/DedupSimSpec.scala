@@ -544,6 +544,43 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF default probe auto-sizes to the index's cell count") {
+    // unit law first: a constant probe FRACTION (1/16 of cells, floor 3)
+    // — reproduces the historical nProbe=3 exactly at the 16-cell
+    // calibration corpus, and scales with sqrt-n auto-sized cells
+    // instead of shrinking to ~0.7% of a 200k-vector index
+    assert(Similarity.autoNProbe(16) == 3)
+    assert(Similarity.autoNProbe(48) == 3)
+    assert(Similarity.autoNProbe(64) == 4)
+    assert(Similarity.autoNProbe(459) == 29)
+    assert(Similarity.autoNProbe(4096) == 256)
+    // end-to-end: default-probe a 64-cell index and observe the probed
+    // cell fraction as scan file count (one file per cell by layout)
+    val rng = new Random(33)
+    val vecs = (0L until 512L).map { i =>
+      val c = (i % 64).toInt
+      (i, Seq.tabulate(64)(d => (if (d == c) 5.0 else 0.0) +
+        rng.nextGaussian() * 0.05))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    try {
+      Similarity.writeIvfIndex(vecs, "embedding", "vec_id", dir,
+        nClusters = 64, seed = 7)
+      val nCells = spark.read.json(s"$dir/centroids").count().toInt
+      assert(nCells == 64)
+      val q = vecs.filter(col("vec_id") === 3L).head().getSeq[Double](1)
+      val probed = Similarity.probeIvfIndex(spark, dir, q, k = 5)
+      probed.collect()
+      val (files, _) = graft.tools.IvfScaleProbe.scanReadMetrics(probed)
+      assert(files == Similarity.autoNProbe(nCells),
+        s"default probe read $files cells; want cells/16 = " +
+          s"${Similarity.autoNProbe(nCells)} (the calibrated fraction)")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("IVF probe picks up an index rebuilt by another process") {
     // the centroid cache is keyed by dir; an EXTERNAL rebuild (another
     // JVM) never calls this JVM's invalidation, so freshness must come

@@ -119,4 +119,39 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("pinLatest keeps a logically-identical re-pin cached") {
+    import graft.ops.Par
+    // a fresh Dataset each call, but the SAME logical plan — the shape of
+    // a repeat bench iteration or repeated serving call
+    def frame = spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * 2)
+    val first = Par.pinLatest("spec.pin", frame)
+    first.count()
+    assert(first.storageLevel.useMemory, "first pin must be cached")
+    val second = Par.pinLatest("spec.pin", frame)
+    second.count()
+    // Spark's cache resolves both pins to ONE entry by plan sameResult;
+    // the old reference-equality eviction guard removed that shared
+    // entry here and the intermediate silently recomputed ever after
+    assert(second.storageLevel.useMemory,
+      "re-pinning the same logical frame must not evict the shared cache entry")
+    assert(first.storageLevel.useMemory)
+    // a genuinely different pin under the same key still evicts
+    val third = Par.pinLatest("spec.pin", spark.range(0, 10).toDF("other"))
+    third.count()
+    assert(third.storageLevel.useMemory)
+    assert(!second.storageLevel.useMemory,
+      "a different plan under the same key evicts the previous pin")
+    Par.unpin("spec.pin", third)
+    assert(!third.storageLevel.useMemory, "unpin releases the cache entry")
+    // after unpin the registry holds no stale entry: a fresh pin of the
+    // SAME plan persists and stays cached (a stale sameResult entry
+    // would alias it; pre-fix that unpersisted the fresh pin)
+    val again = Par.pinLatest("spec.pin", spark.range(0, 10).toDF("other"))
+    again.count()
+    assert(again.storageLevel.useMemory,
+      "pin after unpin of an identical plan must stay cached")
+    Par.unpin("spec.pin", again)
+  }
 }

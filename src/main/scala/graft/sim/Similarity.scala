@@ -329,18 +329,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Plane count for a target LSH bucket density: candidate volume is
-    * Σ bucket² ≈ bands × n × targetBucket/2, and buckets hold
-    * ~n / 2^(planes/bands) vectors, so planes must GROW with the corpus —
-    * planes = bands × ceil(log2(n/target)). The target is the per-vector
-    * candidate budget: 64 ⇒ ~bands×32 candidate pairs per vector, a
-    * constant the exact rerank absorbs (1024 was measured to GC-thrash a
-    * 210k-vector corpus at ~430M candidates; 64 ⇒ ~27M there). Recall
-    * per band falls as bits rise — the standard LSH trade; raise `bands`
-    * to buy recall back. The 64-bit signature caps bits/band at 64/bands:
-    * past n ≈ targetBucket × 2^(64/bands) per-band buckets saturate and
-    * occupancy grows linearly again — at that scale raise `bands` (or
-    * shard the corpus) rather than asking one long for more bits.
+  /** Plane count for a target LSH bucket density, PACKED-SIGNATURE form
+    * (one long holds all bands): candidate volume is Σ bucket² ≈
+    * bands × n × targetBucket/2, and buckets hold ~n / 2^(planes/bands)
+    * vectors, so planes must GROW with the corpus — planes =
+    * bands × ceil(log2(n/target)). The target is the per-vector candidate
+    * budget: 64 ⇒ ~bands×32 candidate pairs per vector, a constant the
+    * exact rerank absorbs (1024 was measured to GC-thrash a 210k-vector
+    * corpus at ~430M candidates; 64 ⇒ ~27M there). Recall per band falls
+    * as bits rise — the standard LSH trade; raise `bands` to buy recall
+    * back. The single-long signature caps bits/band at 64/bands: past
+    * n ≈ targetBucket × 2^(64/bands) per-band buckets saturate and
+    * occupancy grows linearly again — which is why `cosinePairs`' AUTO
+    * mode no longer uses this rule: it sizes PER-BAND keys via
+    * [[autoBandBits]], whose cap is 64 bits per band (n ≈ target × 2^64 —
+    * effectively unbounded). Retained for explicit-planes sizing and as
+    * the documented packed law.
     */
   def autoPlanes(n: Long, bands: Int = 4, targetBucket: Int = 64): Int = {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
@@ -352,24 +356,64 @@ object Similarity {
     bands * math.max(1, math.min(64 / bands, bits))
   }
 
+  /** Per-band bit widths for `cosinePairs`' auto mode. Two deliberate
+    * differences from [[autoPlanes]]:
+    *
+    *  - Each band keys its OWN hyperplane slice into its own long, so
+    *    bits/band caps at 64 per band, not 64/bands total. The packed
+    *    form saturates at n ≈ targetBucket × 2^(64/bands) (~4.2M rows at
+    *    4 bands), after which bucket occupancy — and with it candidate
+    *    volume — grows quadratically again (measured as the q63
+    *    second-decade exponent 1.21); per-band keys move the wall to
+    *    n ≈ targetBucket × 2^64.
+    *  - The integer ceil() of the packed rule makes mean occupancy jump
+    *    2× at every power-of-two boundary (a sawtooth in candidate
+    *    volume that distorts decade-scaling measurements). Here the
+    *    fractional part of log2(n/target) assigns `round(bands × frac)`
+    *    bands one extra bit, so aggregate candidate volume
+    *    (n²/2 × Σ 2^-bits_b) tracks ~n × targetBucket smoothly.
+    *
+    * Recall semantics are unchanged: planted/true near-dup pairs agree on
+    * every sign and collide in every band at any width; natural-pair
+    * recall per band falls as bits rise — the standard LSH trade, bought
+    * back with `bands`.
+    */
+  private[graft] def autoBandBits(n: Long, bands: Int,
+                                  targetBucket: Int = 64): Seq[Int] = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val real = math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)
+    val lo = math.floor(real).toInt
+    val extra = math.round(bands * (real - lo)).toInt // bands with lo+1 bits
+    (0 until bands).map(b =>
+      math.min(64, math.max(4, if (b < extra) lo + 1 else lo)))
+  }
+
   /** Seeded random hyperplanes (driver-side, tiny). */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Add an SRP signature column: bit p = sign(v · plane_p). */
-  def withSignature(df: DataFrame, vecCol: String, dim: Int, planes: Int,
-                    seed: Long, sigCol: String = "sig"): DataFrame = {
-    val hp = hyperplanes(dim, planes, seed)
-    val v = col(vecCol).cast("array<double>")
-    // Constant plane → LinearScore (codegen'd dot with the plane held as a
-    // referenced double[]), not the interpreted HOF dot.
-    val sig = hp.zipWithIndex.map { case (plane, p) =>
-      when(graft.functions.LinearScore(v, plane.toArray, 0.0) >= 0.0,
-        lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-    df.withColumn(sigCol, sig)
+  /** One `struct(band, key)` column per band: band b's key packs the sign
+    * bits of its own hyperplane slice (`bitsPerBand(b)` planes, taken
+    * sequentially from one seeded stream) into its own long. With equal
+    * widths this reproduces the historical packed-signature banding
+    * (shift/mask of one long) bit for bit — same seed, same sequential
+    * plane assignment — while letting total planes exceed 64.
+    * Constant plane → LinearScore (codegen'd dot with the plane held as a
+    * referenced double[]), not the interpreted HOF dot.
+    */
+  private def bandKeyStructs(v: Column, dim: Int, bitsPerBand: Seq[Int],
+                             seed: Long): Seq[Column] = {
+    val hp = hyperplanes(dim, bitsPerBand.sum, seed)
+    val offsets = bitsPerBand.scanLeft(0)(_ + _)
+    bitsPerBand.indices.map { b =>
+      val key = (0 until bitsPerBand(b)).map { i =>
+        when(graft.functions.LinearScore(v, hp(offsets(b) + i).toArray, 0.0)
+          >= 0.0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
   }
 
   /** Approximate near-neighbor pairs with exact-cosine rerank: SRP
@@ -378,8 +422,11 @@ object Similarity {
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
                   minCosine: Double, planes: Int = 0, seed: Long = 42,
                   bands: Int = 4): DataFrame = {
-    require(bands >= 1 && (planes == 0 || (planes >= bands && planes <= 64)),
-      s"need 1 <= bands <= planes <= 64 (or planes = 0 = auto), " +
+    // explicit planes: >= 1 bit per band, <= 64 bits per band (each band
+    // key is its own long — total planes may exceed 64 across bands)
+    require(bands >= 1 &&
+      (planes == 0 || (planes >= bands && planes / bands <= 64)),
+      s"need bands <= planes <= 64*bands (or planes = 0 = auto), " +
         s"got planes=$planes bands=$bands")
     // max-size probe, not head(): head() throws on an empty corpus and
     // NPEs on a null first vector — emptiness is a legitimate state for
@@ -394,34 +441,25 @@ object Similarity {
     val vecs = graft.ops.Par.pinLatest("srp.vecs",
       graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("_v"))))
-    // planes = 0 (default): size band bits to the corpus via autoPlanes —
-    // a FIXED signature width is a scale bug, not a tuning choice: bucket
-    // occupancy is ~n/2^(planes/bands) per band, so candidate volume
+    // planes = 0 (default): size band bits to the corpus via autoBandBits
+    // — a FIXED signature width is a scale bug, not a tuning choice:
+    // bucket occupancy is ~n/2^bits per band, so candidate volume
     // (Σ bucket²) grows QUADRATICALLY once n outruns the bucket count
-    // (measured: planes=24/4 bands = 6-bit buckets at 210k vectors →
-    // ~3.3k/bucket → hundreds of millions of candidate pairs → executor
-    // OOM; auto picks 8-bit buckets there and the run completes).
-    // Recall on planted/true near-dup pairs is unaffected (identical
-    // vectors share every signature); natural-pair recall per band falls
-    // as bits rise — the standard LSH trade, bought back with `bands`.
-    val nPlanes = if (planes > 0) planes else autoPlanes(vecs.count(), bands)
-    val bits = nPlanes / bands
-    // (1L << 64) wraps to 1 (Java shifts are mod 64): a 64-bit band mask
-    // must be -1L, not (1L << 64) - 1 == 0 — the zero mask would key
-    // EVERY vector into one bucket and cross-join the corpus
-    val bandMask = if (bits >= 64) -1L else (1L << bits) - 1
-    val sigDf = withSignature(vecs, "_v", dim, nPlanes, seed)
+    // (measured: 6-bit buckets at 210k vectors → ~3.3k/bucket → hundreds
+    // of millions of candidate pairs → executor OOM; auto picks 8-bit
+    // buckets there and the run completes). Per-band keys (own long per
+    // band) keep that law holding to n ≈ target × 2^64 instead of
+    // saturating at 2^(64/bands) — see the autoBandBits doc.
+    val bitsPerBand =
+      if (planes > 0) Seq.fill(bands)(planes / bands)
+      else autoBandBits(vecs.count(), bands)
     // explode_outer: a plain explode's inferred not-null filter would
     // recompute the full `planes`-dot-product signature below the fan-out
     // exchange (see Dedup.ngramJaccardPairs); the band array is never empty.
     // The banded frame carries IDS ONLY — vectors never enter the
     // candidate shuffle; they are joined back for the rerank.
-    val banded = sigDf.select(col("id"),
-      explode_outer(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * bits)
-            .bitwiseAND(bandMask).as("key"))
-      }: _*)).as("bk"))
+    val banded = vecs.select(col("id"), explode_outer(array(
+        bandKeyStructs(col("_v"), dim, bitsPerBand, seed): _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
     // Streaming self-join on (band, key) — a bucket-collect would build a
     // hot bucket's m(m-1)/2 pairs as ONE array value in ONE row and crash

@@ -66,15 +66,18 @@ object Streams {
     */
   def sizedStatePartitions(spark: SparkSession, dir: String,
                            glob: String): Int = {
-    val f = new java.io.File(dir, glob)
-    val bytes =
-      if (f.isFile) f.length
-      else { // directory table (part files) or glob miss: sum the parts
-        val d = new java.io.File(dir, glob.stripSuffix("/"))
-        if (d.isDirectory)
-          d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
-        else 0L
-      }
+    // Hadoop FileSystem, NOT java.io.File: the deployments this sizing
+    // exists for read from hdfs://, s3a:// or file: URIs, where a local
+    // File probe silently measures 0 bytes and re-pins the constant
+    // floor of 2 this function was written to remove. globStatus
+    // resolves the same pattern on every scheme; a directory table
+    // (part files) is summed via getContentSummary.
+    val path = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = Option(fs.globStatus(path)).toSeq.flatten.map { st =>
+      if (st.isDirectory) fs.getContentSummary(st.getPath).getLength
+      else st.getLen
+    }.sum
     val byBytes = math.ceil(bytes.toDouble / (2L << 20)).toInt
     math.max(2, math.min(spark.sparkContext.defaultParallelism, byBytes))
   }

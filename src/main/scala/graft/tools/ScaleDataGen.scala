@@ -89,12 +89,28 @@ object ScaleDataGen {
     }
   }
 
+  private[tools] val AllTables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   def generate(spark: SparkSession, base: String, factor: Int, out: String,
                only: Set[String] = Set.empty): Unit = {
+    import scala.jdk.CollectionConverters._
     val done = java.nio.file.Paths.get(out, "_GEN_SUCCESS")
-    if (java.nio.file.Files.exists(done)) { println(s"[sfgen] cached: $out"); return }
+    // The marker records WHICH tables were generated (one name per line),
+    // not a bare "done": a subset run (`only`) followed by a fuller
+    // request must generate the missing tables instead of returning
+    // 'cached' with tables absent. A legacy empty marker records nothing
+    // and triggers a full regenerate.
+    val already: Set[String] =
+      if (java.nio.file.Files.exists(done))
+        java.nio.file.Files.readAllLines(done).asScala
+          .map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val requested = if (only.isEmpty) AllTables.toSet else only
+    if (requested.subsetOf(already)) { println(s"[sfgen] cached: $out"); return }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    def wanted(name: String): Boolean = only.isEmpty || only(name)
+    def wanted(name: String): Boolean = requested(name) && !already(name)
 
     def write(name: String, df: => DataFrame, parts: Int = 32): Unit =
       if (wanted(name)) {
@@ -161,8 +177,10 @@ object ScaleDataGen {
         orthoTransform(offsetKeys(df, c, Seq("vec_id")), c, "embedding", dim)), 8)
     }
 
-    java.nio.file.Files.createFile(done)
-    println(s"[sfgen] done: $out (${factor}x $base)")
+    java.nio.file.Files.write(done,
+      (already ++ requested).toSeq.sorted.asJava)
+    println(s"[sfgen] done: $out (${factor}x $base, " +
+      s"tables=${requested.toSeq.sorted.mkString(",")})")
   }
 
   def main(args: Array[String]): Unit = {

@@ -141,6 +141,28 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("autoBandBits lifts packed saturation and smooths the ceil step") {
+    import graft.sim.Similarity.autoBandBits
+    // at power-of-two occupancy the widths match the packed rule exactly
+    assert(autoBandBits(64L * 1024, 4) == Seq(10, 10, 10, 10))
+    // fractional sizes split the extra bit across bands instead of the
+    // packed rule's 2x occupancy jump at every ceil boundary
+    assert(autoBandBits(96 * 1024L, 4).sorted == Seq(10, 10, 11, 11))
+    // past the packed saturation point (~4.2M rows at 4 bands = 16 bits/
+    // band) per-band keys keep growing — the q63 second-decade fix
+    assert(autoBandBits(1L << 40, 4).forall(_ > 16))
+    assert(autoBandBits(Long.MaxValue, 4).forall(b => b >= 56 && b <= 64))
+    // the smoothed candidate-volume law: aggregate bucket density
+    // Σ 2^-bits_b stays within a narrow constant of bands×target/n
+    // (no sawtooth), for corpora above the 4-bit floor
+    Seq(100000L, 1000000L, 10000000L, 100000000L).foreach { n =>
+      val density = autoBandBits(n, 4).map(b => math.pow(2.0, -b)).sum
+      val ideal = 4.0 * 64.0 / n
+      assert(density / ideal > 0.7 && density / ideal < 1.5,
+        s"n=$n density=$density ideal=$ideal")
+    }
+  }
+
   test("dedup plans keep their scale shape: SHJ index join, no cartesian") {
     // The physical properties the 100 TB design depends on, pinned so a
     // refactor can't silently regress them: the inverted-index self-join

@@ -531,5 +531,11 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     put("huge.parquet", 200 * 1024 * 1024)
     assert(Streams.sizedStatePartitions(spark, dir, "huge.parquet") ==
       spark.sparkContext.defaultParallelism)
+    // URI schemes: a file: URI must size identically to the bare path —
+    // a java.io.File probe reads 0 bytes on ANY scheme'd path (hdfs://,
+    // s3a://, file:) and re-pins the 2-partition floor on exactly the
+    // remote deployments input-sized state partitioning targets
+    assert(Streams.sizedStatePartitions(spark, s"file:$dir", "mid.parquet") == 4)
+    assert(Streams.sizedStatePartitions(spark, s"file:$dir", "tbl.parquet") == 3)
   }
 }

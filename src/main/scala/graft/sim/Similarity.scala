@@ -394,27 +394,23 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** One `struct(band, key)` column per band: band b's key packs the sign
-    * bits of its own hyperplane slice (`bitsPerBand(b)` planes, taken
-    * sequentially from one seeded stream) into its own long. With equal
+  /** `array<long>` of per-band SRP keys: band b packs the sign bits of
+    * its own hyperplane slice (`bitsPerBand(b)` planes, taken
+    * sequentially from one seeded stream) into element b. With equal
     * widths this reproduces the historical packed-signature banding
     * (shift/mask of one long) bit for bit — same seed, same sequential
     * plane assignment — while letting total planes exceed 64.
-    * Constant plane → LinearScore (codegen'd dot with the plane held as a
-    * referenced double[]), not the interpreted HOF dot.
+    *
+    * ONE fused expression, not a per-plane composition: ~50 inlined
+    * per-bit dot loops blow the generated projection past the JVM's
+    * huge-method JIT threshold and the stage drops to the bytecode
+    * interpreter — measured 338 CPU-s vs ~2 s for the same signatures
+    * (see [[graft.functions.SrpBandKeys]]).
     */
-  private def bandKeyStructs(v: Column, dim: Int, bitsPerBand: Seq[Int],
-                             seed: Long): Seq[Column] = {
-    val hp = hyperplanes(dim, bitsPerBand.sum, seed)
-    val offsets = bitsPerBand.scanLeft(0)(_ + _)
-    bitsPerBand.indices.map { b =>
-      val key = (0 until bitsPerBand(b)).map { i =>
-        when(graft.functions.LinearScore(v, hp(offsets(b) + i).toArray, 0.0)
-          >= 0.0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
-  }
+  private[graft] def bandKeys(v: Column, dim: Int, bitsPerBand: Seq[Int],
+                              seed: Long): Column =
+    graft.functions.SrpBandKeys(v,
+      hyperplanes(dim, bitsPerBand.sum, seed), bitsPerBand, dim)
 
   /** Approximate near-neighbor pairs with exact-cosine rerank: SRP
     * signatures, banded equi-join candidates, exact cosine >= minCosine.
@@ -436,11 +432,10 @@ object Similarity {
       return df.limit(0).select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cos"))
     val dim = dimRow.getInt(0)
-    // Consumed three times with divergent plans (signature build + the two
-    // rerank joins) — persist; eager unpersist would break the lazy result.
-    val vecs = graft.ops.Par.pinLatest("srp.vecs",
-      graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("_v"))))
+    // Consumed twice (the sizing count + the banding scan) with cheap
+    // plans — no persist needed since the rerank no longer joins back.
+    val vecs = graft.ops.Par.fanOut(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("_v")))
     // planes = 0 (default): size band bits to the corpus via autoBandBits
     // — a FIXED signature width is a scale bug, not a tuning choice:
     // bucket occupancy is ~n/2^bits per band, so candidate volume
@@ -453,32 +448,43 @@ object Similarity {
     val bitsPerBand =
       if (planes > 0) Seq.fill(bands)(planes / bands)
       else autoBandBits(vecs.count(), bands)
-    // explode_outer: a plain explode's inferred not-null filter would
-    // recompute the full `planes`-dot-product signature below the fan-out
-    // exchange (see Dedup.ngramJaccardPairs); the band array is never empty.
-    // The banded frame carries IDS ONLY — vectors never enter the
-    // candidate shuffle; they are joined back for the rerank.
-    val banded = vecs.select(col("id"), explode_outer(array(
-        bandKeyStructs(col("_v"), dim, bitsPerBand, seed): _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+    // The banded frame carries its VECTOR, unlike the jaccard/minhash
+    // plans (ids only, shingle sets joined back): there the per-row
+    // payload is unbounded, here it is one dim-sized array, and carrying
+    // it through the band exchange costs bands × corpus bytes while
+    // joining vectors back onto candidates costs ~2 × candidatesPerVector
+    // (≈ bands × targetBucket/2 ≈ 128) × corpus bytes — measured at 210k
+    // dim-64 vectors: 437 MB vs ~20 GB of rerank-join shuffle, 90.7 s →
+    // the inline plan below. The ratio only grows with the corpus, so the
+    // same choice holds on a cluster.
+    // posexplode_outer: a plain posexplode's inferred not-null filter
+    // would recompute the full signature below the fan-out exchange (see
+    // Dedup.ngramJaccardPairs); the key array is null only for a null
+    // vector, whose (null, null) row the equi-join then drops.
+    val banded = vecs.select(col("id"), col("_v"),
+      posexplode_outer(bandKeys(col("_v"), dim, bitsPerBand, seed))
+        .as(Seq("band", "key")))
     // Streaming self-join on (band, key) — a bucket-collect would build a
     // hot bucket's m(m-1)/2 pairs as ONE array value in ONE row and crash
     // (see Dedup.minhashPairs); the join streams the same pairs as rows.
+    // The exact cosine runs INLINE on the streamed pair (codegen'd fused
+    // loop, no materialization) and the threshold filters BEFORE the
+    // dedup shuffle, so the groupBy only ever shuffles surviving pairs —
+    // a pair colliding in several bands is scored that many times (≤
+    // bands, ~13% extra compute measured) but never shuffled with its
+    // vectors attached.
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bandedP = banded.repartition(p, col("band"), col("key"))
     bandedP.as("a").hint("shuffle_hash")
       .join(bandedP.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
-      // pin the rerank's parallelism (as minhashPairs does): candidate
-      // bytes are small, so AQE would coalesce the cosine-heavy stage
-      .repartition(p, col("id_a"))
-      .join(vecs.select(col("id").as("id_a"), col("_v").as("_va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("_v").as("_vb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("_va"), col("_vb")), 6).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a._v"), col("b._v")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
+      // duplicates across bands carry an IDENTICAL cos (same codegen'd
+      // arithmetic on the same operands) — max() is a dedup, not a choice
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -14,7 +14,10 @@ object StageProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
-    graft.Tables.lineitem(spark, sfDir).count()
+    // warm-up on whichever table the dir actually has (docs-only
+    // ScaleDataGen dirs carry no lineitem)
+    try graft.Tables.lineitem(spark, sfDir).count()
+    catch { case _: Exception => graft.Tables.documents(spark, sfDir).count() }
 
     val stages = ArrayBuffer[(Int, String, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -92,6 +92,21 @@ object ModelIO {
       "classes" -> JArray(classes.map(JDouble).toList),
       "norm" -> norm.map(JString).getOrElse(JNull),
       "models" -> JArray(models.map(toJson(_): JValue).toList))
+    case GBT.GBTModel(prior, trees, lr, nClasses) => JObject(
+      // the stage axis carries whatever early stopping left: a truncated
+      // model round-trips as-is
+      "type" -> JString("gbt"),
+      "nClasses" -> JInt(nClasses),
+      "lr" -> JDouble(lr),
+      "prior" -> JArray(prior.map(JDouble).toList),
+      "trees" -> JArray(trees.map(stage =>
+        JArray(stage.map(treeToJson(_): JValue).toList): JValue).toList))
+    case graft.search.OvOModel(classes, pairs, models) => JObject(
+      "type" -> JString("ovo"),
+      "classes" -> JArray(classes.map(JDouble).toList),
+      "pairA" -> JArray(pairs.map(p => JDouble(p._1)).toList),
+      "pairB" -> JArray(pairs.map(p => JDouble(p._2)).toList),
+      "models" -> JArray(models.map(toJson(_): JValue).toList))
     case other => throw new IllegalArgumentException(
       s"no JSON codec for model type ${other.getClass.getName}")
   }
@@ -112,6 +127,15 @@ object ModelIO {
       dblArr(j \ "classes"),
       (j \ "models").asInstanceOf[JArray].arr.map(modelFromJson).toArray,
       j \ "norm" match { case JString(s) => Some(s); case _ => None })
+    case "gbt" => GBT.GBTModel(
+      dblArr(j \ "prior"),
+      (j \ "trees").asInstanceOf[JArray].arr.map(stage =>
+        stage.asInstanceOf[JArray].arr.map(treeFromJson).toArray).toArray,
+      dblOf(j \ "lr"), intOf(j \ "nClasses"))
+    case "ovo" => graft.search.OvOModel(
+      dblArr(j \ "classes"),
+      dblArr(j \ "pairA").zip(dblArr(j \ "pairB")),
+      (j \ "models").asInstanceOf[JArray].arr.map(modelFromJson).toArray)
     case t => throw new IllegalArgumentException(s"unknown model type: $t")
   }
 
@@ -129,6 +153,17 @@ object ModelIO {
       strArr(j \ "classes"),
       (j \ "models").asInstanceOf[JArray].arr.map(modelFromJson).toArray,
       j \ "norm" match { case JString(s) => Some(s); case _ => None })
+
+  /** TreeEmbeddingModel is a transformer, not a `Model` (no predict), so
+    * like MultilabelOvR it serializes through its own top-level document.
+    */
+  def toJson(model: graft.search.TreeEmbeddingModel): JObject = JObject(
+    "type" -> JString("tree_embedding"),
+    "trees" -> JArray(model.trees.map(treeToJson(_): JValue).toList))
+
+  def treeEmbeddingFromJson(j: JValue): graft.search.TreeEmbeddingModel =
+    graft.search.TreeEmbeddingModel(
+      (j \ "trees").asInstanceOf[JArray].arr.map(treeFromJson).toArray)
 
   // ---- encoder codec --------------------------------------------------
 
@@ -197,11 +232,15 @@ object ModelIO {
     write(path, toJson(model))
   def save(model: EncoderizerModel, path: String): Unit =
     write(path, toJson(model))
+  def save(model: graft.search.TreeEmbeddingModel, path: String): Unit =
+    write(path, toJson(model))
 
   def loadModel(path: String): Model = modelFromJson(read(path))
   def loadMultilabel(path: String): graft.search.MultilabelOvRModel =
     multilabelFromJson(read(path))
   def loadEncoderizer(path: String): EncoderizerModel = encoderFromJson(read(path))
+  def loadTreeEmbedding(path: String): graft.search.TreeEmbeddingModel =
+    treeEmbeddingFromJson(read(path))
 
   private def write(path: String, j: JValue): Unit = {
     val p = java.nio.file.Paths.get(path)

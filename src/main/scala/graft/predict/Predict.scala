@@ -84,6 +84,58 @@ object Predict {
                         outCol: String = "scores"): DataFrame =
     df.withColumn(outCol, predictProbaUdf(spark, model)(col(featuresCol)))
 
+  /** Text-input prediction (reference `predict.py:59-71`,
+    * `feature_type='text'`): a RAW STRING column goes through a fitted
+    * [[graft.encode.Encoderizer.TextHashStage]] into a linear model in
+    * ONE call — the one-call surface the reference exposes for text
+    * models, previously only reachable as Encoderizer.transform →
+    * Predict. The hashed feature space is numFeatures × gram-sizes wide
+    * and almost-all-zero per row, so the scorer walks the SPARSE
+    * vector's active entries against the broadcast weight matrix
+    * instead of densifying 2^18 doubles per row through the
+    * `array<double>` UDF path. Hashing and scoring both ride the scan —
+    * no shuffle, distributes with the input partitioning.
+    */
+  def withTextPredictions(spark: SparkSession, df: DataFrame,
+                          stage: graft.encode.Encoderizer.TextHashStage,
+                          model: graft.exec.LogRegModel,
+                          outCol: String = "preds",
+                          labels: Option[Seq[String]] = None): DataFrame = {
+    val d = stage.width
+    require(model.weights.forall(_.length == d + 1),
+      s"model rows carry ${model.weights.head.length - 1}+bias weights; " +
+        s"the text stage produces $d features")
+    val bc = spark.sparkContext.broadcast(model.weights)
+    val lab = labels.map(_.toIndexedSeq)
+    def argmaxSparse(v: org.apache.spark.ml.linalg.Vector): Int = {
+      val w = bc.value
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < w.length) {
+        var s = w(c)(d)
+        v.foreachActive((i, x) => s += w(c)(i) * x)
+        if (s > bestS) { bestS = s; best = c } // first max wins, as predict
+        c += 1
+      }
+      best
+    }
+    val vecCol = s"_txtfeat_${stage.name}"
+    val withVec = stage.transform(df, vecCol)
+    val predCol = lab match {
+      case Some(l) =>
+        val f = udf((v: org.apache.spark.ml.linalg.Vector) =>
+          if (v == null) null
+          else { val i = argmaxSparse(v); if (i < l.size) l(i) else null })
+        f(col(vecCol))
+      case None =>
+        val f = udf((v: org.apache.spark.ml.linalg.Vector) =>
+          if (v == null) None else Some(argmaxSparse(v)))
+        f(col(vecCol))
+    }
+    withVec.withColumn(outCol, predCol).drop(vecCol)
+  }
+
   /** Multilabel prediction column: SORTED `array<string>` label set (the
     * MultiLabelBinarizer inverse_transform of the per-class votes).
     */

@@ -98,6 +98,38 @@ object EncodeQueries {
         .orderBy("doc_id")
     }),
 
+    // Text-input prediction end-to-end (reference predict.py:59-71,
+    // feature_type='text'): raw text -> tokenize -> hashed term buckets
+    // -> per-bucket tf -> linear class scores -> argmax. The bucket hash
+    // here is md5-derived so DuckDB can reproduce it EXACTLY (the
+    // product wrapper Predict.withTextPredictions uses HashingTF's
+    // murmur3 and is parity-pinned in ScalaTest instead); weights come
+    // from a per-class integer formula so scores stay in exact integer
+    // arithmetic on both engines — no float-sum order sensitivity.
+    // Scale shape: tokenize+hash ride the scan; one exploded two-phase
+    // aggregation, no joins, no driver loops.
+    "q92_text_predict" -> ((s, d) => {
+      val nb = 64
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
+        .cast("long") % nb).cast("int")
+      def w(p: Int) = (col("bucket") * p) % 19 - 9
+      toks.groupBy(col("doc_id"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * w(37)).as("s0"),
+          sum(col("tf") * w(53)).as("s1"),
+          sum(col("tf") * w(71)).as("s2"))
+        .select(col("doc_id"),
+          when(col("s0") >= col("s1") && col("s0") >= col("s2"), 0)
+            .when(col("s1") >= col("s2"), 1).otherwise(2)
+            .cast("int").as("pred"),
+          greatest(col("s0"), col("s1"), col("s2")).as("best_score"))
+        .orderBy("doc_id")
+    }),
+
     // Codegen'd LinearScore expression vs DuckDB list_dot_product.
     "q47_linear_score" -> ((s, d) => {
       val w = Array.tabulate(64)(j => (j * 37 % 19 - 9) / 10.0)
@@ -145,6 +177,27 @@ object EncodeQueries {
     (0 until 64).map(j => (j * 37 % 19 - 9) / 10.0).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q92_text_predict" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS INT) AS bucket,
+        |    count(*) AS tf
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(sum(tf * ((bucket * 37) % 19 - 9)) AS BIGINT) AS s0,
+        |    CAST(sum(tf * ((bucket * 53) % 19 - 9)) AS BIGINT) AS s1,
+        |    CAST(sum(tf * ((bucket * 71) % 19 - 9)) AS BIGINT) AS s2
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+        |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS pred,
+        |  greatest(s0, s1, s2) AS best_score
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q58_encoder_e2e" ->
       """WITH stats AS (
         |  SELECT avg(n_chars) AS m, stddev_pop(n_chars) AS s FROM documents)

@@ -201,6 +201,44 @@ class EncoderSpec extends AnyFunSuite {
     }
   }
 
+  test("text-input prediction: fused wrapper equals transform-then-predict") {
+    // the reference's feature_type='text' one-call path: raw string ->
+    // TextHashStage features -> linear model. Parity-pinned against the
+    // two-step Encoderizer-style route through the dense UDF predictor.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "lazy dogs sleep here all day"),
+      (3L, "foxes and dogs and foxes"),
+      (4L, "quick quick fox fox fox"),
+      (5L, ""),
+      (6L, "zebra")).toDF("id", "txt")
+    val stage = Encoderizer.TextHashStage("txt", (1, 2), 64, Some((3, 3)))
+    val d = stage.width
+    assert(d == 192)
+    // deterministic weight matrix, 3 classes x (d + bias)
+    val w = Array.tabulate(3, d + 1)((c, j) => ((j * 37 + c * 53) % 19 - 9) / 10.0)
+    val model = LogRegModel(w, nClasses = 3)
+
+    val fused = Predict.withTextPredictions(spark, docs, stage, model)
+      .select("id", "preds").as[(Long, Int)].collect().toMap
+    val twoStep = {
+      val feats = stage.transform(docs, "f")
+        .withColumn("fa", org.apache.spark.ml.functions.vector_to_array(col("f")))
+      Predict.withPredictions(spark, feats, model, "fa")
+        .select("id", "preds").as[(Long, Int)].collect().toMap
+    }
+    assert(fused == twoStep, s"fused $fused vs two-step $twoStep")
+    assert(fused.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(fused.values.toSet.size > 1, "fixture must separate classes")
+
+    // string-label variant routes through the same scores
+    val lab = Seq("neg", "neu", "pos")
+    val fusedLab = Predict.withTextPredictions(spark, docs, stage, model,
+      labels = Some(lab))
+      .select("id", "preds").as[(Long, String)].collect().toMap
+    assert(fusedLab == fused.view.mapValues(lab).toMap)
+  }
+
   test("fit tolerates date columns; transform imputes malformed numerics") {
     // try_cast(date as double) is an ANALYSIS error in Spark — fit must
     // probe dates as non-numeric instead of crashing on any real frame

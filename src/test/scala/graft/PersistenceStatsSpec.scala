@@ -111,6 +111,70 @@ class PersistenceStatsSpec extends AnyFunSuite {
     assert(probes.forall(x => ml.predictLabels(x).toSeq == ml2.predictLabels(x).toSeq))
   }
 
+  test("model save/load: GBT, OvO and tree-embedding round-trip") {
+    import graft.exec.{FitSideData, GBT}
+    val dir = java.nio.file.Files.createTempDirectory("model_io2").toString
+    val m = blobs()
+    val probes = m.x.take(30)
+
+    // multiclass GBT: the stage x class tree matrix plus prior/lr
+    val gbt = GBT.Classifier.fit(m.x, m.y,
+      Map("n_estimators" -> 12.0, "max_depth" -> 3.0,
+        "learning_rate" -> 0.3), 3L).asInstanceOf[GBT.GBTModel]
+    ModelIO.save(gbt, s"$dir/gbt.json")
+    val gbt2 = ModelIO.loadModel(s"$dir/gbt.json").asInstanceOf[GBT.GBTModel]
+    assert(gbt2.nStages == gbt.nStages && gbt2.nClasses == gbt.nClasses)
+    assert(probes.forall(x =>
+      gbt.predictProba(x).toSeq == gbt2.predictProba(x).toSeq))
+
+    // regression GBT (nClasses = 0 single-score axis)
+    val reg = GBT.Regressor.fit(m.x, m.x.map(_.sum),
+      Map("n_estimators" -> 8.0, "max_depth" -> 3.0), 3L)
+    ModelIO.save(reg, s"$dir/gbtr.json")
+    val reg2 = ModelIO.loadModel(s"$dir/gbtr.json")
+    assert(probes.forall(x => reg.predict(x) == reg2.predict(x)))
+
+    // a TRUNCATED (early-stopped) GBT keeps its truncated stage axis
+    // through the round-trip (overfit-prone shape as in GBTSpec)
+    val rng = new Random(3)
+    def mk(n: Int) = {
+      val x = Array.tabulate(n) { i =>
+        val c = i % 2
+        Array.tabulate(10)(j =>
+          if (j == 0) c * 1.0 + rng.nextGaussian() * 0.9 else rng.nextGaussian())
+      }
+      (x, Array.tabulate(n)(i => (i % 2).toDouble))
+    }
+    val (tx, ty) = mk(60)
+    val (ex, ey) = mk(300)
+    val early = GBT.Classifier.fit(tx, ty,
+      Map("n_estimators" -> 200.0, "max_depth" -> 4.0,
+        "learning_rate" -> 0.3), 1,
+      FitSideData(ex, ey, earlyStoppingRounds = 5)).asInstanceOf[GBT.GBTModel]
+    assert(early.nStages < 200, "fixture must early-stop")
+    ModelIO.save(early, s"$dir/gbt_early.json")
+    val early2 = ModelIO.loadModel(s"$dir/gbt_early.json").asInstanceOf[GBT.GBTModel]
+    assert(early2.nStages == early.nStages)
+    assert(tx.forall(x =>
+      early.predictProba(x).toSeq == early2.predictProba(x).toSeq))
+
+    // OvO: pairs, class remap and per-pair models
+    val ovo = new DistOneVsOne(LogisticRegressionGD).fitMatrix(spark, m)
+    ModelIO.save(ovo, s"$dir/ovo.json")
+    val ovo2 = ModelIO.loadModel(s"$dir/ovo.json").asInstanceOf[OvOModel]
+    assert(ovo2.classes.toSeq == ovo.classes.toSeq)
+    assert(ovo2.pairs.toSeq == ovo.pairs.toSeq)
+    assert(probes.forall(x => ovo.predict(x) == ovo2.predict(x)))
+
+    // tree embedding: leaf geometry (the transform surface) survives
+    val te = new DistRandomTreesEmbedding(nEstimators = 8, maxDepth = 4,
+      seed = 5).fitMatrix(spark, m)
+    ModelIO.save(te, s"$dir/te.json")
+    val te2 = ModelIO.loadTreeEmbedding(s"$dir/te.json")
+    assert(te2.width == te.width)
+    assert(probes.forall(x => te.transform(x).toSeq == te2.transform(x).toSeq))
+  }
+
   test("encoderizer save/load: identical transform output") {
     val df = Seq(
       (1L, "alpha beta", "red", Some(1.5), Seq("a", "b")),

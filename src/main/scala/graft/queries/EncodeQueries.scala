@@ -198,11 +198,23 @@ object EncodeQueries {
         |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS pred,
         |  greatest(s0, s1, s2) AS best_score
         |FROM s ORDER BY doc_id""".stripMargin,
+    // lang/source are low-cardinality strings -> categorical (one-hot
+    // sums to 1 each) at every SF; n_chars' kind is DERIVED from the
+    // data exactly as Encoderizer.inferSpec does (numeric iff
+    // pct_unique >= 0.10), because it flips to categorical once the
+    // corpus outgrows its value range (sf1+). In the categorical branch
+    // every distinct n_chars fits the 2^16 default vocab, so its one-hot
+    // also sums to exactly 1.
     "q58_encoder_e2e" ->
-      """WITH stats AS (
+      """WITH dec AS (
+        |  SELECT count(DISTINCT n_chars) * 1.0 / count(n_chars) >= 0.10 AS is_num
+        |  FROM documents),
+        |stats AS (
         |  SELECT avg(n_chars) AS m, stddev_pop(n_chars) AS s FROM documents)
         |SELECT doc_id,
-        |  round(2.0 + (n_chars - m) / s, 6) AS feat_sum
+        |  round(CASE WHEN (SELECT is_num FROM dec)
+        |        THEN 2.0 + (n_chars - m) / s
+        |        ELSE 3.0 END, 6) AS feat_sum
         |FROM documents, stats ORDER BY doc_id""".stripMargin,
 
     "q54_ftest_topk" ->

@@ -27,6 +27,18 @@ object Relational {
 
   private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  // Exact-decimal revenue term for the grouped revenue aggregates
+  // (q03/q04/q18): double summation ORDER differs between Spark and
+  // DuckDB, and at sf1+ group sums land close enough to a .xx5 boundary
+  // to flip round(x, 2) — the crosscheck's only manual adjudications.
+  // Summing DECIMAL(20,4) is order-independent and exact, so the rounded
+  // result is engine-invariant; the per-row double→decimal cast is too,
+  // because a scale-4 TIE is impossible for a binary double (it would
+  // need value = (2m+1)/20000, whose denominator is not a power of two),
+  // so the engines' half-up vs half-even modes never disagree. The final
+  // cast back to double keeps the published column type.
+  private def revenueDec = revenue.cast("decimal(20,4)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: full-scan aggregate with map-side
     // partial aggregation; groups are tiny so the shuffle is negligible.
@@ -72,11 +84,12 @@ object Relational {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderpriority"))
       Tables.lineitem(s, d)
-        .select(col("l_orderkey"), revenue.as("_rev"))
+        .select(col("l_orderkey"), revenueDec.as("_rev"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderpriority")
-        .agg(round(sum("_rev"), 2).as("rev"), count(lit(1)).as("n_items"))
+        .agg(round(sum("_rev"), 2).cast("double").as("rev"),
+          count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
@@ -85,7 +98,7 @@ object Relational {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(round(sum(revenue), 2).as("rev"),
+        .agg(round(sum(revenueDec), 2).cast("double").as("rev"),
           round(sum("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
@@ -221,7 +234,8 @@ object Relational {
     "q18_having" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n_items"), round(sum(revenue), 2).as("rev"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(revenueDec), 2).cast("double").as("rev"))
         .filter(col("n_items") > 550)
         .orderBy("l_suppkey")
     }),
@@ -411,7 +425,7 @@ object Relational {
 
     "q03_join_revenue" ->
       """SELECT c_mktsegment, o_orderpriority,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))),2) AS DOUBLE) AS rev,
         | count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -422,7 +436,7 @@ object Relational {
 
     "q04_dim_join" ->
       """SELECT p_brand,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))),2) AS DOUBLE) AS rev,
         | round(sum(l_quantity),2) AS sum_qty,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -514,7 +528,7 @@ object Relational {
 
     "q18_having" ->
       """SELECT l_suppkey, count(*) AS n_items,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))), 2) AS DOUBLE) AS rev
         |FROM lineitem GROUP BY l_suppkey
         |HAVING count(*) > 550
         |ORDER BY l_suppkey""".stripMargin,

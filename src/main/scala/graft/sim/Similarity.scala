@@ -226,15 +226,16 @@ object Similarity {
       .withColumn("_nv",
         array_to_vector(normalized(col("vec").cast("array<double>"))))
       .persist()
+    val nRows = toVec.count()
     // loud empty check — KMeans.fit on zero rows dies with an opaque
     // MLlib stack; an index over nothing is a caller bug, not a no-op
-    require(toVec.limit(1).count() > 0,
+    require(nRows > 0,
       s"cannot build an IVF index over an empty corpus ($vecCol all null/empty?)")
     // nClusters = 0 auto-scales to ~sqrt(n), as in ivfTopK
     val kCells =
       if (nClusters > 0) nClusters
       else math.max(16, math.min(4096,
-        math.ceil(math.sqrt(toVec.count().toDouble)).toInt))
+        math.ceil(math.sqrt(nRows.toDouble)).toInt))
     val km = fitSphericalKMeans(toVec, "_nv", kCells, seed, maxIter)
     km.transform(toVec).select(col("id"), col("vec"), col("_cell"))
       // repartition ON the partition column first: without it every input
@@ -249,7 +250,127 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     spark.createDataFrame(cents).toDF("_cell", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
+    // build-time meta so appendToIvfIndex can measure growth SINCE BUILD
+    // (cells were sized for nRows — whether by the sqrt rule or an
+    // explicit nClusters, drift is relative to that corpus, not to an
+    // assumed sizing law)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_build_meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    out.write(s"""{"rows":$nRows,"cells":$kCells}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     centroidCache.remove(dir) // a rebuild invalidates any cached sidecar
+  }
+
+  /** Result of [[appendToIvfIndex]]: occupancy after the append plus the
+    * drift verdict. `rebuildRecommended` goes true when the corpus has
+    * outgrown its quantizer — either the total is past `ratio²` × the
+    * sqrt-sizing the cells were built for (ideal cells > ratio × actual)
+    * or one cell has bloated past `ratio` × the mean (the appended
+    * distribution no longer matches the original quantizer).
+    */
+  final case class IvfAppendStats(appended: Long, total: Long, cells: Int,
+                                  maxCell: Long, meanCell: Double,
+                                  rebuildRecommended: Boolean)
+
+  /** Append new vectors to an existing on-disk IVF index WITHOUT
+    * re-quantizing: each vector is assigned to its nearest EXISTING
+    * centroid (the same normalized-Euclidean metric that built the
+    * index) and its cell partition gains append-mode files — a growing
+    * corpus no longer forces a full rebuild per batch (the substring
+    * span index got incremental batches in r6; this is the IVF
+    * equivalent). The centroids sidecar is untouched, so probes stay
+    * valid with no cache invalidation.
+    *
+    * The trade is recorded, not hidden: appended vectors land in cells
+    * sized for the ORIGINAL corpus, so occupancy drifts as appends
+    * accumulate; past `rebuildRecommendRatio` the returned stats flag a
+    * re-quantize LOUDLY (stderr) — recall per probe-fraction degrades
+    * gracefully until then, never silently off a cliff, because the
+    * assignment metric and the probe metric remain the same.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, vecCol: String, idCol: String,
+                       dir: String,
+                       rebuildRecommendRatio: Double = 2.0): IvfAppendStats = {
+    val spark = newVecs.sparkSession
+    val stamp = sidecarStamp(spark, dir)
+    val cents = centroidCache.compute(dir, (d, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, spark.read.json(s"$d/centroids")
+        .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))))._2
+    require(cents.nonEmpty, s"no centroids sidecar under $dir — build with" +
+      s" writeIvfIndex first; append cannot bootstrap an index")
+    val dim = cents.head._2.length
+    val toAdd = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+    // a dimension mismatch would TRUNCATE silently in zip_with and
+    // assign confidently-wrong cells — same loud guard as probeIvfIndex
+    val dimRow = toAdd.agg(max(size(col("vec")))).head()
+    if (!dimRow.isNullAt(0))
+      require(dimRow.getInt(0) == dim,
+        s"append dimension ${dimRow.getInt(0)} != index dimension $dim ($dir)")
+    // assignment: argmin over the broadcast centroid table by the SAME
+    // metric that built the cells — Euclidean on the L2-normalized
+    // vector (centroids already live in normalized space). One narrow
+    // crossJoin of n × cells distance rows carrying ONLY (id, cell,
+    // dist); vectors stay on their scan rows and join back by id.
+    val centroidDf = broadcast(
+      spark.createDataFrame(cents.toSeq).toDF("_cell", "_centroid"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("_cdist").asc, col("_cell").asc) // deterministic ties
+    val assigned = toAdd
+      .withColumn("_nv", normalized(col("vec").cast("array<double>")))
+      .crossJoin(centroidDf)
+      .withColumn("_cdist", aggregate(
+        zip_with(col("_nv"), col("_centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("vec"), col("_cell"))
+    assigned
+      .repartition(col("_cell")) // one writer per cell, as writeIvfIndex
+      .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
+    // occupancy after the append, from the index itself (ids-only scan)
+    val occ = spark.read.parquet(s"$dir/cells")
+      .groupBy("_cell").count().select("count")
+      .collect().map(_.getLong(0))
+    val total = occ.sum
+    val appended = toAdd.count()
+    val maxCell = if (occ.isEmpty) 0L else occ.max
+    val mean = if (occ.isEmpty) 0.0 else total.toDouble / cents.length
+    // growth since build: cells should scale ~sqrt(rows), so at
+    // total > ratio² × buildRows the built cell count is a factor
+    // `ratio` under the sqrt law FOR THIS INDEX (explicit or auto —
+    // drift is relative to the corpus the quantizer saw, not to an
+    // assumed sizing rule). Pre-meta indexes fall back to skew-only.
+    val builtRows: Option[Long] = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_build_meta.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        (org.json4s.jackson.JsonMethods.parse(txt) \ "rows") match {
+          case org.json4s.JInt(v) => Some(v.toLong)
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
+    val outgrown = builtRows.exists(r =>
+      total > rebuildRecommendRatio * rebuildRecommendRatio * r)
+    val skewed = maxCell > rebuildRecommendRatio * math.max(1.0, mean)
+    if (outgrown || skewed)
+      System.err.println(s"[graft.ivf] REBUILD RECOMMENDED for $dir: " +
+        s"total=$total over ${cents.length} cells" +
+        builtRows.fold("")(r => s" (built for $r rows)") +
+        f", max cell $maxCell vs mean $mean%.1f — appended vectors are " +
+        s"riding a quantizer sized for a smaller corpus; run " +
+        s"writeIvfIndex to re-quantize")
+    IvfAppendStats(appended, total, cents.length, maxCell, mean,
+      outgrown || skewed)
   }
 
   /** The ONE spherical-quantizer configuration — shared by ivfTopK,

@@ -603,6 +603,63 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index appends: assigned cells probe like a fresh index") {
+    // well-separated clusters so assignment and probing are stable
+    // under both the original and the re-fit quantizer
+    val rng = new Random(44)
+    def cluster(c: Int, ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(16)(d => (if (d == c * 4) 6.0 else 0.0) +
+        rng.nextGaussian() * 0.1))
+    }
+    val base = (0 until 4).flatMap(c => cluster(c, (c * 100) until (c * 100 + 60)))
+    val extra = (0 until 4).flatMap(c => cluster(c, (1000 + c * 100) until (1000 + c * 100 + 30)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val extraDf = extra.toDF("vec_id", "embedding")
+    val dirA = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val dirF = java.nio.file.Files.createTempDirectory("ivf_fresh").toString
+    try {
+      Similarity.writeIvfIndex(baseDf, "embedding", "vec_id", dirA,
+        nClusters = 4, seed = 11)
+      val stats = Similarity.appendToIvfIndex(extraDf, "embedding", "vec_id", dirA)
+      assert(stats.appended == 120 && stats.total == 360)
+      assert(stats.cells == 4 && !stats.rebuildRecommended,
+        s"balanced append within ratio must not flag a rebuild: $stats")
+      // probe-equality vs a FRESH index over the union: on separated
+      // clusters both quantizers put a query's neighbors in its own
+      // cell, so the top-k id sets agree
+      Similarity.writeIvfIndex(baseDf.unionByName(extraDf), "embedding",
+        "vec_id", dirF, nClusters = 4, seed = 11)
+      for (qid <- Seq(5L, 1105L, 210L, 1310L)) {
+        val q = (base ++ extra).find(_._1 == qid).get._2
+        def ids(dir: String) = Similarity.probeIvfIndex(spark, dir, q, k = 5)
+          .collect().map(_.getLong(0)).toSet
+        assert(ids(dirA) == ids(dirF), s"query $qid: appended != fresh")
+      }
+      // appended rows land in APPEND files — the original cell files
+      // are untouched (no rewrite of the existing index)
+      val cellFiles = new java.io.File(s"$dirA/cells").listFiles()
+        .filter(_.getName.startsWith("_cell=")).flatMap(_.listFiles())
+        .count(_.getName.endsWith(".parquet"))
+      assert(cellFiles >= 8, s"want per-cell base+append files, got $cellFiles")
+      // a skewed append (everything into one cell) trips the LOUD
+      // rebuild recommendation via the occupancy ratio
+      val skew = cluster(0, 5000 until 5600).toDF("vec_id", "embedding")
+      val s2 = Similarity.appendToIvfIndex(skew, "embedding", "vec_id", dirA)
+      assert(s2.rebuildRecommended && s2.maxCell > 2.0 * s2.meanCell,
+        s"skewed append must recommend re-quantize: $s2")
+      // dimension mismatch is loud, not silently truncated
+      intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(
+          Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"),
+          "embedding", "vec_id", dirA)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirF)).deleteRecursively()
+    }
+  }
+
   test("IVF probe picks up an index rebuilt by another process") {
     // the centroid cache is keyed by dir; an EXTERNAL rebuild (another
     // JVM) never calls this JVM's invalidation, so freshness must come

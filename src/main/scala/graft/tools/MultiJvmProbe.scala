@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runs the most expensive data-plane queries under
+  * `local-cluster[4,8,4096]` — four REAL executor JVMs — and compares
+  * row count + an order-independent checksum against the same queries
+  * under `local[32]`. Flushes single-JVM assumptions that local mode
+  * can't catch: executor classpath for the custom Expressions,
+  * broadcast serialization (models, sidecars, centroid tables),
+  * driver-held registries (Par.pinned, centroidCache) being accidentally
+  * touched on executors, and state-store/file paths that silently
+  * assume one process.
+  *
+  * Needs SPARK_HOME=/opt/spark (local-cluster launches real workers)
+  * and ships target/scala-2.13/classes via executor extraClassPath.
+  *
+  * Usage: SPARK_HOME=/opt/spark sbt "runMain graft.tools.MultiJvmProbe [sfDir] [q...]"
+  */
+object MultiJvmProbe {
+  private val DefaultQueries = Seq(
+    "q36_ngram_jaccard", "q38_minhash_pairs", "q48_asof_join",
+    "q62_ivf_ann", "q63_srp_pairs", "q64_neardup_survivors",
+    "q76_semantic_dedup", "q83_dup_spans", "q87_stream_decontaminate",
+    "q90_coverage_survivors", "q92_text_predict")
+
+  /** Order/partitioning-independent fingerprint: sum of per-row
+    * xxhash64 over all columns. Float columns in these queries are
+    * rounded in the query itself, so the hash is layout-stable.
+    */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    // mod before summing: a raw 64-bit hash sum overflows long (ANSI
+    // mode throws); hashes mod 1e9+7 keep the sum far from the edge
+    // while staying multiset-sensitive
+    val h = df.agg(count(lit(1)),
+      sum(pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+        lit(1000000007L)))).head()
+    (h.getLong(0), if (h.isNullAt(1)) 0L else h.getLong(1))
+  }
+
+  private def runAll(spark: SparkSession, sfDir: String,
+                     names: Seq[String]): Map[String, (Long, Long)] =
+    names.map { n =>
+      val t0 = System.nanoTime()
+      val fp = fingerprint(graft.SparkEntry.queries(n)(spark, sfDir))
+      println(f"[multijvm]   $n%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        s"  rows=${fp._1} hash=${fp._2}")
+      n -> fp
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+
+    println(s"[multijvm] reference run: local[32] over $sfDir")
+    val localSpark = Sessions.build("local[32]", 32)
+    localSpark.sparkContext.setLogLevel("ERROR")
+    val want = runAll(localSpark, sfDir, names)
+    localSpark.stop()
+    // a stopped session lingers in the builder's default-session slot;
+    // clear so the cluster build doesn't inherit it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    println("[multijvm] cluster run: local-cluster[4,8,4096]")
+    val cluster = Sessions.builder("local-cluster[4,8,4096]", 32)
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      .config("spark.executor.memory", "3g")
+      .getOrCreate()
+    cluster.sparkContext.setLogLevel("ERROR")
+    val got = runAll(cluster, sfDir, names)
+    cluster.stop()
+
+    var fails = 0
+    names.foreach { n =>
+      val ok = want(n) == got(n)
+      if (!ok) fails += 1
+      println(s"[multijvm] ${if (ok) "OK  " else "FAIL"} $n " +
+        s"local=${want(n)} cluster=${got(n)}")
+    }
+    println(s"[multijvm] ${if (fails == 0) "ALL OK" else s"$fails FAILURES"} " +
+      s"(${names.length} queries)")
+    if (fails > 0) sys.exit(1)
+  }
+}

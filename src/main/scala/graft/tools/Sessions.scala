@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def build(master: String, shufflePartitions: Int): SparkSession =
+    builder(master, shufflePartitions).getOrCreate()
+
+  /** The configured builder, for mains that need extra settings on top
+    * (e.g. MultiJvmProbe's executor classpath for local-cluster mode).
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .withExtensions(new graft.plans.GraftExtensions)
@@ -35,5 +41,4 @@ object Sessions {
       // measured at bench scale was noise, while a pair-heavy shuffle
       // (LSH candidate joins at probe scale) ran local disk out of space
       // uncompressed. Disk, not CPU, is the binding constraint.
-      .getOrCreate()
 }

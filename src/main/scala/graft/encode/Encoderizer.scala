@@ -112,11 +112,13 @@ object Encoderizer {
     */
   final case class OneHotStage(name: String, vocab: Seq[String]) extends FittedStage {
     val width = vocab.size
-    def transform(df: DataFrame, outCol: String): DataFrame = {
-      val c = col(name).cast("string")
+    // ONE fused hash-lookup expression, not width × CASE WHEN columns:
+    // the composed form hits Janino's 64 KB cap past ~500 vocab entries,
+    // silently drops the stage to interpreted evaluation, and then pays
+    // O(vocab) per row — see graft.functions.VocabVector for numbers.
+    def transform(df: DataFrame, outCol: String): DataFrame =
       df.withColumn(outCol,
-        array(vocab.map(v => when(c === v, 1.0).otherwise(0.0)): _*))
-    }
+        graft.functions.VocabVector(col(name).cast("string"), vocab))
   }
 
   /** Multi-hot over an array column with a frequency-ordered vocabulary
@@ -124,13 +126,12 @@ object Encoderizer {
     */
   final case class MultihotStage(name: String, vocab: Seq[String]) extends FittedStage {
     val width = vocab.size
-    def transform(df: DataFrame, outCol: String): DataFrame = {
-      val arr = coalesce(col(name).cast("array<string>"),
-        array().cast("array<string>"))
+    // fused hash-lookup per member (null array → zero vector inside the
+    // expression), replacing width × array_contains scans — O(members)
+    // per row instead of O(vocab × members), and no 64 KB codegen cliff
+    def transform(df: DataFrame, outCol: String): DataFrame =
       df.withColumn(outCol,
-        array(vocab.map(v =>
-          when(array_contains(arr, v), 1.0).otherwise(0.0)): _*))
-    }
+        graft.functions.VocabVector(col(name).cast("array<string>"), vocab))
   }
 
   /** Map/dict key-expansion (reference `dict_encoder` DictVectorizer):
@@ -138,12 +139,11 @@ object Encoderizer {
     */
   final case class MapStage(name: String, keys: Seq[String]) extends FittedStage {
     val width = keys.size
-    def transform(df: DataFrame, outCol: String): DataFrame = {
-      val m = col(name)
+    // one pass over the row's OWN entries (each looked up in the fitted
+    // key index), replacing width × element_at probes
+    def transform(df: DataFrame, outCol: String): DataFrame =
       df.withColumn(outCol,
-        array(keys.map(k =>
-          coalesce(element_at(m, k).cast("double"), lit(0.0))): _*))
-    }
+        graft.functions.VocabVector(col(name).cast("map<string,double>"), keys))
   }
 
   /** Hashed text n-grams (reference `HashingVectorizerChunked` + size

@@ -53,19 +53,20 @@ object Predict {
     (c: Column) => f(c.cast("array<double>"))
   }
 
-  /** UDF-free linear-model scoring: one codegen'd LinearScore column per
-    * class, argmax for the prediction (first max wins, matching
-    * LogRegModel.predict). Preferred over the UDF paths when the model is
-    * linear — the whole projection stays in whole-stage codegen.
+  /** UDF-free linear-model scoring: ONE codegen'd LinearScoreMatrix
+    * expression scoring every class in a single fused loop, argmax for
+    * the prediction (first max wins, matching LogRegModel.predict).
+    * Preferred over the UDF paths when the model is linear — the whole
+    * projection stays in whole-stage codegen. Deliberately NOT one
+    * LinearScore column per class: past a few dozen classes the inlined
+    * per-class dot loops outgrow the JVM's huge-method JIT threshold and
+    * the stage silently runs interpreted (the SrpBandKeys cliff).
     */
   def withLinearPredictions(df: DataFrame, model: graft.exec.LogRegModel,
                             featuresCol: String,
                             outCol: String = "preds"): DataFrame = {
-    val feats = col(featuresCol).cast("array<double>")
-    val scoreCols = model.weights.map { w =>
-      graft.functions.LinearScore(feats, w.init, w.last)
-    }
-    val scores = array(scoreCols.toIndexedSeq: _*)
+    val scores = graft.functions.LinearScoreMatrix(
+      col(featuresCol).cast("array<double>"), model.weights)
     df.withColumn(outCol, graft.agg.Voting.argmax(scores))
   }
 

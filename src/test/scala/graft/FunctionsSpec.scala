@@ -74,6 +74,99 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("linear_score_matrix = per-class scores at cliff-scale class counts") {
+    import spark.implicits._
+    // 100 classes x 64 dims: the regime where one-LinearScore-per-class
+    // outgrew the JIT's huge-method threshold; the fused matrix must be
+    // value-identical to the model's own driver-side scores
+    val rng = new scala.util.Random(9)
+    val k = 100; val d = 64
+    val w = Array.fill(k)(Array.fill(d + 1)(rng.nextGaussian()))
+    val model = graft.exec.LogRegModel(w, k)
+    val rows = Seq.tabulate(80)(i => (i.toLong, Seq.fill(d)(rng.nextGaussian())))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+      graft.functions.LinearScoreMatrix(col("v"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, v) =>
+      val want = model.scores(v.toArray)
+      got(id).zip(want).zipWithIndex.foreach { case ((g, e), c) =>
+        assert(math.abs(g - e) < 1e-12, s"row $id class $c") }
+    }
+    // short row scores the prefix; null row is null; null element skipped
+    val edge = Seq(
+      (1L, Some(Seq(Some(10.0)))),
+      (2L, None),
+      (3L, Some(Seq(Some(1.0), None, Some(2.0))))).toDF("id", "v")
+    val w2 = Array(Array(1.0, 2.0, 3.0, 0.5)) // one class, d=3, bias .5
+    val e2 = edge.select(col("id"), graft.functions.LinearScoreMatrix(
+        col("v").cast("array<double>"), w2).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1)))).toMap
+    assert(e2(1L).contains(Seq(10.5)))
+    assert(e2(2L).isEmpty)
+    assert(e2(3L).contains(Seq(1.0 + 3.0 * 2.0 + 0.5)))
+  }
+
+  test("vocab_vector: one-hot/multi-hot/map modes under forced codegen") {
+    import graft.functions.VocabVector
+    import spark.implicits._
+    // wide vocab: the composed when-chain form dies in Janino past ~500
+    // entries; the fused form must produce the same vectors at 4096
+    val vocab = (0 until 4096).map(i => s"v$i")
+    val oneHot = Seq((1L, "v7"), (2L, "v4095"), (3L, "unseen"),
+      (4L, null.asInstanceOf[String])).toDF("id", "c")
+    val got = oneHot.select(col("id"), VocabVector(col("c"), vocab).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L)(7) == 1.0 && got(1L).sum == 1.0)
+    assert(got(2L)(4095) == 1.0 && got(2L).sum == 1.0)
+    assert(got(3L).sum == 0.0, "unseen -> all-zero")
+    assert(got(4L).sum == 0.0, "null -> all-zero, not null row")
+
+    val multi = Seq((1L, Seq("v1", "v3", "nope")), (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "t")
+    val gm = multi.select(col("id"),
+      VocabVector(col("t").cast("array<string>"), vocab).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(gm(1L)(1) == 1.0 && gm(1L)(3) == 1.0 && gm(1L).sum == 2.0)
+    assert(gm(2L).sum == 0.0 && gm(3L).sum == 0.0)
+
+    val mp = Seq((1L, Map("v2" -> 2.5, "x" -> 9.0)),
+      (2L, Map.empty[String, Double])).toDF("id", "m")
+    val gp = mp.select(col("id"),
+      VocabVector(col("m").cast("map<string,double>"), vocab).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(gp(1L)(2) == 2.5 && gp(1L).sum == 2.5, "fitted key gets its value")
+    assert(gp(2L).sum == 0.0)
+  }
+
+  test("srp_band_keys matches its interpreted eval under forced codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    val bits = Seq(9, 8, 8, 8)
+    val rows = Seq.tabulate(40)(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian())))
+    val df = rows.toDF("id", "v")
+    val keyCol = graft.sim.Similarity.bandKeys(col("v"), dim, bits, seed = 42)
+    val got = df.select(col("id"), keyCol.as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent reference: the expression's own interpreted eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expr = org.apache.spark.sql.GraftSqlBridge.expression(keyCol)
+      .asInstanceOf[graft.functions.SrpBandKeys]
+    rows.foreach { case (id, v) =>
+      val lit = expr.copy(child = Literal.create(v, ArrayType(DoubleType)))
+      val want = lit.eval(null).asInstanceOf[GenericArrayData]
+        .array.map(_.asInstanceOf[Long]).toSeq
+      assert(got(id) == want, s"row $id")
+    }
+    // band widths: key b must fit in bits(b)
+    got.values.foreach(ks => ks.zip(bits).foreach { case (kv, b) =>
+      assert(kv >= 0 && kv < (1L << b)) })
+  }
+
   test("ngram_shingles matches array_distinct(wordNGrams) under forced codegen") {
     import graft.text.TextFunctions
     import spark.implicits._

@@ -305,30 +305,26 @@ object Similarity {
     val dim = cents.head._2.length
     val toAdd = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
-    // a dimension mismatch would TRUNCATE silently in zip_with and
-    // assign confidently-wrong cells — same loud guard as probeIvfIndex
-    val dimRow = toAdd.agg(max(size(col("vec")))).head()
+    // a dimension mismatch would assign confidently-wrong cells — same
+    // loud guard as probeIvfIndex. BOTH bounds: a row SHORTER than the
+    // index dim is as wrong as a longer one (min-only checking let short
+    // rows null-pad their distances and fall into cell 0 silently)
+    val dimRow = toAdd.agg(min(size(col("vec"))), max(size(col("vec")))).head()
     if (!dimRow.isNullAt(0))
-      require(dimRow.getInt(0) == dim,
-        s"append dimension ${dimRow.getInt(0)} != index dimension $dim ($dir)")
-    // assignment: argmin over the broadcast centroid table by the SAME
-    // metric that built the cells — Euclidean on the L2-normalized
-    // vector (centroids already live in normalized space). One narrow
-    // crossJoin of n × cells distance rows carrying ONLY (id, cell,
-    // dist); vectors stay on their scan rows and join back by id.
-    val centroidDf = broadcast(
-      spark.createDataFrame(cents.toSeq).toDF("_cell", "_centroid"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("_cdist").asc, col("_cell").asc) // deterministic ties
-    val assigned = toAdd
-      .withColumn("_nv", normalized(col("vec").cast("array<double>")))
-      .crossJoin(centroidDf)
-      .withColumn("_cdist", aggregate(
-        zip_with(col("_nv"), col("_centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, v) => a + v))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("vec"), col("_cell"))
+      require(dimRow.getInt(0) == dim && dimRow.getInt(1) == dim,
+        s"append dimensions [${dimRow.getInt(0)}, ${dimRow.getInt(1)}] != " +
+          s"index dimension $dim ($dir)")
+    // assignment: argmin over the centroid matrix by the SAME metric
+    // that built the cells — Euclidean on the L2-normalized vector
+    // (centroids already live in normalized space). ONE fused codegen'd
+    // expression with the matrix as a reference object: a narrow per-row
+    // loop riding the scan, zero shuffle — the earlier
+    // crossJoin + window-argmin plan paid a batch × cells hash exchange
+    // (up to 4096× the batch bytes at auto-sized cell counts) on the
+    // corpus-growth path. Duplicate ids in a batch each keep their own
+    // row, matching writeIvfIndex (the window plan collapsed them).
+    val assigned = assignCells(toAdd, cents, dim)
+    val appended = assigned.count() // rows actually written, post-filter
     assigned
       .repartition(col("_cell")) // one writer per cell, as writeIvfIndex
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
@@ -337,7 +333,6 @@ object Similarity {
       .groupBy("_cell").count().select("count")
       .collect().map(_.getLong(0))
     val total = occ.sum
-    val appended = toAdd.count()
     val maxCell = if (occ.isEmpty) 0L else occ.max
     val mean = if (occ.isEmpty) 0.0 else total.toDouble / cents.length
     // growth since build: cells should scale ~sqrt(rows), so at
@@ -372,6 +367,19 @@ object Similarity {
     IvfAppendStats(appended, total, cents.length, maxCell, mean,
       outgrown || skewed)
   }
+
+  /** Nearest-centroid assignment as a pure per-row map (exposed for the
+    * plan-shape spec): `(id, vec)` → `(id, vec, _cell)` via the fused
+    * [[graft.functions.NearestCentroid]] argmin — no join, no window, no
+    * Exchange anywhere in this subplan.
+    */
+  private[graft] def assignCells(toAdd: DataFrame,
+                                 cents: Array[(Int, Seq[Double])],
+                                 dim: Int): DataFrame =
+    toAdd.withColumn("_cell", graft.functions.NearestCentroid(
+        normalized(col("vec").cast("array<double>")),
+        cents.toSeq.map { case (c, v) => (c, v) }))
+      .select(col("id"), col("vec"), col("_cell"))
 
   /** The ONE spherical-quantizer configuration — shared by ivfTopK,
     * semanticDedup and the on-disk index so the quantizers can't

@@ -647,17 +647,56 @@ class DedupSimSpec extends AnyFunSuite {
       val s2 = Similarity.appendToIvfIndex(skew, "embedding", "vec_id", dirA)
       assert(s2.rebuildRecommended && s2.maxCell > 2.0 * s2.meanCell,
         s"skewed append must recommend re-quantize: $s2")
-      // dimension mismatch is loud, not silently truncated
+      // dimension mismatch is loud, not silently truncated — BOTH
+      // directions (a short row would otherwise null-pad into cell 0)
       intercept[IllegalArgumentException] {
         Similarity.appendToIvfIndex(
           Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"),
           "embedding", "vec_id", dirA)
       }
+      intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(
+          Seq((9L, Seq.fill(16)(1.0)), (10L, Seq(1.0, 2.0)))
+            .toDF("vec_id", "embedding"),
+          "embedding", "vec_id", dirA)
+      }
+      // duplicate ids in one batch each keep their own written row
+      // (writeIvfIndex keeps duplicates; the append path must match —
+      // the old window-argmin collapsed them to one)
+      val before = spark.read.parquet(s"$dirA/cells").count()
+      val dupRow = cluster(1, 7000 until 7001)
+      val s3 = Similarity.appendToIvfIndex(
+        (dupRow ++ dupRow).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", dirA)
+      assert(s3.appended == 2 &&
+        spark.read.parquet(s"$dirA/cells").count() == before + 2,
+        s"duplicate-id rows must both be written: $s3")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dirA)).deleteRecursively()
       new Directory(new java.io.File(dirF)).deleteRecursively()
     }
+  }
+
+  test("IVF append cell assignment is a per-row map: zero Exchange") {
+    // the corpus-growth path must not pay a batch × cells shuffle: the
+    // fused NearestCentroid argmin rides the scan. The ONLY exchange in
+    // the whole append is the intended one-writer-per-cell repartition
+    // at write time — the assignment subplan itself must be narrow.
+    import spark.implicits._
+    val rng = new Random(9)
+    val cents = Array.tabulate(8)(c => (c, Seq.fill(16)(rng.nextGaussian())))
+    val batch = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian()))).toDF("id", "vec")
+    val assigned = Similarity.assignCells(batch, cents, 16)
+    val exchanges = assigned.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"assignment plan must have no shuffle, found:\n" +
+        assigned.queryExecution.executedPlan.toString)
+    // and it assigns every row (sanity that the map actually ran)
+    assert(assigned.count() == 100)
   }
 
   test("IVF probe picks up an index rebuilt by another process") {

@@ -52,6 +52,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3L).contains(1.0 + 3.0 * 2.0), "null element skipped")
   }
 
+  test("nearest_centroid matches driver-side argmin under forced codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val dim = 12
+    // non-contiguous, shuffled cell ids: the expression must key its
+    // answer by the SUPPLIED id, not the row position
+    val cents = Seq(7, 2, 9, 4).map(c => (c, Seq.fill(dim)(rng.nextGaussian())))
+    val rows = Seq.tabulate(80)(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian())))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), graft.functions.NearestCentroid(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, v) =>
+      val want = cents.map { case (c, cent) =>
+        (c, v.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (c, d) => (d, c) }._1
+      assert(got(id) == want, s"row $id")
+    }
+  }
+
+  test("nearest_centroid ties break to the lowest cell id; nulls read as 0") {
+    import spark.implicits._
+    // two IDENTICAL centroids under different ids -> every row ties;
+    // the contract is lowest-id wins (the determinism the old window's
+    // orderBy(_cdist, _cell) provided)
+    val same = Seq(5 -> Seq(1.0, 0.0), 3 -> Seq(1.0, 0.0))
+    val df = Seq((1L, Some(Seq(Some(0.9), Some(0.1)))),
+                 (2L, Some(Seq(Some(0.9), None)) /* null elem -> 0.0 */),
+                 (3L, None)).toDF("id", "v")
+    val got = df.select(col("id"), graft.functions.NearestCentroid(
+        col("v").cast("array<double>"), same).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(1L).contains(3), "tie -> lowest cell id")
+    assert(got(2L).contains(3), "null element scored as 0.0, not a null row")
+    assert(got(3L).isEmpty, "null row -> null cell")
+  }
+
   test("withLinearPredictions agrees with the model's own predict") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -102,39 +102,54 @@ object Predict {
                           model: graft.exec.LogRegModel,
                           outCol: String = "preds",
                           labels: Option[Seq[String]] = None): DataFrame = {
+    // a short label list is a CALLER CONFIGURATION ERROR — mapping
+    // out-of-range class indices to null would disguise it as missing
+    // data in the output (fail loudly up front instead)
+    labels.foreach(l => require(l.size >= model.weights.length,
+      s"${l.size} labels for a ${model.weights.length}-class model"))
+    val (withVec, scores, vecCol) = textScores(df, stage, model)
+    val idx = graft.agg.Voting.argmax(scores)
+    val predCol = labels match {
+      case Some(l) => element_at(typedLit(l), idx + 1)
+      case None    => idx
+    }
+    withVec.withColumn(outCol, predCol).drop(vecCol)
+  }
+
+  /** Text-input `predict_proba` (reference `predict.py:67-68` text
+    * branch composed with the `predict_proba` return type at 170-176):
+    * raw string column → hashed sparse features → softmax'd class
+    * probabilities (`array<double>`) in ONE call, bit-identical to
+    * `Encoderizer.transform` → `LogRegModel.predictProba` on the same
+    * rows. Like the argmax path, hashing and scoring both ride the
+    * scan — no shuffle.
+    */
+  def withTextProbabilities(spark: SparkSession, df: DataFrame,
+                            stage: graft.encode.Encoderizer.TextHashStage,
+                            model: graft.exec.LogRegModel,
+                            outCol: String = "proba"): DataFrame = {
+    val (withVec, scores, vecCol) = textScores(df, stage, model)
+    withVec.withColumn(outCol, graft.functions.Softmax(scores)).drop(vecCol)
+  }
+
+  /** Shared text-path scorer: hashed features + ONE fused codegen'd
+    * [[graft.functions.SparseScoreMatrix]] walking only the active
+    * entries (never densifies the 2^18 hash space; the earlier per-row
+    * Scala UDF boxed a SparseVector per row and broke the whole-stage
+    * codegen span the rest of the projection runs in).
+    */
+  private def textScores(df: DataFrame,
+                         stage: graft.encode.Encoderizer.TextHashStage,
+                         model: graft.exec.LogRegModel)
+      : (DataFrame, Column, String) = {
     val d = stage.width
     require(model.weights.forall(_.length == d + 1),
       s"model rows carry ${model.weights.head.length - 1}+bias weights; " +
         s"the text stage produces $d features")
-    val bc = spark.sparkContext.broadcast(model.weights)
-    val lab = labels.map(_.toIndexedSeq)
-    def argmaxSparse(v: org.apache.spark.ml.linalg.Vector): Int = {
-      val w = bc.value
-      var best = 0
-      var bestS = Double.NegativeInfinity
-      var c = 0
-      while (c < w.length) {
-        var s = w(c)(d)
-        v.foreachActive((i, x) => s += w(c)(i) * x)
-        if (s > bestS) { bestS = s; best = c } // first max wins, as predict
-        c += 1
-      }
-      best
-    }
     val vecCol = s"_txtfeat_${stage.name}"
     val withVec = stage.transform(df, vecCol)
-    val predCol = lab match {
-      case Some(l) =>
-        val f = udf((v: org.apache.spark.ml.linalg.Vector) =>
-          if (v == null) null
-          else { val i = argmaxSparse(v); if (i < l.size) l(i) else null })
-        f(col(vecCol))
-      case None =>
-        val f = udf((v: org.apache.spark.ml.linalg.Vector) =>
-          if (v == null) None else Some(argmaxSparse(v)))
-        f(col(vecCol))
-    }
-    withVec.withColumn(outCol, predCol).drop(vecCol)
+    (withVec, graft.functions.SparseScoreMatrix(col(vecCol), model.weights),
+      vecCol)
   }
 
   /** Multilabel prediction column: SORTED `array<string>` label set (the

@@ -130,6 +130,47 @@ object EncodeQueries {
         .orderBy("doc_id")
     }),
 
+    // Text-input predict_proba's score vector (reference predict.py:67-68
+    // text branch + predict_proba return type at 170-176): the same
+    // md5-bucket twin as q92, but the per-class scoring runs through the
+    // REAL serving kernel — a sparse tf vector per doc pushed through the
+    // codegen'd SparseScoreMatrix expression — and emits ALL class
+    // scores, not the argmax. Integer weights keep both engines in exact
+    // integer arithmetic (the softmax normalization on top is a monotone
+    // bijection of these scores; its float math is parity-pinned in
+    // ScalaTest, transcendental-function rounding has no place in a
+    // hash-equality oracle). Scale shape: tokenize+hash ride the scan,
+    // two keyed aggregations, expression scoring on the scan — no joins.
+    "q93_text_proba" -> ((s, d) => {
+      val nb = 64
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
+        .cast("long") % nb).cast("int")
+      val tf = toks.groupBy(col("doc_id"), bucket.as("bucket"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val mkVec = udf((idx: Seq[Int], vals: Seq[Double]) => {
+        val pairs = idx.zip(vals).sortBy(_._1)
+        org.apache.spark.ml.linalg.Vectors.sparse(nb,
+          pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      })
+      val w = Array.tabulate(3, nb + 1)((c, j) =>
+        if (j == nb) 0.0 else ((j * Seq(37, 53, 71)(c)) % 19 - 9).toDouble)
+      tf.groupBy("doc_id")
+        .agg(collect_list("bucket").as("bs"), collect_list("tf").as("ts"))
+        .withColumn("sc", graft.functions.SparseScoreMatrix(
+          mkVec(col("bs"), col("ts")), w))
+        .select(col("doc_id"),
+          element_at(col("sc"), 1).cast("long").as("s0"),
+          element_at(col("sc"), 2).cast("long").as("s1"),
+          element_at(col("sc"), 3).cast("long").as("s2"))
+        .withColumn("pred",
+          when(col("s0") >= col("s1") && col("s0") >= col("s2"), 0)
+            .when(col("s1") >= col("s2"), 1).otherwise(2).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Codegen'd LinearScore expression vs DuckDB list_dot_product.
     "q47_linear_score" -> ((s, d) => {
       val w = Array.tabulate(64)(j => (j * 37 % 19 - 9) / 10.0)
@@ -197,6 +238,26 @@ object EncodeQueries {
         |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
         |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS pred,
         |  greatest(s0, s1, s2) AS best_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q93_text_proba" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS INT) AS bucket,
+        |    count(*) AS tf
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(sum(tf * ((bucket * 37) % 19 - 9)) AS BIGINT) AS s0,
+        |    CAST(sum(tf * ((bucket * 53) % 19 - 9)) AS BIGINT) AS s1,
+        |    CAST(sum(tf * ((bucket * 71) % 19 - 9)) AS BIGINT) AS s2
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, s0, s1, s2,
+        |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+        |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS pred
         |FROM s ORDER BY doc_id""".stripMargin,
     // lang/source are low-cardinality strings -> categorical (one-hot
     // sums to 1 each) at every SF; n_chars' kind is DERIVED from the

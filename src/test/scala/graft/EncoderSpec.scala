@@ -237,6 +237,32 @@ class EncoderSpec extends AnyFunSuite {
       labels = Some(lab))
       .select("id", "preds").as[(Long, String)].collect().toMap
     assert(fusedLab == fused.view.mapValues(lab).toMap)
+
+    // a label list SHORTER than the class count is a caller error and
+    // fails loudly up front — not null preds row by row
+    intercept[IllegalArgumentException] {
+      Predict.withTextPredictions(spark, docs, stage, model,
+        labels = Some(Seq("neg", "pos")))
+    }
+
+    // predict_proba text branch: one-call raw text -> softmax'd class
+    // probabilities == the two-step transform -> predictProba route
+    val fusedP = Predict.withTextProbabilities(spark, docs, stage, model)
+      .select("id", "proba").as[(Long, Seq[Double])].collect().toMap
+    val twoStepP = {
+      val feats = stage.transform(docs, "f")
+        .withColumn("fa", org.apache.spark.ml.functions.vector_to_array(col("f")))
+      Predict.withProbabilities(spark, feats, model, "fa")
+        .select("id", "scores").as[(Long, Seq[Double])].collect().toMap
+    }
+    fusedP.foreach { case (id, p) =>
+      assert(p.length == 3 && math.abs(p.sum - 1.0) < 1e-12, s"row $id: $p")
+      p.zip(twoStepP(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"row $id: $p vs ${twoStepP(id)}")
+      }
+    }
+    // proba argmax agrees with the predict path (ties none in fixture)
+    assert(fusedP.view.mapValues(p => p.indexOf(p.max)).toMap == fused)
   }
 
   test("fit tolerates date columns; transform imputes malformed numerics") {

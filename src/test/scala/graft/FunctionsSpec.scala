@@ -89,6 +89,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3L).isEmpty, "null row -> null cell")
   }
 
+  test("sparse_score_matrix matches dense scoring under forced codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val d = 40
+    val k = 5
+    val w = Array.fill(k)(Array.fill(d + 1)(rng.nextGaussian()))
+    // sparse vectors with a handful of active entries, plus one dense
+    // and one empty-sparse row — both VectorUDT layouts must score
+    val rows: Seq[(Long, org.apache.spark.ml.linalg.Vector)] =
+      Seq.tabulate(60) { i =>
+        val nnz = 1 + i % 7
+        val idx = rng.shuffle((0 until d).toList).take(nnz).sorted.toArray
+        (i.toLong, org.apache.spark.ml.linalg.Vectors.sparse(
+          d, idx, Array.fill(nnz)(rng.nextGaussian())))
+      } ++ Seq(
+        (100L, org.apache.spark.ml.linalg.Vectors.dense(
+          Array.fill(d)(rng.nextGaussian()))),
+        (101L, org.apache.spark.ml.linalg.Vectors.sparse(d, Array(), Array())))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+      graft.functions.SparseScoreMatrix(col("v"), w).as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val dense = v.toArray
+      val want = w.map(row => row(d) +
+        dense.zipWithIndex.map { case (x, j) => row(j) * x }.sum)
+      got(id).zip(want).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"row $id: ${got(id)} vs ${want.toSeq}")
+      }
+    }
+  }
+
+  test("softmax matches LogRegModel.predictProba under forced codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(4)(rng.nextGaussian() * 10))) ++
+      Seq((100L, Seq(1e300, 1.0, -1e300, 0.0))) // max-shift must not overflow
+    val df = rows.toDF("id", "z")
+    val got = df.select(col("id"), graft.functions.Softmax(col("z")).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, z) =>
+      val mx = z.max
+      val e = z.map(x => math.exp(x - mx))
+      val want = e.map(_ / e.sum)
+      got(id).zip(want).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-15, s"row $id")
+      }
+      assert(math.abs(got(id).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("withLinearPredictions agrees with the model's own predict") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

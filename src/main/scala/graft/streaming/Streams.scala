@@ -70,12 +70,16 @@ object Streams {
     // exists for read from hdfs://, s3a:// or file: URIs, where a local
     // File probe silently measures 0 bytes and re-pins the constant
     // floor of 2 this function was written to remove. globStatus
-    // resolves the same pattern on every scheme; a directory table
-    // (part files) is summed via getContentSummary.
+    // resolves the same pattern on every scheme; a directory table is
+    // summed over its *.parquet leaves ONLY — getContentSummary counted
+    // every recursive byte (commit markers, _spark_metadata, checkpoint
+    // debris), drifting the sizing upward on written-to tables.
     val path = new org.apache.hadoop.fs.Path(dir, glob)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = Option(fs.globStatus(path)).toSeq.flatten.map { st =>
-      if (st.isDirectory) fs.getContentSummary(st.getPath).getLength
+      if (st.isDirectory)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(st.getPath,
+          "*.parquet"))).toSeq.flatten.map(_.getLen).sum
       else st.getLen
     }.sum
     val byBytes = math.ceil(bytes.toDouble / (2L << 20)).toInt

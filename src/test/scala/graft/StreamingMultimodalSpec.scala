@@ -527,6 +527,14 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     put("tbl.parquet/part-0.parquet", 3 * 1024 * 1024)
     put("tbl.parquet/part-1.parquet", 3 * 1024 * 1024)
     assert(Streams.sizedStatePartitions(spark, dir, "tbl.parquet") == 3)
+    // ...and ONLY *.parquet leaves count: commit markers, _spark_metadata
+    // and other debris in a written-to table must not drift the sizing
+    // upward (getContentSummary summed every recursive byte)
+    put("tbl.parquet/_SUCCESS", 0)
+    put("tbl.parquet/_spark_metadata/0", 4 * 1024 * 1024)
+    put("tbl.parquet/part-2.snappy.orc", 8 * 1024 * 1024)
+    assert(Streams.sizedStatePartitions(spark, dir, "tbl.parquet") == 3,
+      "non-parquet debris must not change state sizing")
     // ceiling: never past the session's parallelism
     put("huge.parquet", 200 * 1024 * 1024)
     assert(Streams.sizedStatePartitions(spark, dir, "huge.parquet") ==

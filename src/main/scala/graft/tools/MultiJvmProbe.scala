@@ -23,7 +23,45 @@ object MultiJvmProbe {
     "q36_ngram_jaccard", "q38_minhash_pairs", "q48_asof_join",
     "q62_ivf_ann", "q63_srp_pairs", "q64_neardup_survivors",
     "q76_semantic_dedup", "q83_dup_spans", "q87_stream_decontaminate",
-    "q90_coverage_survivors", "q92_text_predict")
+    "q90_coverage_survivors", "q92_text_predict", IvfAppendName)
+
+  /** Synthetic (non-SparkEntry) step: the on-disk IVF append path — the
+    * one data-plane family added AFTER the r9 multi-JVM validation ran,
+    * and the one that WRITES files from executors (append-mode cell
+    * parquet). Build base index → appendToIvfIndex → probe appended
+    * twins; the fingerprint is the probed neighbor ids + rounded
+    * cosines over WELL-SEPARATED synthetic clusters, so it is invariant
+    * to benign cell-id permutations between quantizer runs while still
+    * catching executor-side write/classpath/broadcast breakage.
+    */
+  private val IvfAppendName = "ivf_append_probe"
+
+  private def ivfAppendFingerprint(spark: SparkSession): (Long, Long) = {
+    import graft.sim.Similarity
+    val dim = 32
+    val vecs = spark.range(0, 20000).select(col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        (when(pmod(col("id"), lit(16)) === d % 16, 8.0).otherwise(0.0) +
+          sin(col("id") * (d * 13 + 7)) * 0.05).cast("double")): _*)
+        .as("embedding"))
+    val base = vecs.filter(col("vec_id") < 18000)
+    val batch = vecs.filter(col("vec_id") >= 18000)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_mjvm").toString
+    try {
+      Similarity.writeIvfIndex(base, "embedding", "vec_id", dir,
+        nClusters = 16, seed = 7)
+      Similarity.appendToIvfIndex(batch, "embedding", "vec_id", dir)
+      val probes = Seq(18000L, 18503L, 19007L, 19511L).map { qid =>
+        val q = vecs.filter(col("vec_id") === qid).head().getSeq[Double](1)
+        Similarity.probeIvfIndex(spark, dir, q, k = 5)
+          .withColumn("cos", round(col("cos"), 4))
+      }
+      fingerprint(probes.reduce(_ unionByName _))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 
   /** Order/partitioning-independent fingerprint: sum of per-row
     * xxhash64 over all columns. Float columns in these queries are
@@ -43,7 +81,9 @@ object MultiJvmProbe {
                      names: Seq[String]): Map[String, (Long, Long)] =
     names.map { n =>
       val t0 = System.nanoTime()
-      val fp = fingerprint(graft.SparkEntry.queries(n)(spark, sfDir))
+      val fp =
+        if (n == IvfAppendName) ivfAppendFingerprint(spark)
+        else fingerprint(graft.SparkEntry.queries(n)(spark, sfDir))
       println(f"[multijvm]   $n%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         s"  rows=${fp._1} hash=${fp._2}")
       n -> fp

@@ -141,6 +141,50 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("JIT budget: fused expressions stay compilable at production widths") {
+    // The cliff this pins: a projection whose generated method outgrows
+    // the JVM's ~8000-byte HugeMethodLimit silently runs in the bytecode
+    // interpreter (the r9 SRP finding — sf10 103.8 s -> 4.9 s came from
+    // exactly this). Every fused expression holds its table as a
+    // REFERENCE OBJECT and loops, so generated-code size must be O(1) in
+    // vocab/class/plane/cell count. Budget is asserted on the compiled
+    // bytecode of the whole codegen stage at widths well past any
+    // production config; a regression back to literal fan-out (one
+    // inlined op per entry) blows the assert immediately.
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val rng = new scala.util.Random(41)
+    val dim = 64
+    val df = Seq.tabulate(4)(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian()),
+        s"tok_$i", org.apache.spark.ml.linalg.Vectors.sparse(
+          1 << 18, Array(i, i + 7), Array(1.0, 2.0))))
+      .toDF("id", "v", "s", "sv")
+      // repartition keeps the projection a REAL executed stage —
+      // ConvertToLocalRelation would otherwise evaluate the whole select
+      // driver-side and leave no codegen stage to measure
+      .repartition(1)
+    val wide = Map(
+      "vocab_vector(4000)" -> graft.functions.VocabVector(
+        col("s"), Seq.tabulate(4000)(i => s"tok_$i")),
+      "linear_score_matrix(k=300)" -> graft.functions.LinearScoreMatrix(
+        col("v"), Array.fill(300)(Array.fill(dim + 1)(rng.nextGaussian()))),
+      "sparse_score_matrix(k=300)" -> graft.functions.SparseScoreMatrix(
+        col("sv"), Array.fill(300)(Array.fill((1 << 18) + 1)(0.1))),
+      "srp_band_keys(256 planes)" -> graft.functions.SrpBandKeys(
+        col("v"), Seq.fill(256)(Seq.fill(dim)(rng.nextGaussian())),
+        Seq.fill(16)(16), dim),
+      "nearest_centroid(4096 cells)" -> graft.functions.NearestCentroid(
+        col("v"), Seq.tabulate(4096)(c => (c, Seq.fill(dim)(rng.nextGaussian())))))
+    wide.foreach { case (name, expr) =>
+      val proj = df.select(col("id"), expr.as("out"))
+      proj.collect() // must actually run under CODEGEN_ONLY
+      val sz = GraftSqlBridge.maxCodegenMethodSize(proj)
+      assert(sz > 0, s"$name: no codegen stage in plan")
+      assert(sz < 8000, s"$name: compiled method $sz bytes >= 8000 " +
+        "(HugeMethodLimit) — the stage would run interpreted at scale")
+    }
+  }
+
   test("withLinearPredictions agrees with the model's own predict") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -132,6 +132,71 @@ object Predict {
     withVec.withColumn(outCol, graft.functions.Softmax(scores)).drop(vecCol)
   }
 
+  /** Text-input prediction through a One-vs-Rest model (the reference's
+    * text branch is model-agnostic — `get_prediction_udf(model=ovr,
+    * feature_type='text')` — so the fused path must cover the OvR
+    * family too, not just the multinomial scorer). Emits
+    * `classes(argmax)` as DOUBLE, exactly `OvRModel.predict`: per-class
+    * positive probability is `sigmoid(margin_c)` with `margin_c =
+    * w1 − w0` per binary model; sigmoid and the norm step are monotone
+    * / positive-scale, so argmax over raw margins is EXACT, and the
+    * margins come from one [[graft.functions.SparseScoreMatrix]] over
+    * the margin-row matrix — zero shuffle, no densify.
+    */
+  def withTextPredictionsOvR(spark: SparkSession, df: DataFrame,
+                             stage: graft.encode.Encoderizer.TextHashStage,
+                             model: graft.search.OvRModel,
+                             outCol: String = "preds"): DataFrame = {
+    val (withVec, margins, vecCol) = textScoresOvR(df, stage, model)
+    val idx = graft.agg.Voting.argmax(margins)
+    withVec.withColumn(outCol,
+      element_at(typedLit(model.classes.toSeq), idx + 1)).drop(vecCol)
+  }
+
+  /** OvR text `predict_proba`: sigmoid per class margin, then the
+    * model's norm — the `multiclass.py:337-362` stack, fused onto the
+    * scan. Matches `OvRModel.predictProba` (constant per-class models
+    * are encoded as ±1000 bias rows: sigmoid saturates to exactly
+    * 0.0 / 1.0 in double, the `_ConstantPredictor` probabilities).
+    */
+  def withTextProbabilitiesOvR(spark: SparkSession, df: DataFrame,
+                               stage: graft.encode.Encoderizer.TextHashStage,
+                               model: graft.search.OvRModel,
+                               outCol: String = "proba"): DataFrame = {
+    val (withVec, margins, vecCol) = textScoresOvR(df, stage, model)
+    val pos = transform(margins, m => lit(1.0) / (lit(1.0) + exp(-m)))
+    val normed = model.norm.map(graft.agg.Voting.normalize(pos, _))
+      .getOrElse(pos)
+    withVec.withColumn(outCol, normed).drop(vecCol)
+  }
+
+  private def textScoresOvR(df: DataFrame,
+                            stage: graft.encode.Encoderizer.TextHashStage,
+                            model: graft.search.OvRModel)
+      : (DataFrame, Column, String) = {
+    val d = stage.width
+    val marginRows: Array[Array[Double]] = model.models.map {
+      case m: graft.exec.LogRegModel =>
+        require(m.nClasses == 2 && m.weights.forall(_.length == d + 1),
+          s"OvR text path needs binary linear per-class models over $d " +
+            s"features; got ${m.nClasses} classes × " +
+            s"${m.weights.head.length - 1}")
+        m.weights(1).zip(m.weights(0)).map { case (a, b) => a - b }
+      case c: graft.exec.ConstantModel =>
+        // positiveProba is exactly 1.0 or 0.0; sigmoid(±1000) saturates
+        // to exactly those doubles (exp(-1000) == 0.0, exp(1000) == Inf)
+        val bias = if (c.value.toInt.min(1).max(0) == 1) 1000.0 else -1000.0
+        Array.fill(d)(0.0) :+ bias
+      case other => throw new IllegalArgumentException(
+        s"OvR text path needs linear or constant per-class models, got " +
+          other.getClass.getSimpleName)
+    }
+    val vecCol = s"_txtfeat_${stage.name}"
+    val withVec = stage.transform(df, vecCol)
+    (withVec, graft.functions.SparseScoreMatrix(col(vecCol), marginRows),
+      vecCol)
+  }
+
   /** Shared text-path scorer: hashed features + ONE fused codegen'd
     * [[graft.functions.SparseScoreMatrix]] walking only the active
     * entries (never densifies the 2^18 hash space; the earlier per-row

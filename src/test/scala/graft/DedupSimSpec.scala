@@ -114,6 +114,23 @@ class DedupSimSpec extends AnyFunSuite {
     assert(dist == comp, s"distributed $dist != driver $comp")
   }
 
+  test("components: pointer jumping converges a deep chain within maxIter") {
+    // a 5000-link chain has diameter 5000 — neighbor propagation alone
+    // needs 5000 rounds and previously RAISED at the default maxIter=20.
+    // Label doubling makes rounds O(log diameter): ~13 here. Deep chains
+    // are real near-dup structure (truncation families, rolling edits),
+    // not a pathological corner.
+    val n = 5000L
+    val pairs = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val comp = Dedup.components(pairs, driverEdgeBudget = 0L) // distributed
+    val agg = comp.agg(count(lit(1)), countDistinct(col("comp")),
+      min(col("comp"))).head()
+    assert(agg.getLong(0) == n, "every chain node labeled")
+    assert(agg.getLong(1) == 1 && agg.getLong(2) == 0L,
+      "one component, min-id label")
+  }
+
   test("components with non-integral/string ids bypass the driver route") {
     // decimal ids 9 and 10: toString ordering would pick "10" < "9" and
     // the old driver fallback would mislabel the component min; the

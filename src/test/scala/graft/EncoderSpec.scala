@@ -263,6 +263,38 @@ class EncoderSpec extends AnyFunSuite {
     }
     // proba argmax agrees with the predict path (ties none in fixture)
     assert(fusedP.view.mapValues(p => p.indexOf(p.max)).toMap == fused)
+
+    // OvR text path (the reference text branch is model-agnostic):
+    // binary margin rows through the same sparse kernel + a constant
+    // per-class model (the _ConstantPredictor corner), l1-normalized
+    val rng = new scala.util.Random(61)
+    def binModel() = graft.exec.LogRegModel(
+      Array(Array.fill(d + 1)(rng.nextGaussian() * 0.1),
+        Array.fill(d + 1)(rng.nextGaussian() * 0.1)), nClasses = 2)
+    val ovr = graft.search.OvRModel(
+      classes = Array(3.0, 7.0, 9.0),
+      models = Array(binModel(), binModel(),
+        graft.exec.ConstantModel(0.0, nClasses = 2)),
+      norm = Some("l1"))
+    val fusedOvr = Predict.withTextPredictionsOvR(spark, docs, stage, ovr)
+      .select("id", "preds").as[(Long, Double)].collect().toMap
+    val fusedOvrP = Predict.withTextProbabilitiesOvR(spark, docs, stage, ovr)
+      .select("id", "proba").as[(Long, Seq[Double])].collect().toMap
+    val feats2 = stage.transform(docs, "f")
+      .withColumn("fa", org.apache.spark.ml.functions.vector_to_array(col("f")))
+    val twoStepOvr = Predict.withPredictions(spark, feats2, ovr, "fa")
+      .select("id", "preds").as[(Long, Int)].collect().toMap
+    val twoStepOvrP = Predict.withProbabilities(spark, feats2, ovr, "fa")
+      .select("id", "scores").as[(Long, Seq[Double])].collect().toMap
+    assert(fusedOvr == twoStepOvr.view.mapValues(_.toDouble).toMap,
+      s"fused OvR $fusedOvr vs two-step $twoStepOvr")
+    fusedOvrP.foreach { case (id, p) =>
+      assert(p.length == 3)
+      assert(p(2) == 0.0, "constant-0 class saturates to exactly 0.0")
+      p.zip(twoStepOvrP(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"row $id: $p vs ${twoStepOvrP(id)}")
+      }
+    }
   }
 
   test("fit tolerates date columns; transform imputes malformed numerics") {

@@ -155,9 +155,14 @@ class FunctionsSpec extends AnyFunSuite {
     import org.apache.spark.sql.GraftSqlBridge
     val rng = new scala.util.Random(41)
     val dim = 64
+    // widths are chosen to be far past any production config while
+    // keeping reference-object HEAP small (the k=300 × 2^18 hashed
+    // width would be a 629 MB weight array — method SIZE is what the
+    // budget pins, and it is independent of the matrix dimensions)
+    val sparseDim = 4096
     val df = Seq.tabulate(4)(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian()),
         s"tok_$i", org.apache.spark.ml.linalg.Vectors.sparse(
-          1 << 18, Array(i, i + 7), Array(1.0, 2.0))))
+          sparseDim, Array(i, i + 7), Array(1.0, 2.0))))
       .toDF("id", "v", "s", "sv")
       // repartition keeps the projection a REAL executed stage —
       // ConvertToLocalRelation would otherwise evaluate the whole select
@@ -169,7 +174,7 @@ class FunctionsSpec extends AnyFunSuite {
       "linear_score_matrix(k=300)" -> graft.functions.LinearScoreMatrix(
         col("v"), Array.fill(300)(Array.fill(dim + 1)(rng.nextGaussian()))),
       "sparse_score_matrix(k=300)" -> graft.functions.SparseScoreMatrix(
-        col("sv"), Array.fill(300)(Array.fill((1 << 18) + 1)(0.1))),
+        col("sv"), Array.fill(300)(Array.fill(sparseDim + 1)(0.1))),
       "srp_band_keys(256 planes)" -> graft.functions.SrpBandKeys(
         col("v"), Seq.fill(256)(Seq.fill(dim)(rng.nextGaussian())),
         Seq.fill(16)(16), dim),

@@ -695,6 +695,30 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizer training sample: full under cap, capped + stable above") {
+    // the coarse quantizer trains on O(k) points (faiss-style), never
+    // the full corpus: below max(128k, 2^16) rows the train set IS the
+    // corpus; above, a deterministic hash-sample of ~cap rows — keyed
+    // on xxhash64(id), so stable across partitionings and re-runs
+    import spark.implicits._
+    val small = spark.range(0, 1000).toDF("id")
+    assert(Similarity.quantizerTrainSet(small, "id", 1000L, 16).count() == 1000,
+      "under cap: train on everything")
+    val n = 300000L
+    val big = spark.range(0, n).toDF("id")
+    val k = 448
+    val cap = math.max(128L * k, 1L << 16)
+    val s1 = Similarity.quantizerTrainSet(big, "id", n, k)
+    val c1 = s1.count()
+    assert(c1 < n / 2 && c1 > cap / 4,
+      s"sampled size $c1 should be near cap $cap, well under $n")
+    // determinism: same ids selected regardless of partitioning
+    val s2 = Similarity.quantizerTrainSet(big.repartition(7), "id", n, k)
+    assert(s2.count() == c1 &&
+      s1.except(s2).isEmpty && s2.except(s1).isEmpty,
+      "hash-keyed sample must be partitioning-independent")
+  }
+
   test("IVF append cell assignment is a per-row map: zero Exchange") {
     // the corpus-growth path must not pay a batch × cells shuffle: the
     // fused NearestCentroid argmin rides the scan. The ONLY exchange in

@@ -31,4 +31,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms = Xmx: with a floating Xms, G1 uncommits heap after every big
+  // shuffle and the next run re-faults gigabytes of zeroed pages back in
+  // — measured as 60-94% SYSTEM time and erratic 3-10x per-run swings
+  // (q38 at sf10: 9-140 s for identical plan/cache/GC states). A pinned
+  // heap keeps the pages committed; bench runs stabilize.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ (
+  // SPARK_GRAFT_GCLOG=1: GC log to stderr for adjudicating whether an
+  // erratic bench reading is collector thrash vs real plan cost.
+  if (sys.env.get("SPARK_GRAFT_GCLOG").contains("1"))
+    Seq("-Xlog:gc*=info:stderr:time,uptime")
+  else Seq.empty
 )

@@ -97,7 +97,7 @@ object Predict {
     * `array<double>` UDF path. Hashing and scoring both ride the scan —
     * no shuffle, distributes with the input partitioning.
     */
-  def withTextPredictions(spark: SparkSession, df: DataFrame,
+  def withTextPredictions(df: DataFrame,
                           stage: graft.encode.Encoderizer.TextHashStage,
                           model: graft.exec.LogRegModel,
                           outCol: String = "preds",
@@ -124,7 +124,7 @@ object Predict {
     * rows. Like the argmax path, hashing and scoring both ride the
     * scan — no shuffle.
     */
-  def withTextProbabilities(spark: SparkSession, df: DataFrame,
+  def withTextProbabilities(df: DataFrame,
                             stage: graft.encode.Encoderizer.TextHashStage,
                             model: graft.exec.LogRegModel,
                             outCol: String = "proba"): DataFrame = {
@@ -143,7 +143,7 @@ object Predict {
     * margins come from one [[graft.functions.SparseScoreMatrix]] over
     * the margin-row matrix — zero shuffle, no densify.
     */
-  def withTextPredictionsOvR(spark: SparkSession, df: DataFrame,
+  def withTextPredictionsOvR(df: DataFrame,
                              stage: graft.encode.Encoderizer.TextHashStage,
                              model: graft.search.OvRModel,
                              outCol: String = "preds"): DataFrame = {
@@ -159,7 +159,7 @@ object Predict {
     * are encoded as ±1000 bias rows: sigmoid saturates to exactly
     * 0.0 / 1.0 in double, the `_ConstantPredictor` probabilities).
     */
-  def withTextProbabilitiesOvR(spark: SparkSession, df: DataFrame,
+  def withTextProbabilitiesOvR(df: DataFrame,
                                stage: graft.encode.Encoderizer.TextHashStage,
                                model: graft.search.OvRModel,
                                outCol: String = "proba"): DataFrame = {

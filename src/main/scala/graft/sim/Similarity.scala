@@ -142,25 +142,31 @@ object Similarity {
       "_vec", kCells, seed, maxIter)
     val cells = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-    val assigned = model.transform(toVec).select("neighbor_id", "_cv", "_cell")
+    // corpus assignment via the fused NearestCentroid argmin, NOT
+    // model.transform: the MLlib path runs a per-row predict UDF over
+    // VectorUDT (deser + no codegen) and its fastSquaredDistance numerics
+    // differ in ULPs from the SQL probe ranking below — the fused
+    // expression keeps the full-corpus pass in whole-stage codegen AND
+    // makes assignment bit-identical to the query-side `_cdist` metric
+    // (same Σ(x−y)² loop, same tie-break), so a near-tied vector can
+    // never be assigned to a cell the probe ranking disagrees with.
+    val assigned = toVec.withColumn("_cell",
+        graft.functions.NearestCentroid(normalized(col("_cv")), cells))
+      .select("neighbor_id", "_cv", "_cell")
 
     // probe list per query: nProbe nearest centroids by the SAME metric
-    // that assigned cells — Euclidean on the normalized query (centroids
-    // are tiny — broadcast literal table)
-    val centroidDf = broadcast(
-      corpus.sparkSession.createDataFrame(cells).toDF("_cell", "_centroid"))
-    // _cell tiebreak: equidistant centroids must rank deterministically
-    // (a recompute after cache eviction then probes identical cells)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("_cdist").asc, col("_cell").asc)
+    // (and the SAME fused Σ(x−y)² numerics) that assigned cells. ONE
+    // NearestCells expression per query row, then explode — a per-row
+    // map riding the query scan. The previous crossJoin(centroids) →
+    // _cdist → row_number window carried queries × cells rows through a
+    // hash exchange: fine for a probe panel of a few vectors, a 4×10⁹-row
+    // shuffle for a 1M-query batch at 4096 auto-sized cells. Ties break
+    // to the lowest cell id inside the expression — same determinism the
+    // window's orderBy(_cdist, _cell) provided.
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
-      .crossJoin(centroidDf)
-      .withColumn("_cdist", aggregate(
-        zip_with(normalized(col("_qv")), col("_centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, v) => a + v))
-      .withColumn("_pr", row_number().over(w))
-      .filter(col("_pr") <= probeCells)
+      .withColumn("_cell", explode(graft.functions.NearestCells(
+        normalized(col("_qv")), cells, probeCells)))
       .select("query_id", "_qv", "_cell")
 
     val wk = Window.partitionBy("query_id")
@@ -243,7 +249,15 @@ object Similarity {
     val km = fitSphericalKMeans(
       quantizerTrainSet(toVec, "id", nRows, kCells),
       "_nv", kCells, seed, maxIter)
-    km.transform(toVec).select(col("id"), col("vec"), col("_cell"))
+    val kmCells = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    // fused-argmin assignment (not model.transform): full-corpus pass
+    // stays codegen'd, and build-time assignment uses the SAME numerics
+    // as appendToIvfIndex's — an appended twin of a built row can never
+    // land in a different cell than its original
+    toVec.withColumn("_cell", graft.functions.NearestCentroid(
+        normalized(col("vec").cast("array<double>")), kmCells))
+      .select(col("id"), col("vec"), col("_cell"))
       // repartition ON the partition column first: without it every input
       // partition writes its own file into every cell dir (tasks x cells
       // small files — 2048 ~40 KB files measured at 200k x 64 cells);
@@ -252,9 +266,7 @@ object Similarity {
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
     toVec.unpersist(blocking = false)
-    val cents = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-    spark.createDataFrame(cents).toDF("_cell", "centroid")
+    spark.createDataFrame(kmCells).toDF("_cell", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
     // build-time meta so appendToIvfIndex can measure growth SINCE BUILD
     // (cells were sized for nRows — whether by the sqrt rule or an
@@ -300,26 +312,24 @@ object Similarity {
                        dir: String,
                        rebuildRecommendRatio: Double = 2.0): IvfAppendStats = {
     val spark = newVecs.sparkSession
-    val stamp = sidecarStamp(spark, dir)
-    val cents = centroidCache.compute(dir, (d, cached) =>
-      if (cached != null && cached._1 == stamp) cached
-      else (stamp, spark.read.json(s"$d/centroids")
-        .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))))._2
-    require(cents.nonEmpty, s"no centroids sidecar under $dir — build with" +
-      s" writeIvfIndex first; append cannot bootstrap an index")
+    val cents = loadCentroids(spark, dir)
     val dim = cents.head._2.length
     val toAdd = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
     // a dimension mismatch would assign confidently-wrong cells — same
     // loud guard as probeIvfIndex. BOTH bounds: a row SHORTER than the
     // index dim is as wrong as a longer one (min-only checking let short
-    // rows null-pad their distances and fall into cell 0 silently)
-    val dimRow = toAdd.agg(min(size(col("vec"))), max(size(col("vec")))).head()
+    // rows null-pad their distances and fall into cell 0 silently).
+    // count() rides the same agg: assignment is row-preserving, so this
+    // IS the appended-row count — a separate count on the assigned frame
+    // would execute the k×dim argmin a second time just to count rows.
+    val dimRow = toAdd.agg(min(size(col("vec"))), max(size(col("vec"))),
+      count(lit(1))).head()
     if (!dimRow.isNullAt(0))
       require(dimRow.getInt(0) == dim && dimRow.getInt(1) == dim,
         s"append dimensions [${dimRow.getInt(0)}, ${dimRow.getInt(1)}] != " +
           s"index dimension $dim ($dir)")
+    val appended = dimRow.getLong(2)
     // assignment: argmin over the centroid matrix by the SAME metric
     // that built the cells — Euclidean on the L2-normalized vector
     // (centroids already live in normalized space). ONE fused codegen'd
@@ -329,9 +339,7 @@ object Similarity {
     // (up to 4096× the batch bytes at auto-sized cell counts) on the
     // corpus-growth path. Duplicate ids in a batch each keep their own
     // row, matching writeIvfIndex (the window plan collapsed them).
-    val assigned = assignCells(toAdd, cents, dim)
-    val appended = assigned.count() // rows actually written, post-filter
-    assigned
+    assignCells(toAdd, cents)
       .repartition(col("_cell")) // one writer per cell, as writeIvfIndex
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
     // occupancy after the append, from the index itself (ids-only scan)
@@ -380,11 +388,9 @@ object Similarity {
     * Exchange anywhere in this subplan.
     */
   private[graft] def assignCells(toAdd: DataFrame,
-                                 cents: Array[(Int, Seq[Double])],
-                                 dim: Int): DataFrame =
+                                 cents: Array[(Int, Seq[Double])]): DataFrame =
     toAdd.withColumn("_cell", graft.functions.NearestCentroid(
-        normalized(col("vec").cast("array<double>")),
-        cents.toSeq.map { case (c, v) => (c, v) }))
+        normalized(col("vec").cast("array<double>")), cents.toSeq))
       .select(col("id"), col("vec"), col("_cell"))
 
   /** Coarse-quantizer TRAINING set: past `128 × k` rows (floor 2^16)
@@ -394,8 +400,14 @@ object Similarity {
     * every Lloyd iteration and kmeans|| init pass is otherwise a FULL
     * corpus scan: at 100 TB the full fit is the whole job. Assignment
     * still covers every row — only the centroid fit samples. Measured
-    * (IvfFitStageProbe, 200k×64, 448 cells): fit 16.6 s → 7.0 s at
-    * 128/cell with the planted-twin cell property intact at 1.0.
+    * (IvfFitStageProbe, 200k×64, 448 cells): fit 17.2 s → 6.3 s at
+    * 128/cell, full-corpus inertia ratio 1.0055 (sampled centroids are
+    * within 0.6% of the full fit's k-means objective on data they never
+    * saw) and natural top-1 recall at the auto probe fraction 0.528 →
+    * 0.520. (Planted-twin recall is NOT the evidence here — identical
+    * vectors share a cell under ANY deterministic quantizer, so that
+    * metric reads 1.0 for an arbitrarily bad fit; it validates the q62
+    * oracle's robustness, not quantizer quality.)
     * The sample is keyed on xxhash64(id) mod ceil(n/cap): seed-free,
     * order-independent, stable across partitionings and re-runs.
     */
@@ -440,6 +452,23 @@ object Similarity {
       .mkString(",")
   }
 
+  /** Centroid sidecar via the stamped cache — one listStatus RPC per
+    * call, a JSON read only when the sidecar changed (see centroidCache
+    * comment). Shared by every on-disk-index entry point.
+    */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[(Int, Seq[Double])] = {
+    val stamp = sidecarStamp(spark, dir)
+    val cents = centroidCache.compute(dir, (d, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, spark.read.json(s"$d/centroids")
+        .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))))._2
+    require(cents.nonEmpty, s"no centroids sidecar under $dir — build " +
+      s"with writeIvfIndex first")
+    cents
+  }
+
   /** Serve one query from an on-disk IVF index: rank centroids on the
     * driver (the sidecar is tiny), then an exact cosine top-k over ONLY
     * the nProbe matching cell partitions — `.explain` shows
@@ -453,13 +482,7 @@ object Similarity {
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     query: Seq[Double], k: Int, nProbe: Int = 0): DataFrame = {
-    val stamp = sidecarStamp(spark, dir)
-    val cents = centroidCache.compute(dir, (d, cached) =>
-      if (cached != null && cached._1 == stamp) cached
-      else (stamp, spark.read.json(s"$d/centroids")
-        .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))))._2
-    require(cents.nonEmpty, s"no centroids sidecar under $dir")
+    val cents = loadCentroids(spark, dir)
     // a dimension mismatch would otherwise TRUNCATE silently (zip and
     // the cosine kernel both stop at the shorter length) and return
     // confidently-scored nonsense
@@ -482,6 +505,69 @@ object Similarity {
         round(cosine(col("vec"), typedlit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
       .limit(k)
+  }
+
+  /** Batch serving over an on-disk IVF index: a whole DataFrame of query
+    * vectors probes the index in ONE distributed plan — the on-disk twin
+    * of [[ivfTopK]], with the same output contract
+    * `(query_id, neighbor_id, cos, rank)` and the same
+    * equal-id exclusion. Per query row, ONE fused [[
+    * graft.functions.NearestCells]] expression emits the nProbe nearest
+    * cell ids riding the query scan (no crossJoin, no window — see the
+    * ivfTopK probe-stage comment), then candidates come from an
+    * equi-join against the cell-partitioned corpus files, reading ONLY
+    * the union of the batch's probed cells: the probed-cell set is
+    * enumerated with one narrow pass over the batch (distinct over at
+    * most the cell count — this is the small side by contract) and
+    * pushed as a STATIC partition filter, the batch analogue of
+    * `probeIvfIndex`'s PartitionFilters. Deliberately not left to
+    * dynamic partition pruning — DPP is a broadcast-reuse heuristic that
+    * silently reads every cell when its estimates say the prune isn't
+    * worth it. A batch large enough to probe every cell reads every
+    * cell — then the filter is dropped and the full scan is the correct
+    * plan, not a missed prune. The final per-query top-k is a row_number
+    * window over candidates only (queries × probed-fraction of the
+    * corpus), the irreducible rerank shuffle.
+    *
+    * `nProbe = 0` (default) = auto, the shared [[autoNProbe]] fraction.
+    */
+  def probeIvfIndexBatch(queries: DataFrame, vecCol: String, idCol: String,
+                         dir: String, k: Int, nProbe: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(spark, dir)
+    val dim = cents.head._2.length
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .filter(col("_qv").isNotNull && size(col("_qv")) > 0)
+    // same loud dimension guard as the single-query path — min AND max,
+    // so short rows cannot silently score a truncated prefix
+    val dimRow = q.agg(min(size(col("_qv"))), max(size(col("_qv")))).head()
+    if (!dimRow.isNullAt(0))
+      require(dimRow.getInt(0) == dim && dimRow.getInt(1) == dim,
+        s"query dimensions [${dimRow.getInt(0)}, ${dimRow.getInt(1)}] != " +
+          s"index dimension $dim (index at $dir)")
+    val probeCells =
+      if (nProbe > 0) nProbe else autoNProbe(cents.length)
+    val probes = q.withColumn("_cell", explode(graft.functions.NearestCells(
+        normalized(col("_qv")), cents.toSeq, probeCells)))
+    // enumerate the batch's probed cells and prune the scan statically
+    // (recomputing the NearestCells arithmetic for this pass is cheaper
+    // than caching the probe frame just to read its distinct cells)
+    val probedCells = probes.select("_cell").distinct()
+      .collect().map(_.getInt(0))
+    val cellScan0 = spark.read.parquet(s"$dir/cells")
+    val cellScan =
+      if (probedCells.length < cents.length)
+        cellScan0.filter(col("_cell").isin(probedCells.map(Int.box).toSeq: _*))
+      else cellScan0
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(cellScan, "_cell")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("vec"), col("_qv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wk).cast("int"))
+      .filter(col("rank") <= k)
   }
 
   /** Plane count for a target LSH bucket density, PACKED-SIGNATURE form
@@ -684,26 +770,49 @@ object Similarity {
     // would otherwise pay itself. Stats are read from `vecs` (the
     // null/empty-filtered projection the fallback counts), not the raw
     // df, so both sources size k from the same relation.
-    val knownN: Option[Long] =
-      if (nRows > 0) Some(nRows)
-      else vecs.queryExecution.optimizedPlan.stats.rowCount
+    val claimedN: Option[Long] = if (nRows > 0) Some(nRows) else None
+    val statsN: Option[Long] =
+      vecs.queryExecution.optimizedPlan.stats.rowCount
         .map(_.toLong).filter(_ > 0)
+    // one pass over the source that doubles as the pin-materialization
+    // scan the KMeans fit would otherwise pay itself
+    lazy val countedN: Long = vecs.count()
     // auto-k must have n (counting if necessary); an explicit k with
-    // unknown n stays count-free
-    val resolvedN: Option[Long] =
-      knownN.orElse(if (nClusters > 0) None else Some(vecs.count()))
+    // unknown n stays count-free. A CBO estimate is fine HERE — k only
+    // sets cell granularity, not correctness.
     val k =
       if (nClusters > 0) nClusters
-      else math.max(4, math.ceil(math.sqrt(resolvedN.get.toDouble)).toInt)
-    // quantizer trains on the capped hash-sample when n is known (free
-    // here); with an explicit k and UNKNOWN n, skip sampling rather than
-    // pay a dedicated count — the fit then costs what it always did
+      else math.max(4, math.ceil(math.sqrt(
+        claimedN.orElse(statsN).getOrElse(countedN).toDouble)).toInt)
+    // The SAMPLING modulus must come from a VERIFIED n (caller claim or
+    // actual count), never a CBO estimate: ceil(n/cap) with a 100×
+    // overestimated n keeps ~cap/100 rows and silently starves (or
+    // empties) the KMeans train set. When only an estimate exists and it
+    // says the corpus is past the cap, the count is worth paying: it
+    // materializes the pin once and saves maxIter full-corpus Lloyd
+    // passes. An explicit-k call whose estimate sits under the cap
+    // stays count-free (sampling would be identity anyway).
+    val cap = math.max(128L * k, 1L << 16)
+    val sampleN: Option[Long] = claimedN.orElse(statsN match {
+      case Some(est) if est > cap => Some(countedN)
+      case Some(_)                => None // estimate under cap: identity
+      case None                   =>
+        // auto-k already paid countedN (free to reuse); explicit-k with
+        // no signal at all stays count-free, as documented
+        if (nClusters > 0) None else Some(countedN)
+    })
     val trainSet =
-      resolvedN.fold(vecs)(n => quantizerTrainSet(vecs, "id", n, k))
-    val assigned = fitSphericalKMeans(trainSet, "_nv", k, seed, maxIter,
+      sampleN.fold(vecs)(n => quantizerTrainSet(vecs, "id", n, k))
+    val sdModel = fitSphericalKMeans(trainSet, "_nv", k, seed, maxIter,
         initMode = Some("random")) // bounded cells suffice for dedup;
       // random init skips kmeans|| passes (each a full corpus scan)
-      .transform(vecs)
+    // fused-argmin assignment, as in ivfTopK/writeIvfIndex: the
+    // full-corpus pass rides the cached scan in whole-stage codegen
+    // instead of MLlib's per-row predict UDF over VectorUDT
+    val assigned = vecs.withColumn("_cell",
+        graft.functions.NearestCentroid(normalized(col("_v")),
+          sdModel.clusterCenters.zipWithIndex
+            .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq))
       .select(col("id"), col("_v"), col("_cell"))
     val p = df.sparkSession.sparkContext.defaultParallelism
     val cellP = assigned.repartition(p, col("_cell"))

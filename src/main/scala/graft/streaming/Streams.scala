@@ -71,16 +71,25 @@ object Streams {
     // File probe silently measures 0 bytes and re-pins the constant
     // floor of 2 this function was written to remove. globStatus
     // resolves the same pattern on every scheme; a directory table is
-    // summed over its *.parquet leaves ONLY — getContentSummary counted
-    // every recursive byte (commit markers, _spark_metadata, checkpoint
-    // debris), drifting the sizing upward on written-to tables.
+    // summed over its *.parquet leaves RECURSIVELY (a partitionBy table
+    // keeps its data under key=value subdirs — a direct-child-only glob
+    // measures it as 0 bytes and re-pins the floor of 2), skipping
+    // metadata subtrees (_spark_metadata, _delta_log, .checkpoints) —
+    // getContentSummary counted every recursive byte (commit markers,
+    // checkpoint debris), drifting the sizing upward on written-to
+    // tables.
     val path = new org.apache.hadoop.fs.Path(dir, glob)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def dataBytes(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory) {
+        if (hidden(st.getPath.getName)) 0L
+        else fs.listStatus(st.getPath).map(dataBytes).sum
+      } else if (st.getPath.getName.endsWith(".parquet") &&
+                 !hidden(st.getPath.getName)) st.getLen
+      else 0L
     val bytes = Option(fs.globStatus(path)).toSeq.flatten.map { st =>
-      if (st.isDirectory)
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(st.getPath,
-          "*.parquet"))).toSeq.flatten.map(_.getLen).sum
-      else st.getLen
+      if (st.isDirectory) dataBytes(st) else st.getLen
     }.sum
     val byBytes = math.ceil(bytes.toDouble / (2L << 20)).toInt
     math.max(2, math.min(spark.sparkContext.defaultParallelism, byBytes))

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -8,10 +9,23 @@ import graft.Tables
   * spherical-KMeans fit (kmeans|| init + Lloyd iterations), and the
   * probe/rerank tail — answers "is the quantizer FIT the q62 floor, and
   * would a sample-fit quantizer (the faiss train-on-sample design) pay?"
-  * before any code changes. Also times a sample-fit variant directly:
-  * fit on a deterministic hash-sample capped at `samplePerCell × cells`
-  * rows, assign the FULL corpus, and compare planted-twin top-1 recall
-  * (the q62 oracle property) against the full fit.
+  * before any code changes. Also times a sample-fit variant directly and
+  * compares quantizer QUALITY under two non-vacuous metrics:
+  *
+  *  - full-corpus inertia (mean squared distance to the assigned
+  *    centroid, the k-means objective itself) — sample/full ratio close
+  *    to 1.0 means the sampled fit found centroids as good as the full
+  *    fit's;
+  *  - NATURAL top-1 recall at the auto probe fraction (cells/16,
+  *    floor 3): for a slice of query vectors, is the exact nearest
+  *    NON-IDENTICAL neighbor's cell among the query's probed cells?
+  *
+  * Planted-twin recall is deliberately NOT a metric here: an identical
+  * vector maps to the same cell under ANY deterministic quantizer
+  * (same input, same transform), so it reads 1.0 for an arbitrarily bad
+  * sample fit — it validates the q62 oracle's robustness, not quantizer
+  * quality. (An earlier version of this probe also joined each probe
+  * row to ITSELF, making the readout doubly tautological.)
   *
   * Usage: runMain graft.tools.IvfFitStageProbe [sfDir] [samplePerCell]
   */
@@ -31,11 +45,12 @@ object IvfFitStageProbe {
     val emb = Tables.embeddings(spark, sfDir)
     val toVec = emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("_cv"))
-      .withColumn("_vec", array_to_vector(
-        graft.functions.L2Normalize(col("_cv")))).cache()
+      .withColumn("_nv", graft.functions.L2Normalize(col("_cv")))
+      .withColumn("_vec", array_to_vector(col("_nv"))).cache()
     val n = t("normalize+cache")(toVec.count())
     val kCells = math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
-    println(s"[ivffit] n=$n cells=$kCells")
+    val nProbe = math.max(3, kCells / 16)
+    println(s"[ivffit] n=$n cells=$kCells nProbe=$nProbe")
 
     import org.apache.spark.ml.clustering.KMeans
     def fit(df: org.apache.spark.sql.DataFrame) =
@@ -51,25 +66,63 @@ object IvfFitStageProbe {
     println(s"[ivffit] sample rows=$sn (cap=$cap)")
     val sampleModel = t(s"fit SAMPLE")(fit(sample))
 
-    // planted-twin recall under each quantizer: every 50th vector's twin
-    // (identical vector) must land in the probed cells — q62's oracle
-    // property, seed-free by construction
-    def twinRecall(model: org.apache.spark.ml.clustering.KMeansModel): Double = {
-      val assigned = model.transform(toVec).select("neighbor_id", "_cell")
-      val probesQ = toVec.filter(pmod(col("neighbor_id"), lit(50)) === 0)
-        .select(col("neighbor_id").as("query_id"), col("_vec"))
-      val qCells = model.transform(probesQ.withColumnRenamed("_vec", "_v")
-          .withColumnRenamed("_v", "_vec"))
-        .select(col("query_id"), col("_cell").as("_qcell"))
-      val hit = qCells.join(assigned,
-          qCells("query_id") === assigned("neighbor_id") &&
-            qCells("_qcell") === assigned("_cell"))
+    def centDf(model: org.apache.spark.ml.clustering.KMeansModel) =
+      spark.createDataFrame(model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq)
+        .toDF("_cell", "_centroid")
+
+    val sq2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // k-means objective on the FULL corpus: how good are the centroids
+    // the sampled fit found, measured on data it never saw?
+    def inertia(model: org.apache.spark.ml.clustering.KMeansModel): Double =
+      model.transform(toVec).select(col("_nv"), col("_cell"))
+        .join(broadcast(centDf(model)), "_cell")
+        .agg(avg(sq2(col("_nv"), col("_centroid")))).head().getDouble(0)
+
+    // natural serving recall: every `step`-th vector queries the index;
+    // hit = the exact nearest NON-IDENTICAL neighbor's assigned cell is
+    // among the query's nProbe nearest centroids (the ivfTopK metric).
+    // Identical twins are excluded from the exact-neighbor pick (cos
+    // rounds to 1.0) precisely because they cannot miss.
+    def naturalRecall(model: org.apache.spark.ml.clustering.KMeansModel): Double = {
+      val step = math.max(1L, n / 500)
+      val assigned = model.transform(toVec)
+        .select(col("neighbor_id").as("nid"), col("_cell"))
+      val queries = toVec.filter(pmod(col("neighbor_id"), lit(step)) === 0)
+        .select(col("neighbor_id").as("qid"), col("_nv").as("_qv")).cache()
+      val dot = aggregate(zip_with(col("_qv"), col("_nv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = queries
+        .crossJoin(toVec.select(col("neighbor_id").as("nid"), col("_nv")))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("_cos", dot)
+        .filter(col("_cos") < 0.999999) // identical vectors can't miss
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("_cos"), asc("nid"))))
+        .filter(col("_rn") === 1).select("qid", "nid")
+      val probed = queries.crossJoin(broadcast(centDf(model)))
+        .withColumn("_d2", sq2(col("_qv"), col("_centroid")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("qid").orderBy(asc("_d2"), asc("_cell"))))
+        .filter(col("_rn") <= nProbe).select("qid", "_cell")
+      val nq = queries.count().toDouble
+      val hits = exact.join(assigned, "nid").join(probed, Seq("qid", "_cell"))
         .count()
-      hit.toDouble / qCells.count()
+      queries.unpersist()
+      hits / nq
     }
-    val rFull = t("assign+twin-check FULL")(twinRecall(fullModel))
-    val rSample = t("assign+twin-check SAMPLE")(twinRecall(sampleModel))
-    println(f"[ivffit] twin-in-own-cell full=$rFull%.4f sample=$rSample%.4f")
+
+    val iFull = t("inertia FULL")(inertia(fullModel))
+    val iSample = t("inertia SAMPLE")(inertia(sampleModel))
+    println(f"[ivffit] inertia full=$iFull%.6f sample=$iSample%.6f " +
+      f"ratio=${iSample / iFull}%.4f")
+    val rFull = t("natural recall FULL")(naturalRecall(fullModel))
+    val rSample = t("natural recall SAMPLE")(naturalRecall(sampleModel))
+    println(f"[ivffit] natural top-1 recall @nProbe=$nProbe " +
+      f"full=$rFull%.4f sample=$rSample%.4f")
     spark.stop()
   }
 }

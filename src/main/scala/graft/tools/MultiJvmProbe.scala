@@ -19,12 +19,6 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_HOME=/opt/spark sbt "runMain graft.tools.MultiJvmProbe [sfDir] [q...]"
   */
 object MultiJvmProbe {
-  private val DefaultQueries = Seq(
-    "q36_ngram_jaccard", "q38_minhash_pairs", "q48_asof_join",
-    "q62_ivf_ann", "q63_srp_pairs", "q64_neardup_survivors",
-    "q76_semantic_dedup", "q83_dup_spans", "q87_stream_decontaminate",
-    "q90_coverage_survivors", "q92_text_predict", IvfAppendName)
-
   /** Synthetic (non-SparkEntry) step: the on-disk IVF append path — the
     * one data-plane family added AFTER the r9 multi-JVM validation ran,
     * and the one that WRITES files from executors (append-mode cell
@@ -33,8 +27,16 @@ object MultiJvmProbe {
     * cosines over WELL-SEPARATED synthetic clusters, so it is invariant
     * to benign cell-id permutations between quantizer runs while still
     * catching executor-side write/classpath/broadcast breakage.
+    * Declared BEFORE DefaultQueries: object vals initialize in order,
+    * and a forward reference here is silently null, not an error.
     */
   private val IvfAppendName = "ivf_append_probe"
+
+  private val DefaultQueries = Seq(
+    "q36_ngram_jaccard", "q38_minhash_pairs", "q48_asof_join",
+    "q62_ivf_ann", "q63_srp_pairs", "q64_neardup_survivors",
+    "q76_semantic_dedup", "q83_dup_spans", "q87_stream_decontaminate",
+    "q90_coverage_survivors", "q92_text_predict", IvfAppendName)
 
   private def ivfAppendFingerprint(spark: SparkSession): (Long, Long) = {
     import graft.sim.Similarity

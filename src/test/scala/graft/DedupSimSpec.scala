@@ -583,6 +583,63 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("batch on-disk probe matches per-query probes and prunes cell files") {
+    val rng = new Random(27)
+    val centers = Array.tabulate(4)(c => Array.tabulate(8)(d =>
+      if (d == c * 2) 3.0 else 0.0))
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, centers(c).map(_ + rng.nextGaussian() * 0.2).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    try {
+      Similarity.writeIvfIndex(vecs, "embedding", "vec_id", dir,
+        nClusters = 4, seed = 11)
+      // query ids OUTSIDE the corpus id space so the batch path's
+      // equal-id exclusion (the ivfTopK contract) is a no-op and the
+      // single-query path (which has no id concept) is comparable
+      val queries = vecs.filter(col("vec_id") % 10 === 3)
+        .withColumn("vec_id", col("vec_id") + 1000)
+      val batch = Similarity.probeIvfIndexBatch(queries, "embedding",
+        "vec_id", dir, k = 5, nProbe = 1)
+      val byQuery = batch.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getInt(3)).map(r =>
+            (r.getLong(1), r.getDouble(2))).toSeq
+        }
+      queries.collect().foreach { qr =>
+        val qid = qr.getLong(0)
+        val want = Similarity.probeIvfIndex(spark, dir,
+            qr.getSeq[Double](1), k = 5, nProbe = 1)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(byQuery(qid) == want, s"query $qid: batch vs single probe")
+      }
+      // scale shape: the probe-list stage is a per-row NearestCells map —
+      // the executed plan must contain NO crossJoin/cartesian anywhere
+      // (the old plan crossJoined queries × centroids before a window)
+      val planStr = batch.queryExecution.executedPlan.toString
+      assert(!planStr.toLowerCase.contains("cartesian"),
+        s"batch probe must not cartesian-join centroids:\n${planStr.take(1200)}")
+      // pruning: a 1-query batch with nProbe=1 must read ~1 cell's bytes,
+      // not the whole index (dynamic partition pruning on _cell)
+      val one = Similarity.probeIvfIndexBatch(queries.limit(1), "embedding",
+        "vec_id", dir, k = 5, nProbe = 1)
+      one.collect()
+      val (files1, _) = graft.tools.IvfScaleProbe.scanReadMetrics(one)
+      val all = Similarity.probeIvfIndexBatch(queries, "embedding",
+        "vec_id", dir, k = 5, nProbe = 4)
+      all.collect()
+      val (files4, _) = graft.tools.IvfScaleProbe.scanReadMetrics(all)
+      assert(files1 < files4,
+        s"1-query/1-probe batch read $files1 files vs $files4 at full probe" +
+          " — cell files are not being pruned")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("IVF default probe auto-sizes to the index's cell count") {
     // unit law first: a constant probe FRACTION (1/16 of cells, floor 3)
     // — reproduces the historical nProbe=3 exactly at the 16-cell
@@ -729,7 +786,7 @@ class DedupSimSpec extends AnyFunSuite {
     val cents = Array.tabulate(8)(c => (c, Seq.fill(16)(rng.nextGaussian())))
     val batch = Seq.tabulate(100)(i =>
       (i.toLong, Seq.fill(16)(rng.nextGaussian()))).toDF("id", "vec")
-    val assigned = Similarity.assignCells(batch, cents, 16)
+    val assigned = Similarity.assignCells(batch, cents)
     val exchanges = assigned.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }

@@ -219,7 +219,7 @@ class EncoderSpec extends AnyFunSuite {
     val w = Array.tabulate(3, d + 1)((c, j) => ((j * 37 + c * 53) % 19 - 9) / 10.0)
     val model = LogRegModel(w, nClasses = 3)
 
-    val fused = Predict.withTextPredictions(spark, docs, stage, model)
+    val fused = Predict.withTextPredictions(docs, stage, model)
       .select("id", "preds").as[(Long, Int)].collect().toMap
     val twoStep = {
       val feats = stage.transform(docs, "f")
@@ -233,7 +233,7 @@ class EncoderSpec extends AnyFunSuite {
 
     // string-label variant routes through the same scores
     val lab = Seq("neg", "neu", "pos")
-    val fusedLab = Predict.withTextPredictions(spark, docs, stage, model,
+    val fusedLab = Predict.withTextPredictions(docs, stage, model,
       labels = Some(lab))
       .select("id", "preds").as[(Long, String)].collect().toMap
     assert(fusedLab == fused.view.mapValues(lab).toMap)
@@ -241,13 +241,13 @@ class EncoderSpec extends AnyFunSuite {
     // a label list SHORTER than the class count is a caller error and
     // fails loudly up front — not null preds row by row
     intercept[IllegalArgumentException] {
-      Predict.withTextPredictions(spark, docs, stage, model,
+      Predict.withTextPredictions(docs, stage, model,
         labels = Some(Seq("neg", "pos")))
     }
 
     // predict_proba text branch: one-call raw text -> softmax'd class
     // probabilities == the two-step transform -> predictProba route
-    val fusedP = Predict.withTextProbabilities(spark, docs, stage, model)
+    val fusedP = Predict.withTextProbabilities(docs, stage, model)
       .select("id", "proba").as[(Long, Seq[Double])].collect().toMap
     val twoStepP = {
       val feats = stage.transform(docs, "f")
@@ -276,9 +276,9 @@ class EncoderSpec extends AnyFunSuite {
       models = Array(binModel(), binModel(),
         graft.exec.ConstantModel(0.0, nClasses = 2)),
       norm = Some("l1"))
-    val fusedOvr = Predict.withTextPredictionsOvR(spark, docs, stage, ovr)
+    val fusedOvr = Predict.withTextPredictionsOvR(docs, stage, ovr)
       .select("id", "preds").as[(Long, Double)].collect().toMap
-    val fusedOvrP = Predict.withTextProbabilitiesOvR(spark, docs, stage, ovr)
+    val fusedOvrP = Predict.withTextProbabilitiesOvR(docs, stage, ovr)
       .select("id", "proba").as[(Long, Seq[Double])].collect().toMap
     val feats2 = stage.transform(docs, "f")
       .withColumn("fa", org.apache.spark.ml.functions.vector_to_array(col("f")))

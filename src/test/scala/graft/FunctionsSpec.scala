@@ -89,6 +89,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3L).isEmpty, "null row -> null cell")
   }
 
+  test("nearest_cells matches driver-side top-n ranking under forced codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val dim = 12
+    // non-contiguous, shuffled cell ids: ranking must key by SUPPLIED id
+    val cents = Seq(7, 2, 9, 4, 11, 6).map(c =>
+      (c, Seq.fill(dim)(rng.nextGaussian())))
+    val rows = Seq.tabulate(80)(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian())))
+    for (nProbe <- Seq(1, 3, 6, 10 /* > cells: truncates to all, ranked */)) {
+      val got = rows.toDF("id", "v")
+        .select(col("id"), graft.functions.NearestCells(
+          col("v"), cents, nProbe).as("c"))
+        .as[(Long, Seq[Int])].collect().toMap
+      rows.foreach { case (id, v) =>
+        val want = cents.map { case (c, cent) =>
+          (c, v.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sortBy { case (c, d) => (d, c) }
+          .take(math.min(nProbe, cents.size)).map(_._1)
+        assert(got(id) == want, s"row $id nProbe=$nProbe")
+      }
+      // nProbe = 1 must agree with nearest_centroid (the argmin case)
+      if (nProbe == 1) {
+        val single = rows.toDF("id", "v").select(col("id"),
+          graft.functions.NearestCentroid(col("v"), cents).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        rows.foreach { case (id, _) =>
+          assert(got(id) == Seq(single(id)), s"row $id: cells vs centroid")
+        }
+      }
+    }
+  }
+
+  test("nearest_cells ties rank by cell id; null and NaN rows degrade loudly") {
+    import spark.implicits._
+    // two IDENTICAL centroids -> the tie must list the LOWER id first
+    // (the determinism the window's orderBy(_cdist, _cell) provided)
+    val same = Seq(5 -> Seq(1.0, 0.0), 3 -> Seq(1.0, 0.0))
+    val df = Seq((1L, Some(Seq(Some(0.9), Some(0.1)))),
+                 (2L, Some(Seq(Option.empty[Double], None)) /* all null -> 0-vector */),
+                 (3L, None),
+                 (4L, Some(Seq(Some(Double.NaN), Some(0.0))))).toDF("id", "v")
+    val got = df.select(col("id"), graft.functions.NearestCells(
+        col("v").cast("array<double>"), same, 2).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Int](1)))).toMap
+    assert(got(1L).contains(Seq(3, 5)), "tie -> ascending cell id")
+    assert(got(2L).contains(Seq(3, 5)), "null elements read as 0.0")
+    assert(got(3L).isEmpty, "null row -> null list")
+    // NaN distances never insert: the list TRUNCATES instead of emitting
+    // a garbage cell id that downstream explode+join would duplicate
+    assert(got(4L).contains(Seq()), "all-NaN distances -> empty probe list")
+  }
+
   test("sparse_score_matrix matches dense scoring under forced codegen") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
@@ -179,7 +232,10 @@ class FunctionsSpec extends AnyFunSuite {
         col("v"), Seq.fill(256)(Seq.fill(dim)(rng.nextGaussian())),
         Seq.fill(16)(16), dim),
       "nearest_centroid(4096 cells)" -> graft.functions.NearestCentroid(
-        col("v"), Seq.tabulate(4096)(c => (c, Seq.fill(dim)(rng.nextGaussian())))))
+        col("v"), Seq.tabulate(4096)(c => (c, Seq.fill(dim)(rng.nextGaussian())))),
+      "nearest_cells(4096 cells, 256 probes)" -> graft.functions.NearestCells(
+        col("v"), Seq.tabulate(4096)(c => (c, Seq.fill(dim)(rng.nextGaussian()))),
+        256))
     wide.foreach { case (name, expr) =>
       val proj = df.select(col("id"), expr.as("out"))
       proj.collect() // must actually run under CODEGEN_ONLY

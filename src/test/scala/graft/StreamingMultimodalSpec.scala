@@ -535,6 +535,15 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     put("tbl.parquet/part-2.snappy.orc", 8 * 1024 * 1024)
     assert(Streams.sizedStatePartitions(spark, dir, "tbl.parquet") == 3,
       "non-parquet debris must not change state sizing")
+    // partitioned layouts: partitionBy tables keep their data under
+    // key=value SUBDIRS with no direct-child *.parquet at all — a
+    // non-recursive glob measures such a table as 0 bytes and re-pins
+    // the 2-partition floor the function exists to remove
+    put("ptbl.parquet/day=1/part-0.parquet", 3 * 1024 * 1024)
+    put("ptbl.parquet/day=2/part-0.parquet", 3 * 1024 * 1024)
+    put("ptbl.parquet/_spark_metadata/0", 4 * 1024 * 1024)
+    assert(Streams.sizedStatePartitions(spark, dir, "ptbl.parquet") == 3,
+      "partitioned table must sum its nested *.parquet leaves")
     // ceiling: never past the session's parallelism
     put("huge.parquet", 200 * 1024 * 1024)
     assert(Streams.sizedStatePartitions(spark, dir, "huge.parquet") ==

@@ -520,6 +520,27 @@ object TextQueries {
         .orderBy("query_id")
     }),
 
+    // Batch serving over the ON-DISK IVF index, FULLY ORACLED via the
+    // q62 planted-twin construction: build the index from the corpus
+    // (deterministic per-sfDir dir, overwritten per call — bench
+    // iterations reuse it rather than leaking temp dirs), then probe a
+    // whole DataFrame of planted copies in one distributed plan. Top-1
+    // is structural exactly as in q62 — the twin's cell is the argmin of
+    // the SAME fused numerics that rank the query's probe list, so it is
+    // always a candidate and wins at cos 1.0. Exercises write → sidecar
+    // → NearestCells probe lists → static cell pruning → rerank.
+    "q94_ivf_batch_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q94_idx_" +
+        Integer.toHexString(d.hashCode)
+      Similarity.writeIvfIndex(emb, "embedding", "vec_id", dir, maxIter = 5)
+      val probesQ = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.probeIvfIndexBatch(probesQ, "embedding", "vec_id", dir,
+        k = 1)
+        .orderBy("query_id")
+    }),
+
     // SRP-LSH cosine near-dup pairs, FULLY ORACLED via planted copies:
     // identical vectors produce identical sign sketches under ANY
     // hyperplane set, so every copy pair is recalled structurally; the
@@ -751,6 +772,11 @@ object TextQueries {
     "q63_srp_pairs" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos
         |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    "q94_ivf_batch_probe" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+        |  1.0 AS cos, CAST(1 AS INT) AS rank
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id""".stripMargin,
 
     "q77_unigram_logprob" ->
       """WITH toks AS (

@@ -58,7 +58,16 @@ object MultiJvmProbe {
         Similarity.probeIvfIndex(spark, dir, q, k = 5)
           .withColumn("cos", round(col("cos"), 4))
       }
-      fingerprint(probes.reduce(_ unionByName _))
+      // the BATCH serving path too (r10): fused NearestCells probe lists
+      // + static cell pruning + distributed rerank — the executors run
+      // the codegen'd expression and read the appended cell files
+      val batchProbe = Similarity.probeIvfIndexBatch(
+          vecs.filter(col("vec_id").isin(18000L, 18503L, 19007L, 19511L))
+            .withColumn("vec_id", col("vec_id") + 500000),
+          "embedding", "vec_id", dir, k = 5)
+        .select(col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      fingerprint(probes.reduce(_ unionByName _)
+        .unionByName(batchProbe))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

@@ -531,8 +531,14 @@ object TextQueries {
     // → NearestCells probe lists → static cell pruning → rerank.
     "q94_ivf_batch_probe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // keyed by full-path UUID (not a collision-prone hashCode) AND the
+      // process pid: bench iterations within one process reuse/overwrite
+      // the same dir, while two concurrent harness processes can never
+      // overwrite each other's index mid-probe
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q94_idx_" +
-        Integer.toHexString(d.hashCode)
+        java.util.UUID.nameUUIDFromBytes(
+          d.getBytes(java.nio.charset.StandardCharsets.UTF_8)) +
+        s"_${ProcessHandle.current().pid()}"
       Similarity.writeIvfIndex(emb, "embedding", "vec_id", dir, maxIter = 5)
       val probesQ = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
         .withColumn("vec_id", col("vec_id") + 100000)

@@ -88,6 +88,13 @@ object Similarity {
     * corpus can be written bucketed by cell so probes touch only matching
     * files. `nClusters` defaults to 0 = auto (~sqrt(n), the standard IVF
     * sizing — see the comment in the body).
+    *
+    * A query vector containing NaN has no ranked probe cells (every
+    * distance is NaN) and is ABSENT from the result — previously the
+    * window plan ranked its NaN cosines FIRST and returned k garbage
+    * rows for it. Batch on-disk serving (`probeIvfIndexBatch`) fails
+    * loudly on NaN queries instead; here the corpus cache would make a
+    * dedicated guard pass disproportionate, so absence is the contract.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nClusters: Int = 0, nProbe: Int = 0,
@@ -400,11 +407,12 @@ object Similarity {
     * every Lloyd iteration and kmeans|| init pass is otherwise a FULL
     * corpus scan: at 100 TB the full fit is the whole job. Assignment
     * still covers every row — only the centroid fit samples. Measured
-    * (IvfFitStageProbe, 200k×64, 448 cells): fit 17.2 s → 6.3 s at
-    * 128/cell, full-corpus inertia ratio 1.0055 (sampled centroids are
-    * within 0.6% of the full fit's k-means objective on data they never
-    * saw) and natural top-1 recall at the auto probe fraction 0.528 →
-    * 0.520. (Planted-twin recall is NOT the evidence here — identical
+    * with THIS sampler (IvfFitStageProbe, 200k×64, 448 cells, 50,021
+    * sampled rows): fit 16.0 s → 5.3 s, full-corpus inertia ratio
+    * 1.0065 (sampled centroids are within 0.7% of the full fit's
+    * k-means objective on data they never saw) and natural top-1 recall
+    * at the auto probe fraction 0.528 full vs 0.552 sample (within the
+    * metric's noise). (Planted-twin recall is NOT the evidence here — identical
     * vectors share a cell under ANY deterministic quantizer, so that
     * metric reads 1.0 for an arbitrarily bad fit; it validates the q62
     * oracle's robustness, not quantizer quality.)
@@ -539,22 +547,38 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
       .filter(col("_qv").isNotNull && size(col("_qv")) > 0)
-    // same loud dimension guard as the single-query path — min AND max,
-    // so short rows cannot silently score a truncated prefix
-    val dimRow = q.agg(min(size(col("_qv"))), max(size(col("_qv")))).head()
-    if (!dimRow.isNullAt(0))
-      require(dimRow.getInt(0) == dim && dimRow.getInt(1) == dim,
-        s"query dimensions [${dimRow.getInt(0)}, ${dimRow.getInt(1)}] != " +
-          s"index dimension $dim (index at $dir)")
     val probeCells =
       if (nProbe > 0) nProbe else autoNProbe(cents.length)
-    val probes = q.withColumn("_cell", explode(graft.functions.NearestCells(
+    // explode_OUTER: a row whose probe list is empty (every distance NaN)
+    // must stay visible to the guard pass below, not vanish pre-guard;
+    // its null _cell then drops naturally in the inner candidate join
+    val probes = q.withColumn("_cell",
+      explode_outer(graft.functions.NearestCells(
         normalized(col("_qv")), cents.toSeq, probeCells)))
-    // enumerate the batch's probed cells and prune the scan statically
-    // (recomputing the NearestCells arithmetic for this pass is cheaper
-    // than caching the probe frame just to read its distinct cells)
-    val probedCells = probes.select("_cell").distinct()
-      .collect().map(_.getInt(0))
+    // ONE guard+enumeration pass over the batch (the query source may be
+    // expensive — don't execute it once per check): the same agg carries
+    // the loud min+max dimension guard of the single-query path (short
+    // rows must not silently score a truncated prefix), a NaN guard (a
+    // NaN coordinate makes every cell distance NaN and the query row
+    // would otherwise be silently ABSENT from the result), and the
+    // batch's probed-cell union for the static scan prune (bounded by
+    // the cell count — never collect per-query lists). Recomputing the
+    // NearestCells arithmetic here is cheaper than caching the probe
+    // frame to read it twice.
+    val guardRow = probes.agg(min(size(col("_qv"))), max(size(col("_qv"))),
+      max(when(exists(col("_qv"), x => isnan(x)), 1).otherwise(0)),
+      collect_set(col("_cell"))).head()
+    if (!guardRow.isNullAt(0)) {
+      require(guardRow.getInt(0) == dim && guardRow.getInt(1) == dim,
+        s"query dimensions [${guardRow.getInt(0)}, ${guardRow.getInt(1)}]" +
+          s" != index dimension $dim (index at $dir)")
+      require(guardRow.getInt(2) == 0,
+        s"query vectors contain NaN — their probe lists are empty and " +
+          s"the rows would be silently absent from the result (index at $dir)")
+    }
+    val probedCells =
+      if (guardRow.isNullAt(3)) Array.empty[Int]
+      else guardRow.getSeq[Int](3).toArray
     val cellScan0 = spark.read.parquet(s"$dir/cells")
     val cellScan =
       if (probedCells.length < cents.length)

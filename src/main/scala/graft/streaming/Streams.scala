@@ -84,7 +84,12 @@ object Streams {
     def dataBytes(st: org.apache.hadoop.fs.FileStatus): Long =
       if (st.isDirectory) {
         if (hidden(st.getPath.getName)) 0L
-        else fs.listStatus(st.getPath).map(dataBytes).sum
+        else try fs.listStatus(st.getPath).map(dataBytes).sum
+        catch { // compaction/retention can delete a partition dir
+          // mid-walk on exactly the written-to tables this sizes —
+          // a vanished subtree is 0 bytes, not a stream-setup crash
+          case _: java.io.FileNotFoundException => 0L
+        }
       } else if (st.getPath.getName.endsWith(".parquet") &&
                  !hidden(st.getPath.getName)) st.getLen
       else 0L

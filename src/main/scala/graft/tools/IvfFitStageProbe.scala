@@ -9,8 +9,10 @@ import graft.Tables
   * spherical-KMeans fit (kmeans|| init + Lloyd iterations), and the
   * probe/rerank tail — answers "is the quantizer FIT the q62 floor, and
   * would a sample-fit quantizer (the faiss train-on-sample design) pay?"
-  * before any code changes. Also times a sample-fit variant directly and
-  * compares quantizer QUALITY under two non-vacuous metrics:
+  * before any code changes. Also times the PRODUCTION sample-fit variant
+  * (`Similarity.quantizerTrainSet` — the shipped sampler, not a probe
+  * re-implementation) and compares quantizer QUALITY under two
+  * non-vacuous metrics:
   *
   *  - full-corpus inertia (mean squared distance to the assigned
   *    centroid, the k-means objective itself) — sample/full ratio close
@@ -27,12 +29,11 @@ import graft.Tables
   * quality. (An earlier version of this probe also joined each probe
   * row to ITSELF, making the readout doubly tautological.)
   *
-  * Usage: runMain graft.tools.IvfFitStageProbe [sfDir] [samplePerCell]
+  * Usage: runMain graft.tools.IvfFitStageProbe [sfDir]
   */
 object IvfFitStageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_docs_sf10")
-    val perCell = args.lift(1).map(_.toInt).getOrElse(128)
     val spark = Sessions.build("local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.ml.functions.array_to_vector
@@ -58,12 +59,15 @@ object IvfFitStageProbe {
         .setFeaturesCol("_vec").setPredictionCol("_cell").fit(df)
 
     val fullModel = t("fit FULL corpus")(fit(toVec))
-    val cap = perCell * kCells
-    val sample = toVec.filter(
-      pmod(xxhash64(col("neighbor_id")), lit(math.max(1L, n / cap))) === 0L)
-      .cache()
+    // the PRODUCTION sampler, not a re-implementation: an earlier version
+    // floored the modulus (n/cap vs ceil) and measured a ~1.3× larger
+    // sample than production ships — the probe exists to adjudicate the
+    // production trade, so it must draw the production sample
+    val sample = graft.sim.Similarity.quantizerTrainSet(
+      toVec, "neighbor_id", n, kCells).cache()
     val sn = sample.count()
-    println(s"[ivffit] sample rows=$sn (cap=$cap)")
+    println(s"[ivffit] sample rows=$sn (production cap=${
+      math.max(128L * kCells, 1L << 16)})")
     val sampleModel = t(s"fit SAMPLE")(fit(sample))
 
     def centDf(model: org.apache.spark.ml.clustering.KMeansModel) =

@@ -621,8 +621,12 @@ class DedupSimSpec extends AnyFunSuite {
       val planStr = batch.queryExecution.executedPlan.toString
       assert(!planStr.toLowerCase.contains("cartesian"),
         s"batch probe must not cartesian-join centroids:\n${planStr.take(1200)}")
-      // pruning: a 1-query batch with nProbe=1 must read ~1 cell's bytes,
-      // not the whole index (dynamic partition pruning on _cell)
+      // pruning: a 1-query batch with nProbe=1 must read ~1 cell's files,
+      // not the whole index. This comes from the STATIC probed-cell-union
+      // isin filter the implementation pushes — NOT from dynamic
+      // partition pruning, which was measured to silently read every cell
+      // at this scale (its broadcast-reuse heuristics are not a serving
+      // guarantee); do not "simplify" the static filter away
       val one = Similarity.probeIvfIndexBatch(queries.limit(1), "embedding",
         "vec_id", dir, k = 5, nProbe = 1)
       one.collect()
@@ -634,6 +638,14 @@ class DedupSimSpec extends AnyFunSuite {
       assert(files1 < files4,
         s"1-query/1-probe batch read $files1 files vs $files4 at full probe" +
           " — cell files are not being pruned")
+      // NaN queries have empty probe lists; silent absence from the
+      // result would hide data corruption — the batch path fails loudly
+      val nanQ = Seq((9999L, Seq(Double.NaN) ++ Seq.fill(7)(0.0)))
+        .toDF("vec_id", "embedding")
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.probeIvfIndexBatch(nanQ, "embedding", "vec_id", dir, k = 1)
+      }
+      assert(ex.getMessage.contains("NaN"), ex.getMessage)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

@@ -299,6 +299,80 @@ object Similarity {
                                   maxCell: Long, meanCell: Double,
                                   rebuildRecommended: Boolean)
 
+  /** Files-before/after of [[compactIvfIndex]]; rows is the (unchanged)
+    * vector count, re-verified before the swap. */
+  final case class IvfCompactStats(rows: Long, filesBefore: Long,
+                                   filesAfter: Long)
+
+  /** Rewrite an appended-to index's cell files into one contiguous file
+    * per cell. Pure maintenance — probe-visible content is unchanged
+    * (spec-pinned) — but every [[appendToIvfIndex]] call adds its own
+    * file(s) to each touched cell dir, and at crawl cadence probe cost
+    * starts tracking APPEND COUNT instead of index bytes (1000 appends =
+    * 1000 tiny row groups per probed cell). The quantizer is untouched:
+    * compaction moves no vector across cells and rewrites no centroid,
+    * so it composes with (does not replace) the occupancy-drift rebuild
+    * recommendation.
+    *
+    * Crash discipline: the compacted tree is fully written to a temp dir
+    * first, its row count verified against the live tree, then swapped
+    * in by two renames (live → `cells_precompact`, temp → live) and the
+    * old tree deleted. A crash before the first rename leaves the index
+    * untouched; between the renames the index has NO cells dir and every
+    * probe fails LOUDLY (never silently wrong) until `cells_precompact`
+    * is renamed back by the next compaction attempt — which finds and
+    * finishes the interrupted swap. Run in a maintenance window,
+    * exclusive with appends and probes (a probe holding lazy scans over
+    * pre-swap paths races the delete), same operational contract as the
+    * span-index compaction.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): IvfCompactStats = {
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/cells_precompact")
+    val fs = cells.getFileSystem(spark.sessionState.newHadoopConf())
+    // finish an interrupted swap: the old tree is the authoritative one
+    // iff the live dir is missing (crash landed between the two renames)
+    if (fs.exists(old)) {
+      require(!fs.exists(cells),
+        s"$dir has both cells and cells_precompact — a previous " +
+          "compaction died after its swap but before its cleanup; " +
+          "delete cells_precompact manually after verifying the index")
+      require(fs.rename(old, cells), s"could not restore $old")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // dead earlier attempt
+    require(fs.exists(cells), s"no cells directory under $dir — build " +
+      "with writeIvfIndex first")
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(cells)
+    val live = spark.read.parquet(cells.toString)
+    val rows = live.count()
+    // one writer per cell = one contiguous file per cell, exactly
+    // writeIvfIndex's layout promise
+    live.repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(tmp.toString)
+    val rewritten = spark.read.parquet(tmp.toString).count()
+    require(rewritten == rows,
+      s"compaction rewrote $rewritten of $rows rows — aborting before " +
+        "the swap; the live index is untouched")
+    require(fs.rename(cells, old), s"could not stage $cells aside")
+    require(fs.rename(tmp, cells), s"could not activate $tmp — the live " +
+      s"tree is at $old; rerun compactIvfIndex to restore it")
+    fs.delete(old, true)
+    // no cache to invalidate: every probe path reads the cells tree via
+    // a fresh spark.read.parquet, and the centroid sidecar is untouched
+    IvfCompactStats(rows, before, dataFiles(cells))
+  }
+
   /** Append new vectors to an existing on-disk IVF index WITHOUT
     * re-quantizing: each vector is assigned to its nearest EXISTING
     * centroid (the same normalized-Euclidean metric that built the

@@ -757,6 +757,39 @@ class DedupSimSpec extends AnyFunSuite {
       assert(s3.appended == 2 &&
         spark.read.parquet(s"$dirA/cells").count() == before + 2,
         s"duplicate-id rows must both be written: $s3")
+      // COMPACTION: after three appends each cell dir holds several
+      // files; compaction rewrites to one contiguous file per cell with
+      // probe-visible content UNCHANGED and the quantizer untouched
+      val preCompact = Seq(5L, 1105L, 210L, 1310L).map { qid =>
+        val q = (base ++ extra).find(_._1 == qid).get._2
+        Similarity.probeIvfIndex(spark, dirA, q, k = 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      val cstats = Similarity.compactIvfIndex(spark, dirA)
+      assert(cstats.rows == before + 2, s"row count changed: $cstats")
+      assert(cstats.filesBefore > cstats.filesAfter &&
+        cstats.filesAfter <= 4, // one file per written cell
+        s"compaction must shrink to ~one file per cell: $cstats")
+      val postCompact = Seq(5L, 1105L, 210L, 1310L).map { qid =>
+        val q = (base ++ extra).find(_._1 == qid).get._2
+        Similarity.probeIvfIndex(spark, dirA, q, k = 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      assert(postCompact == preCompact,
+        "probe results must be identical across compaction")
+      // interrupted-swap restore: simulate a crash BETWEEN the two
+      // renames (live tree staged aside, new tree never activated) —
+      // the next compaction finds cells_precompact without cells,
+      // restores it, and completes normally
+      val fsDir = new java.io.File(s"$dirA/cells")
+      assert(fsDir.renameTo(new java.io.File(s"$dirA/cells_precompact")))
+      val cstats2 = Similarity.compactIvfIndex(spark, dirA)
+      assert(cstats2.rows == cstats.rows,
+        s"restored compaction lost rows: $cstats2")
+      assert(Similarity.probeIvfIndex(spark, dirA,
+          (base ++ extra).find(_._1 == 5L).get._2, k = 5)
+        .collect().map(_.getLong(0)).toSeq == preCompact.head.map(_._1),
+        "index must probe identically after the interrupted-swap restore")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dirA)).deleteRecursively()

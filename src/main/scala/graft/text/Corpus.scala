@@ -6,8 +6,27 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-level training-data operators beyond per-document scoring:
   * sequence packing and repetition/boilerplate detection.
+  *
+  * Null handling: a NULL `textCol` reads as the EMPTY string everywhere
+  * in this object (0 tokens, no chunks, fails the quality gate the same
+  * way an empty document does). Token functions null-propagate, so
+  * without the normalization a null-text row would drift through each
+  * operator differently — e.g. a packOffsets row with a null pack_id
+  * that belongs to no pack, or a gopherRules row whose scalar rules are
+  * all null and whose failure is misattributed to the repetition rule.
+  *
+  * Id contract: the WINDOW operators (packOffsets, tokenBudget) order
+  * by `idCol` on a ROWS frame and support duplicate id values — each
+  * row keeps its own token range (spec-pinned). The PER-DOCUMENT
+  * aggregators (repetitionStats, unigramLogProb, tfidfTopTerms, and
+  * gopherRules' repetition leg) group by `idCol`: duplicate ids there
+  * pool the duplicates' tokens into one pseudo-document and fan the
+  * join back out — callers must pass a unique document id.
   */
 object Corpus {
+
+  private def textOrEmpty(textCol: String): Column =
+    coalesce(col(textCol), lit(""))
 
   /** Concat-and-chunk sequence packing (the standard LLM pre-training
     * layout): within each `streamCol` stream, documents ordered by `idCol`
@@ -30,7 +49,7 @@ object Corpus {
     val w = Window.partitionBy(streamCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(streamCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      TextFunctions.tokenCount(textOrEmpty(textCol)).cast("long").as("n_tokens"))
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("pack_id", expr(s"start_off DIV $budget"))
       .withColumn("pack_off", col("start_off") % budget)
@@ -56,11 +75,17 @@ object Corpus {
                   minStopwordHits: Int = 2,
                   maxTopTokenRatio: Double = 0.12): DataFrame = {
     val scalars = df.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).as("n_words"),
-      TextFunctions.avgWordLen(col(textCol)).as("_awl"),
-      TextFunctions.stopwordCount(col(textCol)).as("_stop"))
+      TextFunctions.tokenCount(textOrEmpty(textCol)).as("n_words"),
+      TextFunctions.avgWordLen(textOrEmpty(textCol)).as("_awl"),
+      TextFunctions.stopwordCount(textOrEmpty(textCol)).as("_stop"))
+    // judge repetition on repetitionStats' own UNROUNDED verdict, not a
+    // re-derivation from the 4-dp display column: a boundary document
+    // (true ratio 0.12004 at a 0.12 cap) rounds to exactly the cap and
+    // would pass here while repetitionStats flags it repetitive — the
+    // two public APIs must agree for the same threshold, and the
+    // DuckDB oracle compares the unrounded ratio too
     val rep = repetitionStats(df, textCol, idCol, maxTopTokenRatio)
-      .select(col(idCol), col("top_tok_ratio"))
+      .select(col(idCol), col("repetitive"))
     scalars.join(rep, Seq(idCol), "left")
       .select(col(idCol), col("n_words"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -69,8 +94,7 @@ object Corpus {
           .as("r_word_len"),
         (col("_stop") >= minStopwordHits).as("r_stopwords"),
         // empty docs produce no repetition row: fail them explicitly
-        coalesce(col("top_tok_ratio") <= maxTopTokenRatio, lit(false))
-          .as("r_repetition"))
+        coalesce(!col("repetitive"), lit(false)).as("r_repetition"))
       .withColumn("pass",
         col("r_words") && col("r_word_len") &&
           col("r_stopwords") && col("r_repetition"))
@@ -79,10 +103,16 @@ object Corpus {
   /** Token-budgeted corpus slice: within each `streamCol` stream, keep
     * documents in `idCol` order while the running token total stays within
     * `budget` — the standard way a per-source cap is applied when
-    * composing a training mix. Returns the kept rows with their running
-    * total `cum_tokens`.
+    * composing a training mix. Returns NARROW kept rows
+    * `(idCol, streamCol, n_tokens, cum_tokens)` — the same metadata
+    * shape as [[packOffsets]]; callers that need the document payload
+    * join the kept ids back against their source.
     *
-    * Scale: same per-stream window as [[packOffsets]] — the sort is
+    * Scale: same per-stream window as [[packOffsets]], and for the same
+    * reason the window runs over this narrow projection, never the input
+    * rows — the cumsum sort exchange carries ~24 bytes per document, not
+    * the document text (an earlier version windowed the full input, so
+    * every text payload rode the per-stream sort). The sort is
     * partitioned by the stream key, never global; a stream's documents
     * are the unit of parallelism, so pre-shard giant streams.
     */
@@ -92,8 +122,8 @@ object Corpus {
     // ROWS frame for the same duplicate-id reason as packOffsets
     val w = Window.partitionBy(streamCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens",
-        TextFunctions.tokenCount(col(textCol)).cast("long"))
+    df.select(col(idCol), col(streamCol),
+        TextFunctions.tokenCount(textOrEmpty(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
   }
@@ -118,7 +148,7 @@ object Corpus {
     val nChunks = lit(1) + greatest(lit(0),
       ceil((n - lit(window)).cast("double") / lit(stride)).cast("int"))
     val start = col("chunk_idx") * stride + 1 // slice() is 1-based
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+    df.select(col(idCol), TextFunctions.tokens(textOrEmpty(textCol)).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
@@ -143,7 +173,7 @@ object Corpus {
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("_w"))
+      explode(TextFunctions.tokens(textOrEmpty(textCol))).as("_w"))
     val freq = toks.groupBy("_w").agg(count(lit(1)).as("_c"))
     val total = freq.agg(sum("_c").as("_t"))
     toks.join(freq, "_w")
@@ -165,7 +195,7 @@ object Corpus {
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      explode(TextFunctions.tokens(textOrEmpty(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
     val nDocs = df.agg(count(lit(1)).as("_n"))
@@ -199,9 +229,11 @@ object Corpus {
     */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String,
                       topTokenThreshold: Double = 0.1): DataFrame =
+    // plain explode: it drops empty/null token arrays, which IS the
+    // "no tokens → no row" contract (an earlier explode_outer + isNotNull
+    // filter pair was exactly equivalent, just wordier)
     df.select(col(idCol),
-      explode_outer(TextFunctions.tokens(col(textCol))).as("_tok"))
-      .filter(col("_tok").isNotNull)
+      explode(TextFunctions.tokens(textOrEmpty(textCol))).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_c"))
       .groupBy(col(idCol)).agg(
         sum("_c").as("n_tokens"),

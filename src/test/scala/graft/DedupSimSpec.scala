@@ -271,6 +271,60 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 300L), (2L, 600L), (4L, 50L)))
   }
 
+  test("gopher repetition judges the unrounded ratio; null text reads as empty") {
+    import graft.text.Corpus
+    // boundary doc: top ratio 1/3 = 0.33333… > cap 0.3333, but ROUNDS to
+    // exactly the cap — judging the rounded display column would pass it
+    // while repetitionStats flags it repetitive for the same threshold
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff"), // ratio 1/6, passes
+      (2L, "aaaa bbbb cccc aaaa eeee ffff " * 1 + "gggg hhhh iiii"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rules = Corpus.gopherRules(docs, "text", "doc_id",
+        minWords = 2, maxWords = 90, minAvgWordLen = 1.0,
+        maxAvgWordLen = 10.0, minStopwordHits = 0,
+        maxTopTokenRatio = 0.3333)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2: 9 tokens, top token 'aaaa' ×2 → ratio 2/9 = 0.2222 ≤ cap ok;
+    // use a dedicated boundary doc instead: 3 tokens, top ×1 → 1/3
+    val boundary = Seq((9L, "aaaa bbbb cccc")).toDF("doc_id", "text")
+    val b = Corpus.gopherRules(boundary, "text", "doc_id",
+        minWords = 1, maxWords = 90, minAvgWordLen = 1.0,
+        maxAvgWordLen = 10.0, minStopwordHits = 0,
+        maxTopTokenRatio = 0.3333)
+      .head()
+    assert(!b.getBoolean(b.fieldIndex("r_repetition")),
+      "1/3 > 0.3333 must FAIL the cap even though round(1/3, 4) == 0.3333")
+    // null text behaves exactly like an empty document: scalar rules
+    // evaluate (and fail) as booleans, never null; the failure is
+    // attributed to the word-count rule, not misattributed to repetition
+    val nullRow = rules(3L)
+    assert(!nullRow.getBoolean(nullRow.fieldIndex("r_words")),
+      "null text = 0 words -> r_words false, not null")
+    assert(!nullRow.getBoolean(nullRow.fieldIndex("pass")))
+    // packOffsets: a null-text row occupies a zero-width range in a REAL
+    // pack (an earlier version emitted null offsets — a row in no pack)
+    val offs2 = Corpus.packOffsets(
+      docs.withColumn("stream", lit("s")), "text", "doc_id", "stream", 100)
+      .filter(col("doc_id") === 3L).head()
+    assert(!offs2.isNullAt(offs2.fieldIndex("pack_id")),
+      "null text must land in a real pack with 0 tokens")
+    assert(offs2.getLong(offs2.fieldIndex("n_tokens")) == 0L)
+  }
+
+  test("tokenBudget returns narrow metadata rows — text never rides its window") {
+    import graft.text.Corpus
+    val docs = Seq((1L, "s", "w w w"), (2L, "s", "w w"))
+      .toDF("doc_id", "stream", "text")
+    val out = Corpus.tokenBudget(docs, "text", "doc_id", "stream", 100L)
+    // the packOffsets metadata shape: the cumsum sort exchange must carry
+    // per-doc scalars, never the document payload
+    assert(out.columns.toSeq == Seq("doc_id", "stream", "n_tokens", "cum_tokens"),
+      out.columns.toSeq.toString)
+    assert(out.count() == 2)
+  }
+
   test("unigram log-prob scores common-token docs above rare-token docs") {
     import graft.text.Corpus
     // corpus: 'common' appears 6x of 8 tokens, each rare word once

@@ -78,9 +78,16 @@ object SubstringDedup {
     val w = minLen - k + 1
     // docs shorter than minLen cannot hold a qualifying span; the filter
     // also guarantees every kept doc emits >= 1 window of anchors.
-    val texts = df.select(col(idCol).cast("long").as("doc"),
-        col(textCol).as("text"))
-      .filter(length(col("text")) >= minLen)
+    // Pinned WHEN DERIVED: this frame feeds three divergent consumers
+    // (the winnowing anchor scan and both sides of the texts join in
+    // seedsToSpans) — an unpersisted derived input (q88 passes a
+    // groupBy+join survivor frame) re-executes its whole upstream once
+    // per consumer. A bare table scan stays unpinned: re-scanning
+    // parquet three times is cheaper than caching corpus-scale text.
+    val texts = Par.pinIfDerived("substring.texts",
+      df.select(col(idCol).cast("long").as("doc"),
+          col(textCol).as("text"))
+        .filter(length(col("text")) >= minLen))
     val an = Par.fanOut(texts).select(col("doc"),
         explode(WinnowAnchors(col("text"), k, w, maxPosPerHash)).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
@@ -171,6 +178,15 @@ object SubstringDedup {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val spark = df.sparkSession
     import spark.implicits._
+    // a REBUILD must reset the whole index, not just params + base: an
+    // in-place rebuild with different params would otherwise leave the
+    // old appended batches visible under the NEW sidecar — anchors
+    // winnowed with the old window probed with the new one silently miss
+    // spans (exactly the mixed-parameter index the sidecar exists to
+    // prevent)
+    val batches = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(batches)) fs.delete(batches, true)
     Seq((minLen, k, maxPosPerHash)).toDF("minLen", "k", "maxPosPerHash")
       .coalesce(1).write.mode("overwrite").json(s"$dir/params")
     writeBatch(df, textCol, idCol, dir, "base", minLen, k, maxPosPerHash)
@@ -312,6 +328,16 @@ object SubstringDedup {
       }
       return
     }
+    // finish any PRIOR compaction's pending source deletes FIRST: a c1
+    // that crashed after its _COMMIT leaves its sources on disk hidden
+    // only by c1's live _REPLACES manifest. Compacting [c1] into a fresh
+    // c2 and then deleting c1 would delete that manifest and RESURRECT
+    // the stale sources next to c2's copy of their data — every affected
+    // doc then appears twice in the probe-visible index.
+    replacedNames(fs, root).foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(root, name)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val subs = committedBatches(spark, dir)
     require(subs.nonEmpty, s"no committed batches under $dir/batches — " +
       "nothing to compact")
@@ -373,12 +399,16 @@ object SubstringDedup {
       .filter(length(col("text")) >= minLen)
     // the batch side is BROADCAST (anchors and texts) — guard against a
     // caller feeding a corpus-sized frame where a crawl batch belongs, so
-    // the failure is this message instead of an opaque broadcast OOM
+    // the failure is this message instead of an opaque broadcast OOM.
+    // octet_length, NOT length: length() counts code points, and CJK text
+    // stores 3 bytes per code point — a code-point guard under-measures
+    // exactly the corpora most likely to blow the broadcast. The ×2 is
+    // headroom for the anchor side and broadcast object overhead.
     val bBytes = Option(bTexts
-      .agg(sum(length(col("text")).cast("long"))).head().get(0))
+      .agg(sum(octet_length(col("text")).cast("long"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(bBytes * 2 <= maxBatchBytes,
-      s"batch is ~${bBytes * 2} text bytes (> $maxBatchBytes): " +
+      s"batch is ~$bBytes UTF-8 text bytes (×2 headroom > $maxBatchBytes): " +
         "spansAgainstIndex broadcasts the batch — probe in smaller " +
         "batches (or raise maxBatchBytes)")
     val bAnchors = bTexts.select(col("batch_id"),
@@ -575,7 +605,14 @@ object SubstringDedup {
         // Expansion can fuse adjacent cuts, so islands are re-merged.
         val texts = df.select(col(idCol).cast("long").as("doc"),
           col(textCol).as("_t"))
-        def nonSpace(c: Column) = c.rlike("^\\S$")
+        // (?U) = UNICODE_CHARACTER_CLASS on every \s/\S: Java regex
+        // classes are ASCII by default, so NBSP (U+00A0), thin space
+        // (U+2009) and ideographic space (U+3000) — pervasive in the
+        // HTML-derived corpora this operator targets — would count as
+        // WORD characters and the snap would expand straight across
+        // them, deleting the fully-intact neighbor word the both-
+        // non-space guard exists to protect.
+        def nonSpace(c: Column) = c.rlike("(?U)^\\S$")
         val snapped = raw.join(texts, "doc")
           .select(col("doc"), col("_t"),
             when(col("is") > 1 &&
@@ -583,13 +620,13 @@ object SubstringDedup {
                 nonSpace(col("_t").substr(col("is"), lit(1))),
               length(regexp_extract(
                 col("_t").substr(lit(1), col("is") - 1),
-                "(?s)^(.*\\s)", 1)) + 1) // (?s): last \s across lines
+                "(?sU)^(.*\\s)", 1)) + 1) // (?s): last \s across lines
               .otherwise(col("is")).as("s"),
             when(nonSpace(col("_t").substr(col("ie") - 1, lit(1))) &&
                 nonSpace(col("_t").substr(col("ie"), lit(1))),
               col("ie") + length(regexp_extract(
                 col("_t").substr(col("ie"), length(col("_t"))),
-                "^(\\S*)", 1)))
+                "(?U)^(\\S*)", 1)))
               .otherwise(col("ie")).as("e"))
         // un-fuse: a cut whose kept neighbors are BOTH word chars would
         // glue them into one garbage token ("two"+"four" -> "twofour");
@@ -599,7 +636,7 @@ object SubstringDedup {
           when(col("s") > 1 &&
               nonSpace(col("_t").substr(col("s") - 1, lit(1))) &&
               nonSpace(col("_t").substr(col("e"), lit(1))) &&
-              col("_t").substr(col("s"), lit(1)).rlike("^\\s$"),
+              col("_t").substr(col("s"), lit(1)).rlike("(?U)^\\s$"),
             col("s") + 1).otherwise(col("s")).as("s"),
           col("e"))
         mergeIslands(unfused)
@@ -669,9 +706,15 @@ object SubstringDedup {
       .join(lens.select(col("id").as("doc_a"), col("len").as("_la")), "doc_a")
       .join(lens.select(col("id").as("doc_b"), col("len").as("_lb")), "doc_b")
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
-        round(greatest(col("_ca") / col("_la"),
-          col("_cb") / col("_lb")), 6).as("coverage"))
-      .filter(col("coverage") >= minCoverage)
+        greatest(col("_ca") / col("_la"),
+          col("_cb") / col("_lb")).as("_cov_raw"))
+      // threshold on the UNROUNDED ratio: rounding first would admit a
+      // pair at e.g. true 0.49999975 < 0.5 (it rounds to exactly 0.5)
+      // and components() could then merge two clusters that should stay
+      // apart; the rounded value is display-only
+      .filter(col("_cov_raw") >= minCoverage)
+      .select(col("id_a"), col("id_b"),
+        round(col("_cov_raw"), 6).as("coverage"))
   }
 
   /** Per-document duplicated-character coverage: the union of all span
@@ -696,10 +739,15 @@ object SubstringDedup {
       .groupBy("doc")
       .agg(sum(col("ie") - col("is")).as("_dup"))
     df.select(col(idCol).cast("long").as("doc"),
-        length(col(textCol)).as("_len"))
+        coalesce(length(col(textCol)), lit(0)).as("_len"))
       .join(covered, Seq("doc"), "left")
       .select(col("doc").as("doc_id"),
         coalesce(col("_dup"), lit(0L)).cast("int").as("dup_chars"),
-        round(coalesce(col("_dup"), lit(0L)) / col("_len"), 4).as("dup_frac"))
+        // empty/null-text docs divide 0/0 → SQL null, which a downstream
+        // `dup_frac < x` filter silently DROPS; the documented contract
+        // is zero for clean docs, whatever their length
+        when(col("_len") > 0,
+            round(coalesce(col("_dup"), lit(0L)) / col("_len"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
   }
 }

@@ -113,8 +113,8 @@ object Par {
     ()
   }
 
-  def fanOut(df: DataFrame): DataFrame = {
-    val plansExchange = df.queryExecution.optimizedPlan.exists {
+  private def plansExchange(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
            _: Distinct | _: Deduplicate | _: Except | _: Intersect |
            _: RepartitionOperation | _: RebalancePartitions | _: CoGroup |
@@ -122,10 +122,23 @@ object Par {
       case _: FlatMapGroupsWithState | _: MapGroups => true
       case _ => false
     }
-    if (df.isStreaming || plansExchange) df
+
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming || plansExchange(df)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     }
   }
+
+  /** [[pinLatest]] ONLY when `df`'s upstream is a DERIVED plan (contains
+    * a join/aggregate/window/…): a frame consumed by several divergent
+    * plans re-executes its whole upstream once per consumer, which is
+    * worth a pin exactly when that upstream is expensive. A bare
+    * scan+filter+project is returned unpinned — re-scanning parquet is
+    * cheap, and caching a corpus-scale projection would churn executor
+    * storage for no saved work.
+    */
+  def pinIfDerived(key: String, df: DataFrame): DataFrame =
+    if (plansExchange(df)) pinLatest(key, df) else df
 }

@@ -330,6 +330,58 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(exCol.getMessage.contains("collides"))
   }
 
+  test("fresh-id compaction after a crashed predecessor cannot resurrect sources") {
+    val rng = new Random(53)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val corpus = (0L until 6L).map(i => i -> rand(140))
+    val b1 = Seq(100L -> (rand(20) + corpus(2)._2.substring(5, 85) + rand(20)))
+    val dir = java.nio.file.Files.createTempDirectory("spanidxr").toString + "/idx"
+    SubstringDedup.writeSpanIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", dir, minLen = 24, k = 8)
+    SubstringDedup.appendToSpanIndex(b1.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b1")
+    val probe = Seq(200L -> (rand(15) + corpus(2)._2.substring(5, 85)))
+      .toDF("doc_id", "text")
+    def spans() = SubstringDedup.spansAgainstIndex(probe, "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    def batchNames() = new java.io.File(s"$dir/batches").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val before = spans()
+    // c1 crashes AFTER its _COMMIT, before deleting sources: base and b1
+    // sit on disk hidden only by c1's live _REPLACES manifest
+    SubstringDedup.compactImpl(spark, dir, "c1", deleteSources = false)
+    assert(batchNames() == Set("base", "b1", "c1"))
+    // the NEXT scheduled compaction uses a FRESH id (the API mandates
+    // fresh ids). It must finish c1's pending deletes first: otherwise
+    // its own source-set is just [c1], and deleting c1 at the end removes
+    // the only manifest hiding base/b1 — resurrecting them next to c2's
+    // copy of their data, doubling every affected probe span
+    SubstringDedup.compactSpanIndex(spark, dir, "c2")
+    assert(batchNames() == Set("c2"),
+      s"stale sources resurrected: ${batchNames()}")
+    assert(spans() == before, "probe must be unchanged, not doubled")
+  }
+
+  test("writeSpanIndex rebuild resets the whole index, not just base") {
+    val rng = new Random(59)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val corpus = (0L until 4L).map(i => i -> rand(140))
+    val b1 = Seq(100L -> rand(140))
+    val dir = java.nio.file.Files.createTempDirectory("spanidxw").toString + "/idx"
+    SubstringDedup.writeSpanIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", dir, minLen = 100, k = 8)
+    SubstringDedup.appendToSpanIndex(b1.toDF("doc_id", "text"),
+      "text", "doc_id", dir, batchId = "b1")
+    // in-place rebuild with DIFFERENT params: the old b1 batch was
+    // winnowed with w=93 — leaving it visible under the minLen=24
+    // sidecar is the mixed-parameter index the sidecar exists to prevent
+    SubstringDedup.writeSpanIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", dir, minLen = 24, k = 8)
+    val names = new java.io.File(s"$dir/batches").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names == Set("base"), s"rebuild must drop stale batches: $names")
+  }
+
   test("supplementary-plane text: offsets are code points (substr-exact)") {
     // 4 astral chars (2 UTF-16 units each) BEFORE the planted span: a
     // UTF-16-based pipeline would report starts off by 4 and the substr

@@ -22,24 +22,37 @@ import scala.util.Random
   */
 object CART {
 
+  /** Golden-ratio and stream-key constants of every cross-regime
+    * deterministic draw. ONE copy on purpose: broadcast and
+    * data-parallel training must produce bit-identical draws, and two
+    * hand-copied constant sets could silently desynchronize.
+    */
+  private[graft] val Gold = 0x9E3779B97F4A7C15L
+  private[graft] val StreamKey = 0xC2B2AE3D27D4EB4FL
+
+  /** splitmix64 step: advance by [[Gold]] and finalize. */
+  @inline private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + Gold
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Mixed bits → uniform double in [0, 1). */
+  @inline private[graft] def toUnit(bits: Long): Double =
+    (bits >>> 11).toDouble * 1.1102230246251565e-16
+
   /** Per-node RNG shared by both training regimes (feature subsets). */
   def nodeRng(seed: Long, uid: Long): Random =
-    new Random(seed ^ (uid * 0x9E3779B97F4A7C15L))
+    new Random(seed ^ (uid * Gold))
 
   /** Deterministic uniform in [0,1) for (node, feature): splitmix64 mix.
     * Keyed by feature (not draw order), so the value is independent of
     * feature iteration order — the property that lets the level-parallel
     * inducer match the recursive one draw-for-draw.
     */
-  def nodeUniform(seed: Long, uid: Long, f: Int): Double = {
-    var z = seed ^ (uid * 0x9E3779B97F4A7C15L) ^
-      ((f + 1).toLong * 0xC2B2AE3D27D4EB4FL)
-    z += 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
-    (z >>> 11).toDouble * 1.1102230246251565e-16 // [0, 1)
-  }
+  def nodeUniform(seed: Long, uid: Long, f: Int): Double =
+    toUnit(mix64(seed ^ (uid * Gold) ^ ((f + 1).toLong * StreamKey)))
 
   final class Node(val feature: Int, val threshold: Double,
                    val left: Node, val right: Node,

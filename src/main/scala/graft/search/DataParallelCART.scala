@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.exec.CART
+import graft.ops.Par
 
 /** Data-parallel CART — histogram tree induction over a distributed
   * DataFrame (the PLANET regime: Panda et al., VLDB'09), closing the
@@ -92,12 +93,19 @@ object DataParallelCART {
       nTrees = 1, bootstrap = false).head
   }
 
+  /** `candidates`: precomputed [[splitCandidates]] to reuse across fits
+    * over the SAME feature column — boosting refits once per stage on
+    * identical features (only the residual label changes), and without
+    * reuse each stage would pay the three full-data candidate jobs for
+    * byte-identical arrays.
+    */
   def fitRegressor(df: DataFrame, featuresCol: String, labelCol: String,
                    params: Map[String, Double], seed: Long,
                    bins: Int = 32,
-                   weightCol: Option[String] = None): CART.TreeModel =
+                   weightCol: Option[String] = None,
+                   candidates: Option[Array[Array[Double]]] = None): CART.TreeModel =
     growForest(df, featuresCol, labelCol, params, seed, 0, bins, weightCol,
-      nTrees = 1, bootstrap = false).head
+      nTrees = 1, bootstrap = false, precomputedCandidates = candidates).head
 
   /** Data-parallel forest: `nTrees` histogram trees grown together in
     * shared per-level passes (Poisson(1) bootstrap when `bootstrap`).
@@ -117,9 +125,20 @@ object DataParallelCART {
       k)
   }
 
-  private def resolveClasses(df: DataFrame, labelCol: String, hint: Int): Int =
-    if (hint > 0) hint
-    else df.agg(max(col(labelCol).cast("double"))).head().getDouble(0).toInt + 1
+  /** Class count = max(hint, observed max label + 1) — the broadcast
+    * learner's contract exactly (`CART.Classifier.fit`: k =
+    * max(nClassesHint, y.max + 1)). Trusting a positive hint outright
+    * made the auto-route's two regimes disagree: a 2-class hint over
+    * 5-class data FIT under the broadcast budget and THREW past it.
+    * The scan is one narrow agg over the label column, paid once per fit.
+    */
+  private def resolveClasses(df: DataFrame, labelCol: String, hint: Int): Int = {
+    val r = df.agg(max(col(labelCol).cast("double"))).head()
+    val scanned = if (r.isNullAt(0)) 0 else r.getDouble(0).toInt + 1
+    val k = math.max(hint, scanned)
+    require(k > 0, s"no labels in $labelCol and no positive nClasses hint")
+    k
+  }
 
   /** Per-feature split candidates. Low-cardinality features (distinct
     * count <= `bins`, per a first approx-distinct pass) get EXACT
@@ -133,8 +152,12 @@ object DataParallelCART {
   def splitCandidates(df: DataFrame, featuresCol: String,
                       bins: Int): Array[Array[Double]] = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val exploded = df
-      .select(posexplode(col(featuresCol).cast("array<double>")).as(Seq("_f", "_v")))
+    // pinned: three jobs consume this frame (cardinality, exact-distinct,
+    // quantiles) and each would otherwise re-read and re-explode every
+    // row × feature — the dominant non-level cost of an over-budget fit,
+    // and per boosting STAGE before the GBT candidate-reuse overload
+    val exploded = Par.pinLatest("dpcart.exploded", df
+      .select(posexplode(col(featuresCol).cast("array<double>")).as(Seq("_f", "_v"))))
     // Pass 1: which features are low-cardinality? (rsd 0.02 over-counts by
     // at most ~2% — the 5% slack below absorbs it either way; a feature
     // misrouted to the quantile path still gets valid, just inexact, cuts.)
@@ -164,6 +187,8 @@ object DataParallelCART {
         .collect()
         .foreach(r => out(r.getInt(0)) = midpoints(r.getSeq[Double](1)))
     }
+    // every consumer has collected — release the cache eagerly
+    Par.unpin("dpcart.exploded", exploded)
     out
   }
 
@@ -174,6 +199,18 @@ object DataParallelCART {
     */
   def histogram(df: DataFrame, featuresCol: String, labelCol: String,
                 thresholds: Array[Array[Double]], nClasses: Int): DataFrame = {
+    // this is the CLASSIFICATION kernel (q69): nClasses = 0 would route
+    // the accumulator into its 4-slot regression layout against a 1-slot
+    // cell stride — neighboring cells silently corrupted (or AIOOBE on
+    // the last cell). Unsorted thresholds would make binarySearch return
+    // garbage bins: plausible-looking, wrong counts, no error.
+    require(nClasses >= 1,
+      s"histogram is the classification kernel — nClasses must be >= 1")
+    require(thresholds.nonEmpty, "no features (empty thresholds)")
+    thresholds.zipWithIndex.foreach { case (ts, f) =>
+      require((1 until ts.length).forall(i => ts(i - 1) <= ts(i)),
+        s"thresholds for feature $f must be sorted ascending")
+    }
     val spark = df.sparkSession
     val data = df
       .select(col(featuresCol).cast("array<double>"), col(labelCol).cast("double"), lit(1.0))
@@ -185,8 +222,10 @@ object DataParallelCART {
     val stride = thresholds.map(_.length).max + 1
     val s = nClasses + 1
     val route = spark.sparkContext.broadcast[Array[PNode]](Array(PLeaf(0)))
-    val stats = aggregateStats(data, route, 0, 1, cands, d, stride, s, nClasses,
-      bootstrap = false, seed = 0L)
+    val allFeats = spark.sparkContext.broadcast(
+      Array(Array.tabulate(d)(identity)))
+    val stats = aggregateStats(data, route, 0, 1, cands, allFeats, d, stride,
+      s, nClasses, bootstrap = false, seed = 0L)
     val rows = for {
       f <- 0 until d
       b <- 0 to thresholds(f).length
@@ -202,15 +241,13 @@ object DataParallelCART {
     * rows converges to iid Poisson(1) per-row counts as n grows.
     */
   private def poisson1(rowId: Long, tree: Int, seed: Long): Double = {
-    var h = seed ^ (rowId * 0x9E3779B97F4A7C15L) ^
-      ((tree + 1).toLong * 0xC2B2AE3D27D4EB4FL)
+    // CART.mix64/toUnit: the ONE copy of the splitmix64 constants shared
+    // with nodeUniform/nodeRng — bit-compatibility across regimes
+    var h = seed ^ (rowId * CART.Gold) ^ ((tree + 1).toLong * CART.StreamKey)
     @inline def next(): Double = {
-      h += 0x9E3779B97F4A7C15L
-      var z = h
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
-      (z >>> 11).toDouble * 1.1102230246251565e-16 // [0, 1)
+      val v = CART.toUnit(CART.mix64(h))
+      h += CART.Gold
+      v
     }
     val limit = 0.36787944117144233 // e^-1
     var k = 0
@@ -220,27 +257,32 @@ object DataParallelCART {
   }
 
   /** (tree, node, feature, bin) sufficient statistics for ONE frontier
-    * window [lo, hi). Flat tensor layout: ((slot * d + f) * stride + bin)
-    * * cs + stat where slot = frontierIdx - lo, s = nClasses + 1 class
-    * weights + raw count (classification) or 4 = (w, wy, wy2, count)
-    * (regression), and cs = s, or s + 2 under `trackRanges` — the
-    * extra-trees cells append the bin's value (min, max) over
-    * positive-weight rows (zero-weight rows never influence splits in the
-    * broadcast learner either: its root index drops them). Map-side
-    * combine happens inside each partition's accumulator; only the window
-    * tensor shuffles, never rows.
+    * window [lo, hi). Flat tensor layout:
+    * ((slot * nFeat + fPos) * stride + bin) * cs + stat where slot =
+    * frontierIdx - lo, fPos = the feature's POSITION in that slot's
+    * `slotFeats` subset (under max_features only the node's uid-keyed
+    * subset can ever be scored — aggregating all d features wasted
+    * ~(d/nFeat)× of the per-row work AND shrank the per-pass slot budget
+    * by the same factor), s = nClasses + 1 class weights + raw count
+    * (classification) or 4 = (w, wy, wy2, count) (regression), and
+    * cs = s, or s + 2 under `trackRanges` — those cells append the bin's
+    * value (min, max) over positive-weight rows (zero-weight rows never
+    * influence splits in the broadcast learner either: its root index
+    * drops them). Map-side combine happens inside each partition's
+    * accumulator; only the window tensor shuffles, never rows.
     */
   private[graft] def aggregateStats(
       data: RDD[(Array[Double], Double, Double, Long)],
       routes: Broadcast[Array[PNode]], lo: Int, hi: Int,
       cands: Broadcast[Array[Array[Double]]],
-      d: Int, stride: Int, s: Int, nClasses: Int,
+      slotFeats: Broadcast[Array[Array[Int]]],
+      nFeat: Int, stride: Int, s: Int, nClasses: Int,
       bootstrap: Boolean, seed: Long,
       trackRanges: Boolean = false): Array[Double] = {
     val nSlots = hi - lo
     val cs = s + (if (trackRanges) 2 else 0)
     val cntOff = s - 1 // positive-weight row count, both regimes
-    data.treeAggregate(new Array[Double](nSlots * d * stride * cs))(
+    data.treeAggregate(new Array[Double](nSlots * nFeat * stride * cs))(
       seqOp = (acc, row) => {
         val (x, y, w0, rowId) = row
         // loud, once per row: an out-of-range label (e.g. SVM-style -1/+1)
@@ -262,14 +304,16 @@ object DataParallelCART {
           if (fi >= lo && fi < hi) {
             val w = if (bootstrap) w0 * poisson1(rowId, t, seed) else w0
             if (w > 0 || !bootstrap) {
-              val base0 = (fi - lo) * d
-              var f = 0
-              while (f < d) {
+              val feats = slotFeats.value(fi - lo)
+              val base0 = (fi - lo) * nFeat
+              var fp = 0
+              while (fp < feats.length) {
+                val f = feats(fp)
                 val ts = cands.value(f)
                 // bin = first candidate with x <= t (left side of that split)
                 var b = java.util.Arrays.binarySearch(ts, x(f))
                 if (b < 0) b = -b - 1
-                val base = ((base0 + f) * stride + b) * cs
+                val base = ((base0 + fp) * stride + b) * cs
                 if (trackRanges && w > 0) {
                   val v = x(f)
                   if (acc(base + cntOff) == 0) { // first row in this cell
@@ -288,7 +332,7 @@ object DataParallelCART {
                   acc(base + y.toInt) += w
                   if (w > 0) acc(base + s - 1) += 1
                 }
-                f += 1
+                fp += 1
               }
             }
           }
@@ -325,7 +369,9 @@ object DataParallelCART {
                          params: Map[String, Double], seed: Long,
                          nClasses: Int, bins: Int,
                          weightCol: Option[String],
-                         nTrees: Int, bootstrap: Boolean): Array[CART.TreeModel] = {
+                         nTrees: Int, bootstrap: Boolean,
+                         precomputedCandidates: Option[Array[Array[Double]]] = None)
+      : Array[CART.TreeModel] = {
     val randomSplits = params.getOrElse("random_splits", 0.0) != 0.0
     val maxDepth = params.getOrElse("max_depth", 0.0).toInt
     val minSplit = math.max(2, params.getOrElse("min_samples_split", 2.0).toInt)
@@ -338,26 +384,51 @@ object DataParallelCART {
       .rdd
       .zipWithIndex() // stable per-fit row ids seed the bootstrap draws
       .map { case (r, i) => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2), i) }
-      .cache()
+      // MEMORY_AND_DISK, NOT the MEMORY_ONLY default: this regime exists
+      // for data too big to broadcast — exactly when MEMORY_ONLY evicts.
+      // An evicted partition recomputes through upstream lineage whose
+      // intra-partition row order is not guaranteed stable (shuffles
+      // upstream of df), so zipWithIndex could re-assign row ids MID-FIT
+      // and the rowId-keyed Poisson bootstrap would draw a different
+      // in-bag set at different tree levels — silently corrupted trees.
+      // Spilling to local disk keeps the ids frozen (Spark ML's tree
+      // trainers persist at the same level for the same reason).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = data.take(1)
     require(first.nonEmpty, "empty training set")
     val d = first(0)._1.length
+    require(d > 0, s"$featuresCol is empty on every row — no features to split on")
 
-    val candArr = splitCandidates(df, featuresCol, bins)
+    val candArr = precomputedCandidates.getOrElse(
+      splitCandidates(df, featuresCol, bins))
     require(candArr.length == d, s"candidate pass saw ${candArr.length} features, expected $d")
     val cands = spark.sparkContext.broadcast(candArr)
     val stride = math.max(1, candArr.map(_.length).max + 1)
     val s = if (nClasses > 0) nClasses + 1 else 4
-    val cs = s + (if (randomSplits) 2 else 0) // + per-bin value (min, max)
+    // per-bin value (min, max) is tracked for BOTH split kinds now:
+    // extra-trees draw thresholds from the node range, and regular CART
+    // converts its winning global candidate to the NODE-LOCAL midpoint
+    // (the broadcast learner's threshold) in decide() — without the
+    // ranges the regimes' trees route training rows identically but
+    // disagree on unseen values between a node's value gaps.
+    val cs = s + 2
     val nFeat =
       if (maxFeatures <= 0 || maxFeatures > 1) d
       else math.max(1, math.round(maxFeatures * d).toInt)
+    val allFeats = Array.tabulate(d)(identity)
+    // the node's uid-keyed feature subset — the SAME draw decide() and
+    // the broadcast learner make, computed driver-side so the statistics
+    // tensor only carries the nFeat features a node can actually score
+    def featsOf(n: BNode): Array[Int] =
+      if (nFeat >= d) allFeats
+      else CART.nodeRng(seed + n.tree, n.uid)
+        .shuffle((0 until d).toVector).take(nFeat).sorted.toArray
 
     // PLANET memory budget: cap the per-pass statistics tensor; wider
     // levels aggregate in batches (extra passes, bounded memory).
     val maxStatsDoubles = 64L << 20
     val slotsPerPass =
-      math.max(1, (maxStatsDoubles / (d.toLong * stride * cs)).toInt)
+      math.max(1, (maxStatsDoubles / (nFeat.toLong * stride * cs)).toInt)
 
     val roots = Array.tabulate(nTrees)(t => new BNode(t, 0, 1L))
     var frontier: Vector[BNode] = roots.toVector
@@ -379,16 +450,19 @@ object DataParallelCART {
       var lo = 0
       while (lo < frontier.size) {
         val hi = math.min(frontier.size, lo + slotsPerPass)
-        val stats = aggregateStats(data, routes, lo, hi, cands, d, stride, s,
-          nClasses, bootstrap, seed, trackRanges = randomSplits)
+        val windowFeats = Array.tabulate(hi - lo)(i => featsOf(frontier(lo + i)))
+        val featsBc = spark.sparkContext.broadcast(windowFeats)
+        val stats = aggregateStats(data, routes, lo, hi, cands, featsBc,
+          nFeat, stride, s, nClasses, bootstrap, seed, trackRanges = true)
         var ni = lo
         while (ni < hi) {
           val node = frontier(ni)
-          val base0 = (ni - lo) * d
-          decide(node, stats, base0, d, stride, s, cs, nClasses, candArr,
-            maxDepth, minSplit, nFeat, seed, randomSplits, next)
+          val base0 = (ni - lo) * nFeat
+          decide(node, stats, base0, windowFeats(ni - lo), stride, s, cs,
+            nClasses, candArr, maxDepth, minSplit, seed, randomSplits, next)
           ni += 1
         }
+        featsBc.unpersist(blocking = false)
         lo = hi
       }
       routes.unpersist(blocking = false)
@@ -420,12 +494,14 @@ object DataParallelCART {
     * broadcast learner makes, scored by prefix-summing whole bins.
     */
   private def decide(node: BNode, stats: Array[Double], base0: Int,
-                     d: Int, stride: Int, s: Int, cs: Int, nClasses: Int,
+                     feats: Array[Int], stride: Int, s: Int, cs: Int,
+                     nClasses: Int,
                      candArr: Array[Array[Double]],
-                     maxDepth: Int, minSplit: Int, nFeat: Int, seed: Long,
+                     maxDepth: Int, minSplit: Int, seed: Long,
                      randomSplits: Boolean,
                      next: scala.collection.mutable.Builder[BNode, Vector[BNode]]): Unit = {
-    // Node totals from feature 0's bins (every feature sums to the same).
+    // Node totals from the subset's FIRST feature's bins (every feature's
+    // bins partition the same node rows, so any one sums to the totals).
     val tot = new Array[Double](s)
     var b = 0
     while (b < stride) {
@@ -466,12 +542,10 @@ object DataParallelCART {
     }
 
     // treeSeed matches the broadcast forest's per-tree fan-out
-    // (baseSeed + treeIdx), so uid-keyed draws agree across regimes
+    // (baseSeed + treeIdx), so uid-keyed draws agree across regimes.
+    // `feats` is the node's uid-keyed subset, computed by growForest's
+    // featsOf — the statistics tensor only carries these features.
     val treeSeed = seed + node.tree
-    val feats: Array[Int] =
-      if (nFeat >= d) Array.tabulate(d)(identity)
-      else CART.nodeRng(treeSeed, node.uid)
-        .shuffle((0 until d).toVector).take(nFeat).sorted.toArray
 
     def giniOf(counts: Array[Double], from: Int, tw: Double): Double = {
       if (tw <= 0) return 0.0
@@ -509,7 +583,9 @@ object DataParallelCART {
         (lVar + rVar) / totW
       }
 
-    feats.foreach { f =>
+    var fp = 0
+    while (fp < feats.length) {
+      val f = feats(fp)
       val ts = candArr(f)
       if (randomSplits) {
         // extra-trees: node value range = min/max over non-empty bins
@@ -517,7 +593,7 @@ object DataParallelCART {
         var lo = Double.MaxValue; var hi = Double.MinValue
         var bi = 0
         while (bi < stride) {
-          val base = ((base0 + f) * stride + bi) * cs
+          val base = ((base0 + fp) * stride + bi) * cs
           if (stats(base + s - 1) > 0) { // count slot: s-1 in both regimes
             if (stats(base + s) < lo) lo = stats(base + s)
             if (stats(base + s + 1) > hi) hi = stats(base + s + 1)
@@ -532,7 +608,7 @@ object DataParallelCART {
           java.util.Arrays.fill(left, 0.0)
           var b2 = 0
           while (b2 < stride) {
-            val base = ((base0 + f) * stride + b2) * cs
+            val base = ((base0 + fp) * stride + b2) * cs
             if (stats(base + s - 1) > 0 && stats(base + s + 1) <= thr) {
               var j = 0
               while (j < s) { left(j) += stats(base + j); j += 1 }
@@ -546,20 +622,44 @@ object DataParallelCART {
           }
         }
       } else {
+        // node-local neighbor values for midpoint conversion: sufMin(b) =
+        // smallest routed value in any non-empty bin >= b. The winning
+        // candidate is converted to (leftNeighborMax + rightNeighborMin)/2
+        // — the broadcast learner's threshold. Global candidates only
+        // guarantee SOME cut between the node's adjacent values; without
+        // the conversion both regimes route training rows identically but
+        // disagree on unseen values inside the node's value gaps.
+        val sufMin = new Array[Double](stride + 1)
+        sufMin(stride) = Double.MaxValue
+        var sb = stride - 1
+        while (sb >= 0) {
+          val base = ((base0 + fp) * stride + sb) * cs
+          sufMin(sb) =
+            if (stats(base + s - 1) > 0) math.min(stats(base + s), sufMin(sb + 1))
+            else sufMin(sb + 1)
+          sb -= 1
+        }
         java.util.Arrays.fill(left, 0.0)
+        var leftMax = Double.MinValue // max routed value in bins <= bi
         var bi = 0
         while (bi < ts.length) { // split after bin bi at threshold ts(bi)
-          val base = ((base0 + f) * stride + bi) * cs
+          val base = ((base0 + fp) * stride + bi) * cs
+          if (stats(base + s - 1) > 0 && stats(base + s + 1) > leftMax)
+            leftMax = stats(base + s + 1)
           var j = 0
           while (j < s) { left(j) += stats(base + j); j += 1 }
           val lCount = left(s - 1); val rCount = tot(s - 1) - lCount
           if (lCount > 0 && rCount > 0) {
             val score = scoreLeft()
-            if (score < bestScore) { bestScore = score; bestFeat = f; bestThr = ts(bi) }
+            if (score < bestScore) {
+              bestScore = score; bestFeat = f
+              bestThr = (leftMax + sufMin(bi + 1)) / 2
+            }
           }
           bi += 1
         }
       }
+      fp += 1
     }
 
     if (bestFeat < 0) { mkLeaf(); return }

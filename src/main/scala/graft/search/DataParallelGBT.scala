@@ -94,6 +94,14 @@ object DataParallelGBT {
     val monitor = new GBT.EvalMonitor(side, prior, k, lr)
 
     val sc = spark.sparkContext
+    // split candidates depend ONLY on the feature column, which never
+    // changes across boosting stages (each stage refits on a new residual
+    // LABEL) — compute once and reuse: every per-stage fitRegressor would
+    // otherwise pay the three full-data candidate jobs (cardinality,
+    // exact-distinct, quantiles) for byte-identical arrays, ~3 × nStages
+    // redundant full scans per fit
+    val stageCandidates = Some(
+      DataParallelCART.splitCandidates(base, "_x", bins = 32))
     var m = 0
     var stop = false
     while (m < nStages && !stop) {
@@ -110,7 +118,8 @@ object DataParallelGBT {
         // squared loss: the regression tree's weighted-mean leaf IS the
         // optimal step, no Newton refit needed (mirrors GBT.boost)
         stage(0) = DataParallelCART.fitRegressor(fr, "_x", "_r", treeParams,
-          GBT.mixSeed(seed, m, 0), weightCol = wCol)
+          GBT.mixSeed(seed, m, 0), weightCol = wCol,
+          candidates = stageCandidates)
       } else if (k == 2) {
         val pU = udf((x: Seq[Double]) =>
           1.0 / (1.0 + math.exp(-bcSoFar.value.rawScores(x.toArray)(0))))
@@ -120,7 +129,8 @@ object DataParallelGBT {
           .withColumn("_den",
             greatest(col("_p") * (lit(1.0) - col("_p")), lit(1e-12))))
         val t = DataParallelCART.fitRegressor(fr, "_x", "_r", treeParams,
-          GBT.mixSeed(seed, m, 0), weightCol = wCol)
+          GBT.mixSeed(seed, m, 0), weightCol = wCol,
+          candidates = stageCandidates)
         newtonRefit(t, fr, wCol, scale = 1.0)
         stage(0) = t
       } else {
@@ -149,7 +159,8 @@ object DataParallelGBT {
             .withColumn("_den",
               greatest(abs(col("_r")) * (lit(1.0) - abs(col("_r"))), lit(1e-12))))
           val t = DataParallelCART.fitRegressor(fr, "_x", "_r", treeParams,
-            GBT.mixSeed(seed, m, c), weightCol = wCol)
+            GBT.mixSeed(seed, m, c), weightCol = wCol,
+            candidates = stageCandidates)
           newtonRefit(t, fr, wCol, scale = (k - 1).toDouble / k)
           t
         }

@@ -59,6 +59,39 @@ class DataParallelCARTSpec extends AnyFunSuite {
     x.indices.foreach(i => assert(dp.predict(x(i)) == y(i)))
   }
 
+  test("value-gap nodes: DP thresholds are NODE-LOCAL midpoints, not global cuts") {
+    // feature 1 globally holds {1..5} (global candidates 1.5, 2.5, 3.5,
+    // 4.5) but the LEFT child of the root contains only values {1, 5}.
+    // The broadcast learner cuts that node at the node-local midpoint
+    // (1+5)/2 = 3.0; a DP inducer that keeps the first winning GLOBAL
+    // candidate would record 1.5 — training rows route identically, but
+    // a serving-time row with f1 = 2.0 goes left in one regime and right
+    // in the other. The DP tree must match the broadcast tree exactly.
+    val x =
+      (1 to 6).map(_ => Array(0.0, 1.0)) ++ // left child, f1 = 1 -> class 0
+      (1 to 6).map(_ => Array(0.0, 5.0)) ++ // left child, f1 = 5 -> class 1
+      // right child: 12 pure class-2 rows spread over f1 ∈ {2,3,4} so the
+      // ROOT split lands on f0 (weighted gini 0.25, beats any f1 cut) and
+      // f1 keeps global candidates 1.5/2.5/3.5/4.5 while the left child
+      // holds only {1, 5}
+      (0 until 12).map(i => Array(10.0, (2 + i % 3).toDouble))
+    val y = Array.fill(6)(0.0) ++ Array.fill(6)(1.0) ++ Array.fill(12)(2.0)
+    val xa = x.toArray
+    val df = toDF(xa, y)
+    val params = Map("max_depth" -> 3.0)
+    val dp = DataParallelCART.fitClassifier(df, "x", "y", params, seed = 7, nClasses = 3)
+    val bc = CART.grow(xa, y, null, params, seed = 7, nClasses = 3)
+    // identical predictions on gap-probing points BETWEEN the node's
+    // values — the serving-time contract the regimes share
+    for (probe <- Seq(Array(0.0, 2.0), Array(0.0, 2.9), Array(0.0, 3.1),
+                      Array(0.0, 4.5))) {
+      assert(dp.predict(probe) == bc.predict(probe),
+        s"probe ${probe.toSeq}: dp=${dp.predict(probe)} bc=${bc.predict(probe)}")
+    }
+    assert(dp.predict(Array(0.0, 2.0)) == 0.0,
+      "f1=2.0 sits below the node-local midpoint 3.0 -> class 0")
+  }
+
   test("regression parity: distributed variance splits match broadcast") {
     val (x, _) = planted(seed = 13)
     val yr = x.map(v => if (v(0) <= 2.0) 10.0 else if (v(1) <= 3.0) -4.0 else 3.0)
@@ -184,7 +217,8 @@ class DataParallelCARTSpec extends AnyFunSuite {
         Array(DataParallelCART.PLeaf(0)))
       DataParallelCART.aggregateStats(
         sc.parallelize(rows.toSeq, parts), routes, 0, 1, cands,
-        d = 2, stride = stride, s = s, nClasses = 3,
+        sc.broadcast(Array(Array(0, 1))),
+        nFeat = 2, stride = stride, s = s, nClasses = 3,
         bootstrap = false, seed = 9, trackRanges = true).toSeq
     }
     val one = statsWith(1)

@@ -61,6 +61,13 @@ class DistOneVsRest(learner: Learner,
     extends Serializable with BroadcastBudgeted with FitSideConfigured
     with JobParallel {
 
+  // validated at construction: the broadcast route's method match had a
+  // catch-all that silently treated a typo'd method as "ratio" while
+  // the data-parallel route's negativesMask throws for the same value —
+  // same constructor args, route-dependent semantics
+  require(negMethod == "ratio" || negMethod == "multiplier",
+    s"unknown negMethod '$negMethod' (expected 'ratio' or 'multiplier')")
+
   def fit(spark: SparkSession, df: DataFrame,
           featuresCol: String, labelCol: String): OvRModel = {
     if (ModelParallel.estimateMatrixBytes(df, featuresCol) <= broadcastBudgetBytes) {
@@ -89,42 +96,52 @@ class DistOneVsRest(learner: Learner,
           "broadcast-overflow data use DataParallelForest")
     }
     import org.apache.spark.sql.functions.{col, lit, when, min, max}
+    // cached, like the sibling OvO/multilabel routes: every per-class
+    // job (inventory, negativesMask counts, degenerate agg, the fit's
+    // own passes) would otherwise re-execute the full upstream lineage —
+    // and the seeded negative SAMPLE would be recomputed independently
+    // by the degenerate check and the fit, which under upstream
+    // nondeterminism could hand them different samples
     val labeled = df.select(col(featuresCol), col(labelCol).cast("double").as("_y"))
-    val classes = labeled.select("_y").distinct()
-      .collect().map(_.getDouble(0)).sorted
-    // per-class fits are independent distributed jobs — submit them
-    // concurrently (see `JobParallel`); order-preserving, so the
-    // class->model alignment is identical to the sequential loop
-    val models: Array[Model] =
-      graft.ops.Par.concurrently(classes.toSeq, jobParallelism) { c =>
-      val capped = maxNegatives match {
-        case Some(v) => graft.plan.Expansions
-          .negativesMask(labeled, "_y", c, v, negMethod, seed + c.toLong)
-        case None => labeled
-      }
-      val bin = capped.withColumn("_y",
-        when(col("_y") === lit(c), 1.0).otherwise(0.0))
-      // With >= 2 observed classes, both binary labels are guaranteed
-      // present UNLESS the negative cap sampled zero negatives — so the
-      // degenerate-binary check only runs under a cap (and as a min/max
-      // agg, not a full distinct-shuffle per class over the data).
-      val degenerate = classes.length < 2 || (maxNegatives.isDefined && {
-        val r = bin.agg(min("_y"), max("_y")).head()
-        r.getDouble(0) == r.getDouble(1)
-      })
-      if (degenerate) ConstantModel(1.0, 2) // single-class: constant positive
-      // Map.empty: DataParallelFit supplies the engine default c=1
-      // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
-      else DataParallelFit.fit(learner, bin, featuresCol, "_y",
-        Map.empty, seed + c.toLong)
-    }.toArray
-    OvRModel(classes, models, norm)
+      .cache()
+    try {
+      val classes = labeled.select("_y").distinct()
+        .collect().map(_.getDouble(0)).sorted
+      // per-class fits are independent distributed jobs — submit them
+      // concurrently (see `JobParallel`); order-preserving, so the
+      // class->model alignment is identical to the sequential loop
+      val models: Array[Model] =
+        graft.ops.Par.concurrently(classes.toSeq, jobParallelism) { c =>
+        val capped = maxNegatives match {
+          case Some(v) => graft.plan.Expansions
+            .negativesMask(labeled, "_y", c, v, negMethod, seed + c.toLong)
+          case None => labeled
+        }
+        val bin = capped.withColumn("_y",
+          when(col("_y") === lit(c), 1.0).otherwise(0.0))
+        // With >= 2 observed classes, both binary labels are guaranteed
+        // present UNLESS the negative cap sampled zero negatives — so the
+        // degenerate-binary check only runs under a cap (and as a min/max
+        // agg, not a full distinct-shuffle per class over the data).
+        val degenerate = classes.length < 2 || (maxNegatives.isDefined && {
+          val r = bin.agg(min("_y"), max("_y")).head()
+          r.getDouble(0) == r.getDouble(1)
+        })
+        if (degenerate) ConstantModel(1.0, 2) // single-class: constant positive
+        // Map.empty: DataParallelFit supplies the engine default c=1
+        // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
+        else DataParallelFit.fit(learner, bin, featuresCol, "_y",
+          Map.empty, seed + c.toLong)
+      }.toArray
+      OvRModel(classes, models, norm)
+    } finally labeled.unpersist(blocking = false)
   }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvRModel = {
     require(matrix.y.nonEmpty, "empty training set")
     val classes = matrix.y.distinct.sorted
     val bc = spark.sparkContext.broadcast(matrix)
+    try {
     val lrn = learner
     val maxNeg = maxNegatives
     val method = negMethod
@@ -166,9 +183,10 @@ class DistOneVsRest(learner: Learner,
         (c, model)
       }
       .collect()
-    bc.destroy()
     val byClass = fitted.sortBy(_._1)
     OvRModel(byClass.map(_._1), byClass.map(_._2), norm)
+    } finally bc.destroy() // also on a failed class fit — don't leak
+    // the broadcast matrix in a long-lived session
   }
 }
 
@@ -217,6 +235,9 @@ class DistMultilabelOvR(learner: Learner,
                         seed: Long = 42)
     extends Serializable with BroadcastBudgeted with JobParallel {
 
+  require(negMethod == "ratio" || negMethod == "multiplier", // see DistOneVsRest
+    s"unknown negMethod '$negMethod' (expected 'ratio' or 'multiplier')")
+
   /** Auto-routed fit: task-parallel per-class fits against broadcast
     * (x, label-sets) under the budget; one data-parallel binary fit per
     * class over the DataFrame past it — the label test becomes an
@@ -243,65 +264,85 @@ class DistMultilabelOvR(learner: Learner,
     val labeled = df.select(
       col(featuresCol).cast("array<double>").as("_x"),
       col(labelCol).cast("array<string>").as("_ls")).cache()
-    val n = labeled.count()
-    // class inventory + positives per class in ONE exploded pass (the
-    // class list is small — it's the label vocabulary, not the data)
-    val posCounts = labeled
-      .select(explode(col("_ls")).as("_c")).filter(col("_c").isNotNull)
-      .groupBy("_c").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val classes = posCounts.keys.toArray.sorted // MultiLabelBinarizer order
-    // independent per-class fits -> concurrent job submission (JobParallel)
-    val models: Array[Model] =
-      graft.ops.Par.concurrently(classes.toSeq, jobParallelism) { c =>
-      val bin = labeled.withColumn("_y",
-        when(array_contains(col("_ls"), c), 1.0).otherwise(0.0))
-      val capped = maxNegatives match {
-        case Some(v) => graft.plan.Expansions
-          .negativesMask(bin, "_y", 1.0, v, negMethod, seed + c.hashCode)
-        case None => bin
-      }
-      // degenerate binary: the class labels EVERY row (multilabel sets
-      // don't partition rows, so all-positive is legal), or the negative
-      // cap sampled zero negatives — same constant-model containment as
-      // the broadcast path
-      val degenerate = posCounts(c) == n || (maxNegatives.isDefined && {
-        val r = capped.agg(min("_y"), max("_y")).head()
-        r.getDouble(0) == r.getDouble(1)
-      })
-      if (degenerate) ConstantModel(1.0, 2)
-      // c=1.0 pins the regParam = 1/n translation — regime parity with
-      // the broadcast path's engine default (lambda = 1/n), not Spark
-      // ML's unregularized default
-      else DataParallelFit.fit(learner, capped, "_x", "_y",
-        Map("c" -> 1.0), seed + c.hashCode)
-    }.toArray
-    labeled.unpersist(blocking = false)
-    MultilabelOvRModel(classes, models, norm)
+    try {
+      val n = labeled.count()
+      // class inventory + positive ROW counts per class in ONE exploded
+      // pass (the class list is small — it's the label vocabulary, not
+      // the data). array_distinct first: a duplicate label INSIDE one
+      // row's set would otherwise count twice and a class could reach
+      // posCounts == n with true negatives still present — falsely
+      // degenerate, replacing a real fit with ConstantModel(1.0).
+      val posCounts = labeled
+        .select(explode(array_distinct(col("_ls"))).as("_c"))
+        .filter(col("_c").isNotNull)
+        .groupBy("_c").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val classes = posCounts.keys.toArray.sorted // MultiLabelBinarizer order
+      // independent per-class fits -> concurrent job submission (JobParallel)
+      val models: Array[Model] =
+        graft.ops.Par.concurrently(classes.toSeq, jobParallelism) { c =>
+        val bin = labeled.withColumn("_y",
+          when(array_contains(col("_ls"), c), 1.0).otherwise(0.0))
+        val capped = maxNegatives match {
+          case Some(v) => graft.plan.Expansions
+            .negativesMask(bin, "_y", 1.0, v, negMethod, seed + c.hashCode)
+          case None => bin
+        }
+        // degenerate binary: the class labels EVERY row (multilabel sets
+        // don't partition rows, so all-positive is legal), or the negative
+        // cap sampled zero negatives — same constant-model containment as
+        // the broadcast path
+        val degenerate = posCounts(c) == n || (maxNegatives.isDefined && {
+          val r = capped.agg(min("_y"), max("_y")).head()
+          r.getDouble(0) == r.getDouble(1)
+        })
+        if (degenerate) ConstantModel(1.0, 2)
+        // Map.empty: DataParallelFit supplies the engine default c=1
+        // (regParam = 1/n), matching the broadcast route's lrn.fit
+        // defaults — same convention as the OvR/OvO routes.
+        else DataParallelFit.fit(learner, capped, "_x", "_y",
+          Map.empty, seed + c.hashCode)
+      }.toArray
+      MultilabelOvRModel(classes, models, norm)
+    } finally labeled.unpersist(blocking = false)
   }
 
-  /** `mlb_override`: y already one-hot, one column per entry of `classes`. */
+  /** `mlb_override`: y already one-hot, one column per entry of `classes`
+    * (`multiclass.py:228-230, 269` — the caller PINS the class axis).
+    * The caller's classes are used verbatim, in the caller's order: an
+    * all-zero indicator column still gets its (constant-negative)
+    * estimator slot, and `predictProba`'s width equals the indicator
+    * width — re-deriving classes from the observed sets would silently
+    * drop such columns and misalign every consumer of the proba stack.
+    */
   def fitBinarized(spark: SparkSession, x: Array[Array[Double]],
                    yIndicator: Array[Array[Double]],
                    classes: Array[String]): MultilabelOvRModel = {
     require(yIndicator.forall(_.length == classes.length),
       "indicator width must equal the class count")
+    require(classes.distinct.length == classes.length,
+      "duplicate class names in the pinned class axis")
     val sets = yIndicator.map(row =>
       classes.indices.collect { case i if row(i) == 1.0 => classes(i) }.toSet)
-    fitSets(spark, x, sets)
+    fitSetsWithClasses(spark, x, sets, classes)
   }
 
   def fitSets(spark: SparkSession, x: Array[Array[Double]],
-              y: Array[Set[String]]): MultilabelOvRModel = {
+              y: Array[Set[String]]): MultilabelOvRModel =
+    fitSetsWithClasses(spark, x, y,
+      y.flatMap(_.iterator).distinct.sorted) // MultiLabelBinarizer order
+
+  private def fitSetsWithClasses(spark: SparkSession, x: Array[Array[Double]],
+                                 y: Array[Set[String]],
+                                 classes: Array[String]): MultilabelOvRModel = {
     require(x.length == y.length, "x and y row counts differ")
-    val classes = y.flatMap(_.iterator).distinct.sorted // MultiLabelBinarizer order
     val bcX = spark.sparkContext.broadcast(x)
     val bcY = spark.sparkContext.broadcast(y)
     val lrn = learner
     val maxNeg = maxNegatives
     val method = negMethod
     val baseSeed = seed
-    val fitted = spark.sparkContext
+    val fitted = try spark.sparkContext
       .parallelize(classes.toSeq, math.max(1, classes.length))
       .map { c =>
         val xs = bcX.value
@@ -328,9 +369,11 @@ class DistMultilabelOvR(learner: Learner,
         (c, model)
       }
       .collect()
-    bcX.unpersist(); bcY.unpersist()
-    val byClass = fitted.sortBy(_._1)
-    MultilabelOvRModel(byClass.map(_._1), byClass.map(_._2), norm)
+    finally { bcX.unpersist(); bcY.unpersist() }
+    // align models to the PINNED class axis (caller order for
+    // fitBinarized, sorted for fitSets), not a re-sort of the fit output
+    val byName = fitted.toMap
+    MultilabelOvRModel(classes, classes.map(byName), norm)
   }
 }
 
@@ -358,6 +401,11 @@ final case class OvOModel(classes: Array[Double],
     }
     classes.minBy(c => (-votes(c), -conf(c), c))
   }
+  // built once: a per-pair boxed indexOf over classes made every scored
+  // row O(k³) at serving time (4,950 pairs × a 100-element linear scan)
+  @transient private lazy val classIndex: Map[Double, Int] =
+    classes.zipWithIndex.toMap
+
   def predictProba(x: Array[Double]): Array[Double] = {
     // Normalized vote shares (sklearn OvO has no predict_proba; the
     // reference inherits decision_function — vote share is our analog).
@@ -366,7 +414,7 @@ final case class OvOModel(classes: Array[Double],
     while (i < pairs.length) {
       val (a, b) = pairs(i)
       val winner = if (models(i).predict(x) == 0.0) a else b
-      votes(classes.indexOf(winner)) += 1
+      votes(classIndex(winner)) += 1
       i += 1
     }
     val s = votes.sum
@@ -407,26 +455,31 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
     import org.apache.spark.sql.functions.{col, lit, when}
     val labeled = df.select(col(featuresCol).as("_x"),
       col(labelCol).cast("double").as("_y")).cache()
-    val classes = labeled.select("_y").distinct()
-      .collect().map(_.getDouble(0)).sorted
-    val pairs = for {
-      i <- classes.indices
-      j <- (i + 1) until classes.length
-    } yield (classes(i), classes(j))
-    val models: Seq[Model] =
-      graft.ops.Par.concurrently(pairs, jobParallelism) { case (a, b) =>
-        val bin = labeled
-          .filter(col("_y") === lit(a) || col("_y") === lit(b))
-          .withColumn("_y", when(col("_y") === lit(a), 0.0).otherwise(1.0))
-        // Map.empty: DataParallelFit supplies the engine default c=1
-        // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
-        DataParallelFit.fit(learner, bin, "_x", "_y", Map.empty, seed)
-      }
-    labeled.unpersist(blocking = false)
-    OvOModel(classes, pairs.toArray, models.toArray)
+    try {
+      val classes = labeled.select("_y").distinct()
+        .collect().map(_.getDouble(0)).sorted
+      val pairs = for {
+        i <- classes.indices
+        j <- (i + 1) until classes.length
+      } yield (classes(i), classes(j))
+      val models: Seq[Model] =
+        graft.ops.Par.concurrently(pairs, jobParallelism) { case (a, b) =>
+          val bin = labeled
+            .filter(col("_y") === lit(a) || col("_y") === lit(b))
+            .withColumn("_y", when(col("_y") === lit(a), 0.0).otherwise(1.0))
+          // Map.empty: DataParallelFit supplies the engine default c=1
+          // (regParam = 1/n), matching the broadcast route's lrn.fit defaults.
+          DataParallelFit.fit(learner, bin, "_x", "_y", Map.empty, seed)
+        }
+      OvOModel(classes, pairs.toArray, models.toArray)
+    } finally labeled.unpersist(blocking = false)
   }
 
   def fitMatrix(spark: SparkSession, matrix: TrainMatrix): OvOModel = {
+    // same loud guard as DistOneVsRest: an empty fit would return a
+    // zero-class model whose predict dies with `empty.minBy` inside a
+    // serving UDF, far from the actual cause
+    require(matrix.y.nonEmpty, "empty training set")
     val classes = matrix.y.distinct.sorted
     val pairs = for {
       i <- classes.indices
@@ -436,31 +489,34 @@ class DistOneVsOne(learner: Learner, seed: Long = 42)
     val lrn = learner
     val baseSeed = seed
     val side = fitSide
-    val fitted = spark.sparkContext
-      .parallelize(pairs, math.max(1, pairs.length))
-      .map { case (a, b) =>
-        val m = bc.value
-        // Restrict to the two classes, remap to {0, 1}
-        // (`_fit_ovo_binary`, multiclass.py:155-172).
-        val idx = m.y.indices.filter(i => m.y(i) == a || m.y(i) == b).toArray
-        val x = idx.map(m.x)
-        val yBin = idx.map(i => if (m.y(i) == a) 0.0 else 1.0)
-        // eval slice restricted + remapped into the pair's {0, 1} space
-        val sideP =
-          if (!side.hasEarlyStopping) side
-          else {
-            val ei = side.evalY.indices
-              .filter(i => side.evalY(i) == a || side.evalY(i) == b)
-            side.copy(evalX = ei.map(side.evalX).toArray,
-              evalY = ei.map(i => if (side.evalY(i) == a) 0.0 else 1.0).toArray)
-          }
-        val model: Model =
-          if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
-          else lrn.fit(x, yBin, Map.empty, baseSeed, sideP)
-        ((a, b), model)
-      }
-      .collect()
-    bc.destroy()
+    val fitted =
+      try spark.sparkContext
+        .parallelize(pairs, math.max(1, pairs.length))
+        .map { case (a, b) =>
+          val m = bc.value
+          // Restrict to the two classes, remap to {0, 1}
+          // (`_fit_ovo_binary`, multiclass.py:155-172).
+          val idx = m.y.indices.filter(i => m.y(i) == a || m.y(i) == b).toArray
+          val x = idx.map(m.x)
+          val yBin = idx.map(i => if (m.y(i) == a) 0.0 else 1.0)
+          // eval slice restricted + remapped into the pair's {0, 1} space
+          val sideP =
+            if (!side.hasEarlyStopping) side
+            else {
+              val ei = side.evalY.indices
+                .filter(i => side.evalY(i) == a || side.evalY(i) == b)
+              side.copy(evalX = ei.map(side.evalX).toArray,
+                evalY = ei.map(i => if (side.evalY(i) == a) 0.0 else 1.0).toArray)
+            }
+          val model: Model =
+            if (yBin.distinct.length < 2) ConstantModel(yBin.headOption.getOrElse(0.0), 2)
+            else lrn.fit(x, yBin, Map.empty, baseSeed, sideP)
+          ((a, b), model)
+        }
+        .collect()
+      finally bc.destroy() // also on a failed pair fit — a long-lived
+      // session running many fits would otherwise leak one broadcast
+      // matrix per failure until ContextCleaner happens to GC it
     val ordered = fitted.sortBy(_._1)
     OvOModel(classes, ordered.map(_._1), ordered.map(_._2))
   }

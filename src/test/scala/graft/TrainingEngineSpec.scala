@@ -167,6 +167,48 @@ class TrainingEngineSpec extends AnyFunSuite {
       model3.predictLabels(v).toSeq == model2.predictLabels(v).toSeq))
   }
 
+  test("multilabel edge contracts: dup in-set labels, pinned axis, negMethod") {
+    import graft.exec.LogisticRegressionLBFGS
+    import spark.implicits._
+    val ml = new DistMultilabelOvR(LogisticRegressionLBFGS)
+    // a DUPLICATE label inside one row's set must not inflate the
+    // positive ROW count to n and falsely mark the class degenerate
+    // (ConstantModel(1.0) would then predict "a" for every input)
+    val x2 = Array(Array(5.0, 0.0), Array(-5.0, 0.0),
+      Array(5.0, 1.0), Array(-5.0, 1.0))
+    val y2 = Seq(Seq("a", "a"), Seq("b"), Seq("a", "a"), Seq("b"))
+    val df2 = x2.zip(y2).toSeq.map { case (v, s) => (v.toSeq, s) }
+      .toDF("features", "labels")
+    val m2 = new DistMultilabelOvR(LogisticRegressionLBFGS)
+      .withBroadcastBudget(1L) // force the data-parallel route under test
+      .fit(spark, df2, "features", "labels")
+    assert(!m2.predictLabels(Array(-5.0, 0.5)).contains("a"),
+      "x0 < 0 rows are true negatives for 'a' — it must not be constant-positive")
+    // fitBinarized PINS the class axis: an all-zero indicator column
+    // keeps its (constant-negative) slot in the caller's order
+    val classes = Array("b", "a", "never")
+    val yInd = Array(Array(0.0, 1.0, 0.0), Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0), Array(1.0, 0.0, 0.0))
+    val m3 = ml.fitBinarized(spark, x2, yInd, classes)
+    assert(m3.classes.toSeq == Seq("b", "a", "never"),
+      "caller order preserved, all-zero column kept")
+    assert(m3.predictProba(x2(0)).length == 3,
+      "proba width = indicator width")
+    assert(!m3.predictLabels(x2(0)).contains("never"),
+      "all-zero column serves as constant-negative")
+    // a typo'd negMethod fails at CONSTRUCTION on both classes — the
+    // broadcast route previously treated it silently as "ratio" while
+    // the data-parallel route threw mid-fit
+    intercept[IllegalArgumentException] {
+      new DistMultilabelOvR(LogisticRegressionLBFGS,
+        maxNegatives = Some(3.0), negMethod = "multipler")
+    }
+    intercept[IllegalArgumentException] {
+      new DistOneVsRest(LogisticRegressionLBFGS,
+        maxNegatives = Some(3.0), negMethod = "multipler")
+    }
+  }
+
   test("multilabel OvR auto-route: over-budget fit runs data-parallel") {
     import graft.exec.LogisticRegressionLBFGS
     import spark.implicits._

@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
   */
 object Encoderizer {
 
+  /** Column ref that survives DOTTED names: `col("a.b")` parses as
+    * nested-field access and fails to resolve a literal column named
+    * "a.b"; backticks make it a literal identifier. The expr() paths
+    * already quote — every col() site must match.
+    */
+  private def qcol(n: String): Column = col(s"`${n.replace("`", "``")}`")
+
   final case class ColumnSpec(name: String, kind: String)
 
   final case class ColumnStats(name: String, nRows: Long, nNonNull: Long,
@@ -50,8 +57,8 @@ object Encoderizer {
         case _ => lit(null).cast("double")
       }
       Seq(
-        count(col(c)).as(s"_nn_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
+        count(qcol(c)).as(s"_nn_$c"),
+        countDistinct(qcol(c)).as(s"_nd_$c"),
         count(base).as(s"_num_$c"))
     }
     val row = df.agg(count(lit(1)).as("_n"), aggs: _*).head()
@@ -118,7 +125,7 @@ object Encoderizer {
     // O(vocab) per row — see graft.functions.VocabVector for numbers.
     def transform(df: DataFrame, outCol: String): DataFrame =
       df.withColumn(outCol,
-        graft.functions.VocabVector(col(name).cast("string"), vocab))
+        graft.functions.VocabVector(qcol(name).cast("string"), vocab))
   }
 
   /** Multi-hot over an array column with a frequency-ordered vocabulary
@@ -131,7 +138,7 @@ object Encoderizer {
     // per row instead of O(vocab × members), and no 64 KB codegen cliff
     def transform(df: DataFrame, outCol: String): DataFrame =
       df.withColumn(outCol,
-        graft.functions.VocabVector(col(name).cast("array<string>"), vocab))
+        graft.functions.VocabVector(qcol(name).cast("array<string>"), vocab))
   }
 
   /** Map/dict key-expansion (reference `dict_encoder` DictVectorizer):
@@ -140,10 +147,16 @@ object Encoderizer {
   final case class MapStage(name: String, keys: Seq[String]) extends FittedStage {
     val width = keys.size
     // one pass over the row's OWN entries (each looked up in the fitted
-    // key index), replacing width × element_at probes
+    // key index), replacing width × element_at probes. try_cast, not
+    // cast: a map<string,string> column (inference matches ANY MapType)
+    // with a non-numeric value would otherwise THROW under ANSI at
+    // transform time — try_cast nulls the bad entry and VocabVector
+    // skips null values, the same malformed-value discipline as the
+    // numeric stage.
     def transform(df: DataFrame, outCol: String): DataFrame =
-      df.withColumn(outCol,
-        graft.functions.VocabVector(col(name).cast("map<string,double>"), keys))
+      df.withColumn(outCol, graft.functions.VocabVector(
+        expr(s"try_cast(`${name.replace("`", "``")}` as map<string,double>)"),
+        keys))
   }
 
   /** Hashed text n-grams (reference `HashingVectorizerChunked` + size
@@ -160,19 +173,33 @@ object Encoderizer {
     private def charSizes = charNGramRange.map(r => r._2 - r._1 + 1).getOrElse(0)
     val width: Int = numFeatures * (wordSizes + charSizes)
     def transform(df: DataFrame, outCol: String): DataFrame = {
-      // null-coalesce into a TEMP column: overwriting the user's column
-      // would leak the mutation into the returned frame
-      val txt = s"_txt_$name"
-      val tok = new RegexTokenizer().setInputCol(txt).setOutputCol(s"_tok_$name")
+      // temp-name suffix: bump until no fixed temp name collides with a
+      // user column — a frame already holding e.g. "_txt_text" would
+      // otherwise have that column silently overwritten and then dropped
+      val sfx = Iterator.from(0)
+        .map(i => if (i == 0) name else s"${name}_x$i")
+        .find { cand =>
+          val prefixes = Seq("_txt_", "_tok_", "_g", "_h", "_cg", "_ch")
+          !df.columns.exists(c => prefixes.exists(p =>
+            c.startsWith(p) && c.endsWith(cand)))
+        }.get
+      // null-coalesce AND cast to string into a TEMP column: overwriting
+      // the user's column would leak the mutation into the returned
+      // frame, and the cast makes the text stage total over ANY input
+      // type — inference's fallback can route a high-cardinality date/
+      // binary column here, and RegexTokenizer rejects non-string input
+      val txt = s"_txt_$sfx"
+      val tok = new RegexTokenizer().setInputCol(txt).setOutputCol(s"_tok_$sfx")
         .setPattern("\\s+").setToLowercase(true)
-      var out = tok.transform(df.withColumn(txt, coalesce(col(name), lit(""))))
-      var tmpCols = Seq(txt, s"_tok_$name")
+      var out = tok.transform(df.withColumn(txt,
+        coalesce(qcol(name).cast("string"), lit(""))))
+      var tmpCols = Seq(txt, s"_tok_$sfx")
       val wordCols = (nGramRange._1 to nGramRange._2).map { g =>
-        val gcol = s"_g${g}_$name"
-        val hcol = s"_h${g}_$name"
+        val gcol = s"_g${g}_$sfx"
+        val hcol = s"_h${g}_$sfx"
         out =
-          if (g == 1) out.withColumn(gcol, col(s"_tok_$name"))
-          else new NGram().setN(g).setInputCol(s"_tok_$name").setOutputCol(gcol)
+          if (g == 1) out.withColumn(gcol, col(s"_tok_$sfx"))
+          else new NGram().setN(g).setInputCol(s"_tok_$sfx").setOutputCol(gcol)
             .transform(out)
         out = new HashingTF().setInputCol(gcol).setOutputCol(hcol)
           .setNumFeatures(numFeatures).transform(out)
@@ -181,8 +208,8 @@ object Encoderizer {
       }
       val charCols = charNGramRange.toSeq.flatMap { case (lo, hi) =>
         (lo to hi).map { g =>
-          val gcol = s"_cg${g}_$name"
-          val hcol = s"_ch${g}_$name"
+          val gcol = s"_cg${g}_$sfx"
+          val hcol = s"_ch${g}_$sfx"
           out = out.withColumn(gcol,
             graft.text.TextFunctions.charNGrams(lower(col(txt)), g))
           out = new HashingTF().setInputCol(gcol).setOutputCol(hcol)
@@ -211,25 +238,69 @@ object Encoderizer {
     case other    => throw new IllegalArgumentException(s"unknown size: $other")
   }
 
+  /** All requested numeric stages from ONE full-scan aggregation — a
+    * frame with 50 numeric columns previously paid 50 separate scans on
+    * top of the stats() pass.
+    *
+    * Backtick-quoted names and try_cast throughout (an overrides-forced
+    * numeric string column must yield null under ANSI, not throw),
+    * matching the stats() probe. NOTE on percentile: EXACT, by choice —
+    * it is the reference's SimpleImputer(median) semantics and what the
+    * q43 oracle pins; its aggregation buffers the column's values, so at
+    * a scale where that matters swap to percentile_approx KNOWINGLY
+    * (imputation tolerates an approximate median — exact is parity, not
+    * necessity).
+    *
+    * The reference pipeline is SimpleImputer(median) THEN
+    * StandardScaler: the scaler fits on the median-IMPUTED column, so
+    * with nulls present the moments include the imputed entries via a
+    * closed-form correction (no second pass); the null-free branch keeps
+    * the aggregate values bit-identical.
+    */
+  private def fitNumericStages(df: DataFrame,
+                               names: Seq[String]): Map[String, NumericStage] =
+    if (names.isEmpty) Map.empty
+    else {
+      val aggs = names.flatMap { c =>
+        val q = c.replace("`", "``")
+        val numC = expr(s"try_cast(`$q` as double)")
+        Seq(
+          expr(s"percentile(try_cast(`$q` as double), 0.5)").as(s"_med_$c"),
+          avg(numC).as(s"_mean_$c"),
+          stddev_pop(numC).as(s"_std_$c"),
+          count(numC).as(s"_nnn_$c"))
+      } :+ count(lit(1)).as("_n")
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("_n")
+      names.map { c =>
+        def d(field: String): Double = {
+          val i = r.fieldIndex(field)
+          if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+        }
+        val med = d(s"_med_$c")
+        val nn = r.getAs[Long](s"_nnn_$c")
+        val meanNN = d(s"_mean_$c")
+        val stdNN = d(s"_std_$c")
+        val (mean, std) =
+          if (n == 0 || nn == n) (meanNN, stdNN)
+          else {
+            val m = (nn * meanNN + (n - nn) * med) / n
+            val ex2 = (nn * (stdNN * stdNN + meanNN * meanNN) +
+              (n - nn) * med * med) / n
+            (m, math.sqrt(math.max(0.0, ex2 - m * m)))
+          }
+        c -> NumericStage(c, med, mean, std)
+      }.toMap
+    }
+
   def fitStage(df: DataFrame, spec: ColumnSpec, size: String,
                maxVocab: Int = 1 << 16): Option[FittedStage] = spec.kind match {
     case "drop" => None
     case "numeric" =>
-      // Backtick-quote the name (it may need quoting) and try_cast (an
-      // overrides-forced numeric string column must yield null under ANSI,
-      // not throw) — matching the stats() probe above.
-      val numC = expr(s"try_cast(`${spec.name}` as double)")
-      val r = df.agg(
-        expr(s"percentile(try_cast(`${spec.name}` as double), 0.5)").as("med"),
-        avg(numC).as("mean"),
-        stddev_pop(numC).as("std")).head()
-      val med = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-      Some(NumericStage(spec.name, med,
-        if (r.isNullAt(1)) 0.0 else r.getDouble(1),
-        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      Some(fitNumericStages(df, Seq(spec.name))(spec.name))
     case "categorical" =>
-      val vocab = df.filter(col(spec.name).isNotNull)
-        .groupBy(col(spec.name).cast("string").as("v"))
+      val vocab = df.filter(qcol(spec.name).isNotNull)
+        .groupBy(qcol(spec.name).cast("string").as("v"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("v").asc)
         .limit(maxVocab)
@@ -237,8 +308,12 @@ object Encoderizer {
       Some(OneHotStage(spec.name, vocab))
     case "multihot" =>
       val vocab = df
-        .select(explode(coalesce(col(spec.name).cast("array<string>"),
+        .select(explode(coalesce(qcol(spec.name).cast("array<string>"),
           array().cast("array<string>"))).as("v"))
+        // explode KEEPS null array members: without the filter a null
+        // becomes a vocab entry — a permanently-zero slot VocabVector
+        // can never set, and a JString(null) in the persisted model
+        .filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("v").asc)
         .limit(maxVocab)
@@ -246,7 +321,7 @@ object Encoderizer {
       Some(MultihotStage(spec.name, vocab))
     case "map" =>
       val keys = df
-        .select(explode(map_keys(col(spec.name))).as("k"))
+        .select(explode(map_keys(qcol(spec.name))).as("k"))
         .distinct().orderBy("k")
         .limit(maxVocab)
         .collect().map(_.getString(0)).toSeq
@@ -303,7 +378,7 @@ object Encoderizer {
           case _             => scaleVec(col(c), lit(w)).as(c)
         }
       }
-      val withVecs = out.select((df.columns.map(col).toSeq ++ outCols): _*)
+      val withVecs = out.select((df.columns.map(qcol).toSeq ++ outCols): _*)
       new org.apache.spark.ml.feature.VectorAssembler()
         .setInputCols(stages.indices.map(i => s"_enc_$i").toArray)
         .setOutputCol(featuresCol)
@@ -319,7 +394,13 @@ object Encoderizer {
           transformerWeights: Map[String, Double] = Map.empty): EncoderizerModel = {
     val specs = inferSpecs(df, cols, catThreshold)
       .map(s => overrides.get(s.name).map(k => s.copy(kind = k)).getOrElse(s))
-    EncoderizerModel(specs.flatMap(fitStage(df, _, size)), featuresCol,
+    // all numeric stages ride ONE aggregation pass; the vocab kinds each
+    // need their own groupBy anyway
+    val numeric = fitNumericStages(df,
+      specs.filter(_.kind == "numeric").map(_.name))
+    EncoderizerModel(specs.flatMap(s =>
+      if (s.kind == "numeric") numeric.get(s.name)
+      else fitStage(df, s, size)), featuresCol,
       transformerWeights)
   }
 }

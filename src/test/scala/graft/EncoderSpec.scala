@@ -314,4 +314,62 @@ class EncoderSpec extends AnyFunSuite {
       .as[Seq[Double]].head()
     assert(!out.exists(_.isNaN), s"imputed row, got $out")
   }
+
+  test("encoder edge contracts: date→text total, string maps, null members, dots") {
+    // a HIGH-cardinality date column falls through inference to 'text' —
+    // the text stage must cast-to-string, not crash in RegexTokenizer
+    val dates = (1 to 30).map(i => (i.toLong, f"2024-01-$i%02d"))
+      .toDF("id", "d").withColumn("d", to_date(col("d")))
+    val encD = Encoderizer.fit(dates, Seq("d"), catThreshold = 0.1)
+    assert(encD.transform(dates).count() == 30,
+      "text stage must be total over non-string input")
+    // map<string,string> with a NON-NUMERIC value: fit collects keys
+    // fine; transform must null the bad entry (try_cast), not throw
+    // under ANSI
+    val maps = Seq((1L, Map("k" -> "1.5", "j" -> "abc")),
+      (2L, Map("k" -> "2.5"))).toDF("id", "m")
+    val encM = Encoderizer.fit(maps, Seq("m"))
+    val rows = encM.transform(maps).count()
+    assert(rows == 2, "string-map stage must tolerate malformed values")
+    // a null ARRAY MEMBER must not become a vocab entry (a permanently
+    // zero slot, and a JString(null) in the persisted model)
+    val arrs = Seq((1L, Seq(Some("a"), None)), (2L, Seq(Some("b"), Some("a"))))
+      .toDF("id", "tags")
+    val encA = Encoderizer.fit(arrs, Seq("tags"))
+    val vocab = encA.stages.head
+      .asInstanceOf[Encoderizer.MultihotStage].vocab
+    assert(vocab.toSet == Set("a", "b") && !vocab.contains(null),
+      s"null member leaked into vocab: $vocab")
+    // DOTTED column names are literal identifiers, not nested access
+    val dotted = Seq((1L, "red", 1.0), (2L, "blue", 2.0), (3L, "red", 3.0),
+        (4L, "blue", 4.0))
+      .toDF("id", "user.color", "user.score")
+    val encDot = Encoderizer.fit(dotted, Seq("user.color", "user.score"),
+      catThreshold = 0.6)
+    assert(encDot.transform(dotted).count() == 4,
+      "dotted names must fit and transform")
+    // with NULLS present, the scaler moments include the median-imputed
+    // entries (SimpleImputer THEN StandardScaler — the reference order)
+    val withNulls = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+        (4L, Some(50.0)), (5L, Option.empty[Double])).toDF("id", "v")
+    val st = Encoderizer.fitStage(withNulls,
+        Encoderizer.ColumnSpec("v", "numeric"), "small").get
+      .asInstanceOf[Encoderizer.NumericStage]
+    assert(st.median == 25.0)
+    assert(math.abs(st.mean - 27.0) < 1e-9, // (10+20+30+50+25)/5
+      s"mean must include the imputed entry: ${st.mean}")
+    val ex2 = (100.0 + 400 + 900 + 2500 + 625) / 5
+    assert(math.abs(st.std - math.sqrt(ex2 - 27.0 * 27.0)) < 1e-9,
+      s"std must include the imputed entry: ${st.std}")
+    // a user column that collides with the text stage's temp names must
+    // survive the transform untouched
+    val collide = Seq((1L, "hello world", "keep me"))
+      .toDF("id", "text", "_txt_text")
+    val encT = Encoderizer.fit(collide, Seq("text"), size = "small",
+      overrides = Map("text" -> "text"))
+    val outT = encT.transform(collide)
+    assert(outT.columns.contains("_txt_text") &&
+      outT.select("_txt_text").head().getString(0) == "keep me",
+      "user column colliding with a temp name must survive")
+  }
 }

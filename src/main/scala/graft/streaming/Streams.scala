@@ -23,15 +23,43 @@ object Streams {
     */
   private val sidecarCache = scala.collection.mutable.HashMap.empty[
     Any, (org.apache.spark.broadcast.Broadcast[
-      (Map[Long, List[(Int, Int)]], Array[Array[Int]])], Long)]
+      (Map[Long, List[(Int, Int)]], Array[Array[Int]], Array[Long])], Long)]
 
   /** Drop (and unpersist) every memoized contamination sidecar. Safe
     * only when no returned frame is still being executed — unpersist
-    * (not destroy) so a straggling query can refetch.
+    * (not destroy) so a straggling query can refetch. Unpersist on a
+    * STOPPED context throws; swallow it so clear() still runs (a test
+    * suite cycling sessions must not be left with stale entries because
+    * the first dead handle aborted the cleanup loop).
     */
   def clearSidecarCache(): Unit = sidecarCache.synchronized {
-    sidecarCache.values.foreach(_._1.unpersist(blocking = false))
+    sidecarCache.values.foreach(v =>
+      try v._1.unpersist(blocking = false) catch { case _: Exception => () })
     sidecarCache.clear()
+  }
+
+  /** Evict entries of stopped SparkContexts (the Tables.load sweep
+    * discipline) — without it a suite cycling sessions accumulates dead
+    * broadcast handles pinning bench arrays for the JVM's lifetime.
+    */
+  private def sweepSidecarCache(): Unit = sidecarCache.synchronized {
+    sidecarCache.keys.toSeq.foreach {
+      case key @ (sc: org.apache.spark.SparkContext, _, _, _, _, _, _)
+          if sc.isStopped =>
+        sidecarCache.remove(key)
+      case _ => ()
+    }
+  }
+
+  /** Temp-column name that cannot collide with a caller column under
+    * Spark's DEFAULT case-INSENSITIVE resolution: `columns.contains` is
+    * case-sensitive, so a caller column "_FP" would pass that check and
+    * then be silently replaced by withColumn("_fp", …) and dropped.
+    */
+  private def freshCol(base: String, cols: Array[String]): String = {
+    val lower = cols.map(_.toLowerCase)
+    Iterator.iterate(base)(_ + "_")
+      .find(c => !lower.contains(c.toLowerCase)).get
   }
 
   val eventSchema: StructType = StructType(Seq(
@@ -116,8 +144,18 @@ object Streams {
   def readEventsRaw(spark: SparkSession, dir: String,
                     glob: String = "*.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileTsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema.find(_.name == "ts").map(_.dataType)
+    // The peek happens ONCE at stream setup: a directory whose layout
+    // generation changes MID-STREAM (or mixes generations) is out of
+    // contract — the vectorized reader would serve the other layout
+    // through this schema and the rebuild would corrupt those files'
+    // timestamps silently. One directory, one generation.
+    // An EMPTY directory (stream started before the first file lands —
+    // the normal file-source deployment order) cannot be peeked: fall
+    // back to the modern TimestampType schema instead of crashing setup.
+    val fileTsType =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir)
+        .schema.find(_.name == "ts").map(_.dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     def stream(schema: StructType): DataFrame =
       spark.readStream.schema(schema)
         .option("pathGlobFilter", glob) // streaming sources need a DIRECTORY
@@ -190,8 +228,7 @@ object Streams {
                   watermark: String = "10 minutes"): DataFrame = {
     // collision-free temp name: a hard-coded "fingerprint" would clobber
     // and then drop a caller's own fingerprint column
-    val fpC = Iterator.iterate("_fp")(_ + "_")
-      .find(!docs.columns.contains(_)).get
+    val fpC = freshCol("_fp", docs.columns)
     docs
       .withColumn(fpC, graft.text.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
@@ -233,10 +270,14 @@ object Streams {
   def contaminationFilter(docs: DataFrame, bench: DataFrame,
                           textCol: String, idCol: String,
                           minLen: Int = 50, k: Int = 16,
-                          maxBenchBytes: Long = 1L << 28): DataFrame = {
+                          maxBenchBytes: Long = 1L << 28,
+                          maxPosPerHash: Int =
+                            graft.dedup.SubstringDedup.DefaultMaxPosPerHash)
+      : DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val w = minLen - k + 1
     val spark = bench.sparkSession
+    sweepSidecarCache()
     // the sidecar is MEMOIZED per (bench plan, params): bench runs and
     // stability retries call this repeatedly with the same static suite,
     // and un-memoized each call would collect + broadcast a fresh copy
@@ -245,36 +286,63 @@ object Streams {
     // Canonicalized-plan equality keys semantically-identical frames; a
     // re-written source under the same path needs clearSidecarCache().
     val cacheKey = (spark.sparkContext, bench.queryExecution.analyzed.canonicalized,
-      idCol, textCol, minLen, k)
-    val (sidecar, sidecarBytes) = sidecarCache.synchronized {
-      sidecarCache.getOrElseUpdate(cacheKey, {
-        val benchRows = bench
-          .select(col(idCol).cast("long"), col(textCol))
-          .filter(length(col(textCol)) >= minLen).collect()
-        val benchBytes = benchRows.iterator
-          .map(r => 16L + 2L * r.getString(1).length).sum
-        // refuse BEFORE broadcasting (a failed require caches nothing);
-        // the post-memo require below re-checks on cache hits
-        require(benchBytes <= maxBenchBytes,
-          s"benchmark side is ~$benchBytes bytes (> $maxBenchBytes): " +
-            "contaminationFilter broadcasts the WHOLE bench suite — pass " +
-            "the eval sets here, not a corpus (or raise maxBenchBytes)")
-        // bench texts are PRE-DECODED to code-point arrays once — the
-        // per-row probe must not re-decode a static text per incoming doc
-        val texts = benchRows.map(_.getString(1).codePoints().toArray)
-        val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
-        var b = 0
-        while (b < texts.length) {
-          val (pos, hash) = graft.functions.WinnowAnchors.winnow(texts(b), k, w)
-          var i = 0
-          while (i < pos.length) {
-            byHash(hash(i)) = (b, pos(i)) :: byHash.getOrElse(hash(i), Nil)
-            i += 1
-          }
-          b += 1
+      idCol, textCol, minLen, k, maxPosPerHash)
+    def buildSidecar() = {
+      val benchRows = bench
+        .select(col(idCol).cast("long"), col(textCol))
+        .filter(length(col(textCol)) >= minLen).collect()
+      // footprint estimate of what is ACTUALLY broadcast: 4 B per code
+      // point for the decoded int arrays plus ~2/(w+1)-density anchor
+      // map entries at ~60 B each (boxed Long key + List cons + tuple)
+      // ≈ 8 B per char all-in for ASCII — NOT the 2 B/char UTF-16
+      // string estimate, which under-measured the real sidecar ~4×
+      // and let near-cap suites through to the OOM the guard refuses
+      val benchBytes = benchRows.iterator
+        .map(r => 32L + 8L * r.getString(1).length).sum
+      // refuse BEFORE broadcasting (a failed require caches nothing);
+      // the post-memo require below re-checks on cache hits
+      require(benchBytes <= maxBenchBytes,
+        s"benchmark side is ~$benchBytes sidecar bytes (> $maxBenchBytes): " +
+          "contaminationFilter broadcasts the WHOLE bench suite — pass " +
+          "the eval sets here, not a corpus (or raise maxBenchBytes)")
+      // bench texts are PRE-DECODED to code-point arrays once — the
+      // per-row probe must not re-decode a static text per incoming doc.
+      // ids ride along so contamination counts DISTINCT bench docs (the
+      // crossSpans grouping), not sidecar row indices.
+      val texts = benchRows.map(_.getString(1).codePoints().toArray)
+      val ids = benchRows.map(_.getLong(0))
+      val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+      var b = 0
+      while (b < texts.length) {
+        // capped like crossSpans (the documented parity twin): uncapped,
+        // a low-entropy doc × low-entropy bench doc pair materializes
+        // p×q seeds in ONE probe row — the blowup DefaultMaxPosPerHash
+        // exists to stop
+        val (pos, hash) = graft.functions.WinnowAnchors.winnow(
+          texts(b), k, w, maxPosPerHash)
+        var i = 0
+        while (i < pos.length) {
+          byHash(hash(i)) = (b, pos(i)) :: byHash.getOrElse(hash(i), Nil)
+          i += 1
         }
-        (spark.sparkContext.broadcast((byHash.toMap, texts)), benchBytes)
-      })
+        b += 1
+      }
+      (spark.sparkContext.broadcast((byHash.toMap, texts, ids)), benchBytes)
+    }
+    // the lock never spans the bench collect: a cache MISS for one suite
+    // must not stall a concurrent cache HIT for another. Losing a build
+    // race costs one redundant build (the loser's broadcast unpersists).
+    val cached = sidecarCache.synchronized(sidecarCache.get(cacheKey))
+    val (sidecar, sidecarBytes) = cached.getOrElse {
+      val built = buildSidecar()
+      sidecarCache.synchronized {
+        sidecarCache.get(cacheKey) match {
+          case Some(winner) =>
+            built._1.unpersist(blocking = false); winner
+          case None =>
+            sidecarCache.put(cacheKey, built); built
+        }
+      }
     }
     // the size guard binds on cache HITS too: the memo key omits
     // maxBenchBytes on purpose (one sidecar per suite), so a caller with
@@ -284,14 +352,14 @@ object Streams {
       s"benchmark side is ~$sidecarBytes bytes (> $maxBenchBytes): " +
         "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
         "eval sets here, not a corpus (or raise maxBenchBytes)")
-    val kk = k; val ml = minLen; val ww = w
+    val kk = k; val ml = minLen; val ww = w; val cap = maxPosPerHash
     val probe = udf((text: String) => {
-      val (bh, bt) = sidecar.value
+      val (bh, bt, bids) = sidecar.value
       if (text == null || text.length < ml) (false, 0, 0)
       else {
         // decode the incoming doc ONCE; winnow and every extension share it
         val cps = text.codePoints().toArray
-        val (pos, hash) = graft.functions.WinnowAnchors.winnow(cps, kk, ww)
+        val (pos, hash) = graft.functions.WinnowAnchors.winnow(cps, kk, ww, cap)
         // group candidate seeds per bench doc, then one extension pass each
         val seeds = new scala.collection.mutable.HashMap[Int, List[Long]]()
         var i = 0
@@ -301,20 +369,23 @@ object Streams {
           }
           i += 1
         }
-        var nDocs = 0; var maxSpan = 0
+        // count DISTINCT bench doc IDS, not sidecar row indices — a
+        // duplicated bench doc must count once, as in crossSpans'
+        // (corpus_id, bench_id) grouping (the parity the spec asserts)
+        val hitIds = new scala.collection.mutable.HashSet[Long]()
+        var maxSpan = 0
         seeds.foreach { case (bi, ss) =>
           val spans = graft.dedup.SubstringDedup
             .extendSeeds(cps, bt(bi), ss, kk, ml)
           if (spans.nonEmpty) {
-            nDocs += 1
+            hitIds += bids(bi)
             spans.foreach(sp => if (sp.len > maxSpan) maxSpan = sp.len)
           }
         }
-        (nDocs > 0, nDocs, maxSpan)
+        (hitIds.nonEmpty, hitIds.size, maxSpan)
       }
     })
-    val vC = Iterator.iterate("_v")(_ + "_")
-      .find(!docs.columns.contains(_)).get
+    val vC = freshCol("_v", docs.columns)
     docs.withColumn(vC, probe(col(textCol)))
       .withColumn("contaminated", col(s"$vC._1"))
       .withColumn("n_bench_docs", col(s"$vC._2"))

@@ -466,6 +466,31 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination counts DISTINCT bench doc ids; case-safe temp cols") {
+    val rng = new Random(61)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val leak = rand(80)
+    // the SAME bench doc appears twice (duplicated row, same id): a
+    // contaminated corpus doc shares spans with both sidecar rows but
+    // must report n_bench_docs = 1, crossSpans' distinct-bench-id truth
+    val bench = Seq(7L -> leak, 7L -> leak, 8L -> rand(80))
+    val corpus = Seq(100L -> (rand(10) + leak.substring(5, 70) + rand(10)),
+      101L -> rand(90))
+      // a caller column differing only in CASE from the temp name must
+      // survive (withColumn resolves case-insensitively by default)
+      .toDF("doc_id", "text")
+      .withColumn("_V", org.apache.spark.sql.functions.lit("keep"))
+    val out = graft.streaming.Streams.contaminationFilter(corpus,
+        bench.toDF("doc_id", "text"), "text", "doc_id", minLen = 24, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("contaminated"), r.getAs[Int]("n_bench_docs"),
+          r.getAs[String]("_V"))).toMap
+    assert(out(100L)._1 && out(100L)._2 == 1,
+      s"duplicated bench doc must count once: ${out(100L)}")
+    assert(!out(101L)._1)
+    assert(out(100L)._3 == "keep", "caller's _V column must survive")
+  }
+
   test("span removal cuts higher-id copies only; brute-force parity") {
     val rng = new Random(17)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

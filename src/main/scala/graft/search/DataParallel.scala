@@ -2,7 +2,7 @@ package graft.search
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.CvResults
@@ -229,20 +229,46 @@ object DistributedScore {
     }.toMap
   }
 
+  /** `model.predict` as a Column: the fused codegen'd kernel when the
+    * family has one ([[graft.predict.FusedScore]] — linear, SVC, CART,
+    * forest, GBT, constant, masked), else the broadcast-UDF fallback.
+    * The fused kernels reproduce each model's float order, so the two
+    * routes agree bit-for-bit on well-formed rows (spec-pinned); what
+    * changes is ONLY that scoring stays inside whole-stage codegen
+    * instead of paying per-row boxing over the full distributed fold.
+    */
+  private def predictCol(model: Model, featuresCol: String): Column = {
+    val x = col(featuresCol).cast("array<double>")
+    graft.predict.FusedScore.predict(model, x).getOrElse {
+      val f = udf((xs: Seq[Double]) => model.predict(xs.toArray))
+      f(x)
+    }
+  }
+
   /** Matches `Metrics.negLogLoss` exactly: mean log of the true-class
     * probability, eps-clipped at 1e-15, 0.0 on an empty fold.
     */
   private def negLogLoss(model: Model, test: DataFrame,
                          featuresCol: String, labelCol: String): Double = {
     val eps = 1e-15
-    val lp = udf((xs: Seq[Double], y: Double) => {
-      val p = model.predictProba(xs.toArray)
-      val yi = y.toInt
-      val pi = if (yi >= 0 && yi < p.length) p(yi) else eps
-      math.log(math.max(eps, math.min(1 - eps, pi)))
-    })
-    val r = test.select(lp(col(featuresCol).cast("array<double>"),
-        col(labelCol).cast("double")).as("_ll"))
+    val x = col(featuresCol).cast("array<double>")
+    val llCol = graft.predict.FusedScore.proba(model, x) match {
+      case Some(p) =>
+        // get() is 0-based and null out-of-range under ANSI too, so the
+        // UDF's `yi in [0, k) else eps` clause maps to coalesce
+        val pi = coalesce(get(p, col(labelCol).cast("double").cast("int")),
+          lit(eps))
+        log(greatest(lit(eps), least(lit(1 - eps), pi)))
+      case None =>
+        val lp = udf((xs: Seq[Double], y: Double) => {
+          val prob = model.predictProba(xs.toArray)
+          val yi = y.toInt
+          val pi = if (yi >= 0 && yi < prob.length) prob(yi) else eps
+          math.log(math.max(eps, math.min(1 - eps, pi)))
+        })
+        lp(x, col(labelCol).cast("double"))
+    }
+    val r = test.select(llCol.as("_ll"))
       .agg(count(lit(1)), sum(col("_ll"))).head()
     val n = r.getLong(0)
     if (n == 0) 0.0 else r.getDouble(1) / n
@@ -251,9 +277,8 @@ object DistributedScore {
   /** (label, prediction, count) cells — one shuffle, k^2 rows collected. */
   def confusion(model: Model, test: DataFrame,
                 featuresCol: String, labelCol: String): Seq[(Double, Double, Long)] = {
-    val predict = udf((xs: Seq[Double]) => model.predict(xs.toArray))
     test.groupBy(col(labelCol).cast("double").as("_l"),
-        predict(col(featuresCol).cast("array<double>")).as("_p"))
+        predictCol(model, featuresCol).as("_p"))
       .count().collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
   }
@@ -286,9 +311,8 @@ object DistributedScore {
 
   private def regression(scoring: String, model: Model, test: DataFrame,
                          featuresCol: String, labelCol: String): Double = {
-    val predict = udf((xs: Seq[Double]) => model.predict(xs.toArray))
     val r = test.select(col(labelCol).cast("double").as("_y"),
-        predict(col(featuresCol).cast("array<double>")).as("_p"))
+        predictCol(model, featuresCol).as("_p"))
       .agg(count(lit(1)), sum(col("_y")), sum(col("_y") * col("_y")),
         sum(pow(col("_y") - col("_p"), 2)))
       .head()

@@ -93,7 +93,6 @@ object DataParallelGBT {
     def snapshot() = GBT.GBTModel(prior, stages.toArray, lr, k)
     val monitor = new GBT.EvalMonitor(side, prior, k, lr)
 
-    val sc = spark.sparkContext
     // split candidates depend ONLY on the feature column, which never
     // changes across boosting stages (each stage refits on a new residual
     // LABEL) — compute once and reuse: every per-stage fitRegressor would
@@ -105,7 +104,14 @@ object DataParallelGBT {
     var m = 0
     var stop = false
     while (m < nStages && !stop) {
-      val bcSoFar = sc.broadcast(snapshot())
+      // stage-start raw scores F(x) as ONE fused codegen'd expression
+      // over the model-so-far's flattened node arrays (TreeEnsembleScore
+      // reproduces GBTModel.rawScores' float order bit-for-bit) — the
+      // arrays ride the stage's broadcast task binary, and the per-row
+      // boxed-UDF serde the earlier broadcast-model route paid over the
+      // full distributed frame per stage is gone
+      val soFarRaw = graft.functions.TreeEnsembleScore.gbtRaw(
+        col("_x"), snapshot())
       val wCol: Option[String] = stageWeightCol(base, subsample, n, seed, m)
       def withW(f: DataFrame): DataFrame = wCol match {
         case None => f
@@ -113,18 +119,18 @@ object DataParallelGBT {
       }
       val stage = new Array[CART.TreeModel](nScores)
       if (k == 0) {
-        val rawU = udf((x: Seq[Double]) => bcSoFar.value.rawScores(x.toArray)(0))
-        val fr = withW(base.withColumn("_r", col("_y") - rawU(col("_x"))))
+        val fr = withW(base.withColumn("_r",
+          col("_y") - element_at(soFarRaw, 1)))
         // squared loss: the regression tree's weighted-mean leaf IS the
         // optimal step, no Newton refit needed (mirrors GBT.boost)
         stage(0) = DataParallelCART.fitRegressor(fr, "_x", "_r", treeParams,
           GBT.mixSeed(seed, m, 0), weightCol = wCol,
           candidates = stageCandidates)
       } else if (k == 2) {
-        val pU = udf((x: Seq[Double]) =>
-          1.0 / (1.0 + math.exp(-bcSoFar.value.rawScores(x.toArray)(0))))
+        // same double ops as the broadcast loop's sigmoid
         val fr = withW(base
-          .withColumn("_p", pU(col("_x")))
+          .withColumn("_p",
+            lit(1.0) / (lit(1.0) + exp(-element_at(soFarRaw, 1))))
           .withColumn("_r", col("_y") - col("_p"))
           .withColumn("_den",
             greatest(col("_p") * (lit(1.0) - col("_p")), lit(1e-12))))
@@ -135,20 +141,10 @@ object DataParallelGBT {
         stage(0) = t
       } else {
         // softmax probabilities from the STAGE-START scores, shared by
-        // the K trees (mirrors GBT.boost: p computed once per stage)
-        val pU = udf((x: Seq[Double]) => {
-          val s = bcSoFar.value.rawScores(x.toArray)
-          var mx = s(0); var c = 1
-          while (c < k) { if (s(c) > mx) mx = s(c); c += 1 }
-          var tot = 0.0
-          val e = new Array[Double](k)
-          c = 0
-          while (c < k) { e(c) = math.exp(s(c) - mx); tot += e(c); c += 1 }
-          c = 0
-          while (c < k) { e(c) /= tot; c += 1 }
-          e.toSeq
-        })
-        val withP = base.withColumn("_ps", pU(col("_x")))
+        // the K trees (mirrors GBT.boost: p computed once per stage);
+        // Softmax is the same max-shifted loop the UDF ran, codegen'd
+        val withP = base.withColumn("_ps",
+          graft.functions.Softmax(soFarRaw))
         // the K class trees of one stage are independent given the
         // stage-start scores — concurrent job submission (JobParallel)
         val fitted = graft.ops.Par.concurrently(0 until k, math.min(k, 8)) { c =>
@@ -169,7 +165,6 @@ object DataParallelGBT {
       stages += stage
       m += 1
       stop = monitor.afterStage(stage, stages.length)
-      bcSoFar.unpersist(blocking = false)
     }
     base.unpersist(blocking = false)
     val full = snapshot()
@@ -208,15 +203,19 @@ object DataParallelGBT {
     */
   private def newtonRefit(tree: CART.TreeModel, frame: DataFrame,
                           wCol: Option[String], scale: Double): Unit = {
-    val sc = frame.sparkSession.sparkContext
-    val bcT = sc.broadcast(tree)
-    val leafU = udf((x: Seq[Double]) => bcT.value.leafIndex(x.toArray))
+    // leaf routing as a fused expression over the flattened stage tree
+    // (leaf ids are small ints, exact in double); flattening happens
+    // BEFORE the in-place leaf mutation below, which only touches
+    // values, never ids
+    val leafCol = element_at(
+      graft.functions.TreeEnsembleScore.leafId(col("_x"), tree), 1)
+      .cast("int")
     val contributing = wCol match {
       case Some(w) => frame.filter(col(w) > 0)
       case None => frame
     }
     val rows = contributing
-      .groupBy(leafU(col("_x")).as("_leaf"))
+      .groupBy(leafCol.as("_leaf"))
       .agg(sum(col("_r")).as("_num"), sum(col("_den")).as("_den"))
       .collect()
     val ns = new Array[Double](tree.nLeaves)
@@ -232,6 +231,5 @@ object DataParallelGBT {
           else 0.0
       else { walk(nd.left); walk(nd.right) }
     walk(tree.root)
-    bcT.unpersist(blocking = false)
   }
 }

@@ -70,20 +70,42 @@ object Predict {
     df.withColumn(outCol, graft.agg.Voting.argmax(scores))
   }
 
+  /** Generic prediction surface: the fused codegen'd kernel when the
+    * model family has one ([[FusedScore]] — linear, SVC, CART, forest,
+    * GBT, constant, masked), else the broadcast-UDF fallback. Same
+    * output contract either way: int class index (or label string, with
+    * out-of-range indices mapping to null), null feature rows null.
+    */
   def withPredictions(spark: SparkSession, df: DataFrame, model: Model,
                       featuresCol: String, outCol: String = "preds",
                       labels: Option[Seq[String]] = None): DataFrame = {
-    val fn = labels match {
-      case Some(l) => predictLabelUdf(spark, model, l)
-      case None    => predictUdf(spark, model)
+    val x = col(featuresCol).cast("array<double>")
+    val predCol = FusedScore.predict(model, x) match {
+      case Some(p) =>
+        labels match {
+          // get() is 0-based and null out-of-range (ANSI-safe) — the
+          // UDF branch's `i in [0, labels.size) else null` clause
+          case Some(l) => get(typedLit(l), p.cast("int"))
+          case None    => p.cast("int")
+        }
+      case None =>
+        val fn = labels match {
+          case Some(l) => predictLabelUdf(spark, model, l)
+          case None    => predictUdf(spark, model)
+        }
+        fn(col(featuresCol))
     }
-    df.withColumn(outCol, fn(col(featuresCol)))
+    df.withColumn(outCol, predCol)
   }
 
   def withProbabilities(spark: SparkSession, df: DataFrame, model: Model,
                         featuresCol: String,
-                        outCol: String = "scores"): DataFrame =
-    df.withColumn(outCol, predictProbaUdf(spark, model)(col(featuresCol)))
+                        outCol: String = "scores"): DataFrame = {
+    val x = col(featuresCol).cast("array<double>")
+    val probaCol = FusedScore.proba(model, x)
+      .getOrElse(predictProbaUdf(spark, model)(col(featuresCol)))
+    df.withColumn(outCol, probaCol)
+  }
 
   /** Text-input prediction (reference `predict.py:59-71`,
     * `feature_type='text'`): a RAW STRING column goes through a fitted
@@ -136,21 +158,38 @@ object Predict {
     * text branch is model-agnostic — `get_prediction_udf(model=ovr,
     * feature_type='text')` — so the fused path must cover the OvR
     * family too, not just the multinomial scorer). Emits
-    * `classes(argmax)` as DOUBLE, exactly `OvRModel.predict`: per-class
-    * positive probability is `sigmoid(margin_c)` with `margin_c =
-    * w1 − w0` per binary model; sigmoid and the norm step are monotone
-    * / positive-scale, so argmax over raw margins is EXACT, and the
-    * margins come from one [[graft.functions.SparseScoreMatrix]] over
-    * the margin-row matrix — zero shuffle, no densify.
+    * `classes(argmax)` as DOUBLE, reproducing `OvRModel.predict`'s
+    * tie-break: the driver argmaxes NORMALIZED SIGMOID probabilities
+    * first-max-wins, and sigmoid saturates to exactly 1.0 past margin
+    * ~37 — so two well-separated classes (or a constant predictor's
+    * ±1000 bias row vs a large real margin) TIE at proba 1.0 and the
+    * driver keeps the first. Argmaxing raw margins would resolve those
+    * ties differently; this path therefore applies the same sigmoid +
+    * norm stack before the argmax. Margins come from one
+    * [[graft.functions.SparseScoreMatrix]] over the margin-row matrix —
+    * zero shuffle, no densify. Remaining caveat (shared with the proba
+    * twin): the fused margin is the PRECOMBINED `(w1−w0)·x` dot product,
+    * which can differ from the driver's `s1−s0` at the last ulp — ties
+    * created or broken by that final rounding step are not reproduced.
     */
   def withTextPredictionsOvR(df: DataFrame,
                              stage: graft.encode.Encoderizer.TextHashStage,
                              model: graft.search.OvRModel,
                              outCol: String = "preds"): DataFrame = {
     val (withVec, margins, vecCol) = textScoresOvR(df, stage, model)
-    val idx = graft.agg.Voting.argmax(margins)
-    withVec.withColumn(outCol,
-      element_at(typedLit(model.classes.toSeq), idx + 1)).drop(vecCol)
+    // stage the margin vector: the sigmoid/norm/argmax chain references
+    // its input several times, and a staged column guarantees one
+    // SparseScoreMatrix evaluation regardless of subexpression
+    // elimination coverage inside HOF lambdas
+    val mCol = s"_ovr_margins_$outCol"
+    val staged = withVec.withColumn(mCol, margins)
+    val pos = transform(col(mCol), m => lit(1.0) / (lit(1.0) + exp(-m)))
+    val normed = model.norm.map(graft.agg.Voting.normalize(pos, _))
+      .getOrElse(pos)
+    val idx = graft.agg.Voting.argmax(normed)
+    staged.withColumn(outCol,
+      element_at(typedLit(model.classes.toSeq), idx + 1))
+      .drop(vecCol, mCol)
   }
 
   /** OvR text `predict_proba`: sigmoid per class margin, then the
@@ -164,10 +203,12 @@ object Predict {
                                model: graft.search.OvRModel,
                                outCol: String = "proba"): DataFrame = {
     val (withVec, margins, vecCol) = textScoresOvR(df, stage, model)
-    val pos = transform(margins, m => lit(1.0) / (lit(1.0) + exp(-m)))
+    val mCol = s"_ovr_margins_$outCol"
+    val staged = withVec.withColumn(mCol, margins) // one evaluation
+    val pos = transform(col(mCol), m => lit(1.0) / (lit(1.0) + exp(-m)))
     val normed = model.norm.map(graft.agg.Voting.normalize(pos, _))
       .getOrElse(pos)
-    withVec.withColumn(outCol, normed).drop(vecCol)
+    staged.withColumn(outCol, normed).drop(vecCol, mCol)
   }
 
   private def textScoresOvR(df: DataFrame,
@@ -219,14 +260,80 @@ object Predict {
 
   /** Multilabel prediction column: SORTED `array<string>` label set (the
     * MultiLabelBinarizer inverse_transform of the per-class votes).
+    *
+    * When every per-class model is a binary linear (or constant) model,
+    * the votes fuse into ONE codegen'd [[graft.functions
+    * .LinearScoreMatrix]] over the STACKED per-class weight rows —
+    * 2k rows (w0_c, w1_c per class), NOT precombined margin rows, so
+    * class c's vote `s1 > s0` compares the exact same two doubles
+    * `LogRegModel.predict`'s argmax compares (a combined (w1−w0)·x dot
+    * product rounds differently at the ulp and could flip a boundary
+    * vote). Label membership and ordering then come from codegen'd
+    * `filter`/`transform` built-ins. Non-linear per-class models keep
+    * the broadcast-UDF fallback.
     */
   def withMultilabelPredictions(spark: SparkSession, df: DataFrame,
                                 model: graft.search.MultilabelOvRModel,
                                 featuresCol: String,
                                 outCol: String = "pred_labels"): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model)
-    val f = udf((v: Seq[Double]) =>
-      if (v == null) null else bc.value.predictLabels(v.toArray).toSeq)
-    df.withColumn(outCol, f(col(featuresCol).cast("array<double>")))
+    val x = col(featuresCol).cast("array<double>")
+    stackedVoteRows(model) match {
+      case Some(stacked) =>
+        val k = model.models.length
+        // stage the 2k scores in a temp column so the per-class filter
+        // lambda reads a materialized array instead of re-evaluating
+        // the score matrix per element
+        val scoreCol = s"_ml_scores_$outCol"
+        val scored = df.withColumn(scoreCol,
+          graft.functions.LinearScoreMatrix(x, stacked))
+        val s = col(scoreCol)
+        val voted = filter(sequence(lit(0), lit(k - 1)), c =>
+          element_at(s, c * 2 + 2) > element_at(s, c * 2 + 1))
+        // literal index list is never null on its own: re-impose the
+        // null-row -> null contract of the UDF route explicitly
+        scored.withColumn(outCol, when(x.isNotNull,
+            transform(voted, c => get(typedLit(model.classes.toSeq), c))))
+          .drop(scoreCol)
+      case None =>
+        val bc = spark.sparkContext.broadcast(model)
+        val f = udf((v: Seq[Double]) =>
+          if (v == null) null else bc.value.predictLabels(v.toArray).toSeq)
+        df.withColumn(outCol, f(x))
+    }
+  }
+
+  /** STACKED per-class weight rows (w0_c, w1_c per class) for the fused
+    * multilabel vote; None when a per-class model has no linear
+    * encoding. Constant per-class models encode as a zero row pair
+    * whose s1 bias (±1) reproduces the constant vote.
+    */
+  private def stackedVoteRows(model: graft.search.MultilabelOvRModel)
+      : Option[Array[Array[Double]]] = {
+    val k = model.models.length
+    if (k == 0) return None // degenerate: keep the UDF's exact behavior
+    val widths = model.models.collect {
+      case m: graft.exec.LogRegModel => m.weights.head.length
+    }
+    if (widths.distinct.length > 1) return None // mixed dims: let the UDF throw
+    val d = widths.headOption.getOrElse(1)
+    val stacked: Array[Array[Double]] = new Array(2 * k)
+    var i = 0
+    while (i < k) {
+      model.models(i) match {
+        case m: graft.exec.LogRegModel if m.nClasses == 2 =>
+          stacked(2 * i) = m.weights(0)
+          stacked(2 * i + 1) = m.weights(1)
+        case c: graft.exec.ConstantModel =>
+          stacked(2 * i) = new Array[Double](d)
+          stacked(2 * i + 1) = {
+            val row = new Array[Double](d)
+            row(d - 1) = if (c.value == 1.0) 1.0 else -1.0
+            row
+          }
+        case _ => return None
+      }
+      i += 1
+    }
+    Some(stacked)
   }
 }

@@ -171,6 +171,50 @@ object EncodeQueries {
         .orderBy("doc_id")
     }),
 
+    // Multilabel OvR prediction end-to-end through the REAL serving
+    // kernel (Predict.withMultilabelPredictions, the fused stacked-row
+    // LinearScoreMatrix vote path): the same md5-bucket tf features as
+    // q92/q93 densified to a 64-wide array, pushed through a
+    // 3-class-label MultilabelOvRModel whose per-class binary linear
+    // models carry the q92 integer weight formulas with integer
+    // per-class thresholds as the s1 bias — votes are strict integer
+    // comparisons (tf sums of |w|<=9 integers stay far under 2^53, so
+    // double addition is exact in any order) and DuckDB reproduces them
+    // verbatim. Scale shape: tokenize+hash ride the scan, two keyed
+    // aggregations, expression scoring on the scan — no joins.
+    "q95_multilabel_predict" -> ((s, d) => {
+      val nb = 64
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
+        .cast("long") % nb).cast("int")
+      val tf = toks.groupBy(col("doc_id"), bucket.as("bucket"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dense = tf.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
+          .as("_m"))
+        .withColumn("x", transform(sequence(lit(0), lit(nb - 1)),
+          j => coalesce(try_element_at(col("_m"), j), lit(0.0))))
+      val taus = Seq(0.0, -100.0, -5.0)
+      val models: Array[graft.exec.Model] =
+        Seq(37, 53, 71).zip(taus).map { case (p, tau) =>
+          val w0 = Array.fill(nb + 1)(0.0)
+          val w1 = Array.tabulate(nb + 1)(j =>
+            if (j == nb) -tau else ((j * p) % 19 - 9).toDouble)
+          LogRegModel(Array(w0, w1), 2): graft.exec.Model
+        }.toArray
+      val model = graft.search.MultilabelOvRModel(
+        Array("alpha", "beta", "gamma"), models, norm = None)
+      // the oracle compare hashes scalar columns, so the label SET is
+      // emitted as its canonical comma-join (order = class order)
+      Predict.withMultilabelPredictions(s, dense, model, "x", "labels")
+        .select(col("doc_id"),
+          array_join(col("labels"), ",").as("label_csv"),
+          size(col("labels")).as("n_labels"))
+        .orderBy("doc_id")
+    }),
+
     // Codegen'd LinearScore expression vs DuckDB list_dot_product.
     "q47_linear_score" -> ((s, d) => {
       val w = Array.tabulate(64)(j => (j * 37 % 19 - 9) / 10.0)
@@ -238,6 +282,32 @@ object EncodeQueries {
         |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
         |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS pred,
         |  greatest(s0, s1, s2) AS best_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q95_multilabel_predict" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS INT) AS bucket,
+        |    count(*) AS tf
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(sum(tf * ((bucket * 37) % 19 - 9)) AS BIGINT) AS s0,
+        |    CAST(sum(tf * ((bucket * 53) % 19 - 9)) AS BIGINT) AS s1,
+        |    CAST(sum(tf * ((bucket * 71) % 19 - 9)) AS BIGINT) AS s2
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    CASE WHEN s0 > 0 THEN ['alpha'] ELSE []::VARCHAR[] END ||
+        |    CASE WHEN s1 > -100 THEN ['beta'] ELSE []::VARCHAR[] END ||
+        |    CASE WHEN s2 > -5 THEN ['gamma'] ELSE []::VARCHAR[] END,
+        |    ','), '') AS label_csv,
+        |  CAST((CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s1 > -100 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s2 > -5 THEN 1 ELSE 0 END) AS INT) AS n_labels
         |FROM s ORDER BY doc_id""".stripMargin,
     "q93_text_proba" ->
       """WITH toks AS (

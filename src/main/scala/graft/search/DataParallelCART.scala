@@ -155,9 +155,17 @@ object DataParallelCART {
     // pinned: three jobs consume this frame (cardinality, exact-distinct,
     // quantiles) and each would otherwise re-read and re-explode every
     // row × feature — the dominant non-level cost of an over-budget fit,
-    // and per boosting STAGE before the GBT candidate-reuse overload
-    val exploded = Par.pinLatest("dpcart.exploded", df
+    // and per boosting STAGE before the GBT candidate-reuse overload.
+    // The key carries a per-call nonce: concurrent data-parallel fits
+    // (OvR per-class fits via Par.concurrently) under ONE shared key
+    // would evict each other's logically-distinct cache entries mid-job
+    // and force the three candidate jobs to recompute; the pin is
+    // released eagerly below (try/finally), so unique keys never
+    // accumulate registry entries
+    val pinKey = s"dpcart.exploded.${java.util.UUID.randomUUID()}"
+    val exploded = Par.pinLatest(pinKey, df
       .select(posexplode(col(featuresCol).cast("array<double>")).as(Seq("_f", "_v"))))
+    try {
     // Pass 1: which features are low-cardinality? (rsd 0.02 over-counts by
     // at most ~2% — the 5% slack below absorbs it either way; a feature
     // misrouted to the quantile path still gets valid, just inexact, cuts.)
@@ -187,9 +195,12 @@ object DataParallelCART {
         .collect()
         .foreach(r => out(r.getInt(0)) = midpoints(r.getSeq[Double](1)))
     }
-    // every consumer has collected — release the cache eagerly
-    Par.unpin("dpcart.exploded", exploded)
     out
+    } finally {
+      // every consumer has collected (or the fit is failing) — release
+      // the cache eagerly so per-call nonce keys never leak pins
+      Par.unpin(pinKey, exploded)
+    }
   }
 
   /** The level-aggregation kernel exposed as a relational surface: per

@@ -89,12 +89,17 @@ object Similarity {
     * files. `nClusters` defaults to 0 = auto (~sqrt(n), the standard IVF
     * sizing — see the comment in the body).
     *
-    * A query vector containing NaN has no ranked probe cells (every
-    * distance is NaN) and is ABSENT from the result — previously the
-    * window plan ranked its NaN cosines FIRST and returned k garbage
-    * rows for it. Batch on-disk serving (`probeIvfIndexBatch`) fails
-    * loudly on NaN queries instead; here the corpus cache would make a
-    * dedicated guard pass disproportionate, so absence is the contract.
+    * A query vector containing NaN (or an all-non-finite vector) has no
+    * ranked probe cells — every cell distance is NaN — and FAILS LOUDLY,
+    * the same contract as batch on-disk serving (`probeIvfIndexBatch`):
+    * silent absence from a top-k result hides data corruption. The
+    * guard costs no extra pass here — the probe explode keeps empty
+    * probe lists visible (explode_outer) and a codegen'd raise_error
+    * fires on the first such row, so the failure surfaces when the
+    * lazy result executes rather than at call time (the one remaining
+    * asymmetry with the batch path, which guards eagerly because it
+    * already pays a cell-enumeration pass). Null query vectors are
+    * dropped, as before.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nClusters: Int = 0, nProbe: Int = 0,
@@ -172,8 +177,18 @@ object Similarity {
     // window's orderBy(_cdist, _cell) provided.
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
-      .withColumn("_cell", explode(graft.functions.NearestCells(
+      .filter(col("_qv").isNotNull)
+      // explode_OUTER + raise_error: a NaN/non-finite query has an EMPTY
+      // probe list (NearestCells truncates NaN distances) and would be
+      // silently absent from the top-k result — fail loudly instead,
+      // mirroring probeIvfIndexBatch, without a dedicated guard pass
+      .withColumn("_cell", explode_outer(graft.functions.NearestCells(
         normalized(col("_qv")), cells, probeCells)))
+      .withColumn("_cell", when(col("_cell").isNotNull, col("_cell"))
+        .otherwise(raise_error(concat(
+          lit("ivfTopK: query vector has no ranked probe cells (NaN or " +
+            "non-finite coordinates) — query_id="),
+          col("query_id").cast("string")))))
       .select("query_id", "_qv", "_cell")
 
     val wk = Window.partitionBy("query_id")
@@ -618,9 +633,19 @@ object Similarity {
     val spark = queries.sparkSession
     val cents = loadCentroids(spark, dir)
     val dim = cents.head._2.length
-    val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("_qv"))
-      .filter(col("_qv").isNotNull && size(col("_qv")) > 0)
+    // pinned across the guard aggregation below and the candidate join
+    // in the returned plan: the query source executes TWICE, and a
+    // nondeterministic or re-optimized source could otherwise probe
+    // cells in the second execution that the first execution's static
+    // _cell filter never enumerated — silently dropping candidates (the
+    // inner join would hide the mismatch). pinIfDerived keeps bare
+    // scans unpinned (parquet re-scans are deterministic and cheap);
+    // a nondeterministic NON-derived source (e.g. scan + rand()) is on
+    // the caller, as with every lazy operator here.
+    val q = graft.ops.Par.pinIfDerived("similarity.batchQueries",
+      queries.select(col(idCol).as("query_id"),
+          col(vecCol).cast("array<double>").as("_qv"))
+        .filter(col("_qv").isNotNull && size(col("_qv")) > 0))
     val probeCells =
       if (nProbe > 0) nProbe else autoNProbe(cents.length)
     // explode_OUTER: a row whose probe list is empty (every distance NaN)

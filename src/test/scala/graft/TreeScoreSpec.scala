@@ -166,6 +166,75 @@ class TreeScoreSpec extends AnyFunSuite {
       t.predict(Array(0.1, Double.NaN, Double.NaN, Double.NaN))))
   }
 
+  test("withPredictions/withProbabilities route GBT through the fused kernel") {
+    import spark.implicits._
+    val (x, y) = randomData(220, 5, 3, seed = 50)
+    val m = GBT.Classifier.fit(x, y,
+      Map("n_estimators" -> 4.0, "max_depth" -> 3.0), 5)
+    val df = x.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("id", "v")
+    val out = graft.predict.Predict.withPredictions(spark,
+      graft.predict.Predict.withProbabilities(spark, df, m, "v"),
+      m, "v", labels = Some(Seq("a", "b", "c")))
+    // no UDF anywhere in the plan: the fused route took over
+    assert(!out.queryExecution.executedPlan.toString.contains("UDF"),
+      "expected a UDF-free fused plan")
+    val got = out.collect().map(r =>
+      r.getLong(0) -> ((r.getString(3), r.getSeq[Double](2)))).toMap
+    x.zipWithIndex.foreach { case (v, i) =>
+      val (lab, prob) = got(i.toLong)
+      assert(lab == Seq("a", "b", "c")(m.predict(v).toInt), s"label row $i")
+      assert(prob.toArray.sameElements(m.predictProba(v)), s"proba row $i")
+    }
+  }
+
+  test("fused multilabel votes bit-match MultilabelOvRModel.predictLabels") {
+    import spark.implicits._
+    val rng = new scala.util.Random(60)
+    val d = 6
+    // linear per-class models with a deliberate TIE row (margin == 0):
+    // predictLabels votes on STRICT s1 > s0, so a zero margin must NOT vote
+    val mk = (seed: Int) => {
+      val r = new scala.util.Random(seed)
+      val w0 = Array.fill(d + 1)(r.nextGaussian())
+      val w1 = Array.fill(d + 1)(r.nextGaussian())
+      graft.exec.LogRegModel(Array(w0, w1), 2): Model
+    }
+    val model = graft.search.MultilabelOvRModel(
+      Array("p", "q", "r", "s"),
+      Array(mk(1), mk(2), ConstantModel(1.0, 2), ConstantModel(0.0, 2)),
+      norm = None)
+    val xs = Array.fill(150)(Array.fill(d)(rng.nextGaussian())) :+
+      Array.fill(d)(0.0) // bias-only row
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("id", "v")
+    val out = graft.predict.Predict.withMultilabelPredictions(
+      spark, df, model, "v")
+    assert(!out.queryExecution.executedPlan.toString.contains("UDF"),
+      "expected the fused stacked-row vote plan")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    xs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) == model.predictLabels(v).toSeq, s"row $i")
+    }
+    // null row -> null (the UDF contract)
+    val nullOut = graft.predict.Predict.withMultilabelPredictions(spark,
+      Seq((1L, None: Option[Seq[Double]])).toDF("id", "v"), model, "v")
+      .collect()
+    assert(nullOut.head.isNullAt(2), "null features -> null label set")
+    // a tree in the mix -> UDF fallback, same answers
+    val (tx, ty) = randomData(80, d, 2, seed = 61)
+    val tree = CART.Classifier.fit(tx, ty, Map("max_depth" -> 3.0), 3)
+    val mixed = graft.search.MultilabelOvRModel(Array("p", "q"),
+      Array(mk(1), tree), norm = None)
+    val got2 = graft.predict.Predict.withMultilabelPredictions(
+        spark, df, mixed, "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    xs.zipWithIndex.foreach { case (v, i) =>
+      assert(got2(i.toLong) == mixed.predictLabels(v).toSeq, s"fallback row $i")
+    }
+  }
+
   /** Production-depth JIT budget: 300 random trees of depth 10 (~600k
     * flattened nodes). The generated projection must still COMPILE and
     * run under CODEGEN_ONLY — the kernel's code size is constant in

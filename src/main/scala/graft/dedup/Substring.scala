@@ -195,9 +195,23 @@ object SubstringDedup {
   /** Add a crawl batch to an existing span index. `batchId` names the
     * batch directory — reuse the SAME id when retrying a failed append
     * (overwrite-idempotent); a new id for each new batch.
+    *
+    * `compactEveryBatches` (opt-in, 0 = off): once the index holds more
+    * than that many live committed batches after this append,
+    * [[compactSpanIndex]] runs automatically inside this call under the
+    * derived fresh id `auto_compact_<batchId>` — probe scan cost stays
+    * bounded by index BYTES at crawl cadence without an operator
+    * remembering the maintenance call. The compaction's marker/manifest
+    * discipline is unchanged; like the manual call it is exclusive with
+    * concurrent probes, which an append already should be. Note that a
+    * successful append-plus-compaction CONSUMES `batchId` (it lands in
+    * the compacted batch's `_REPLACES` manifest) — retrying it after
+    * success fails loudly, as any reused consumed id does. Returns true
+    * iff a compaction ran.
     */
   def appendToSpanIndex(df: DataFrame, textCol: String, idCol: String,
-                        dir: String, batchId: String): Unit = {
+                        dir: String, batchId: String,
+                        compactEveryBatches: Int = 0): Boolean = {
     require(batchId.matches("[A-Za-z0-9._-]+") && batchId != "base",
       s"batchId '$batchId' must be a filesystem-safe name (not 'base')")
     // a name listed in a live _REPLACES manifest is permanently excluded
@@ -210,6 +224,11 @@ object SubstringDedup {
         "reader-invisible forever — use a fresh id")
     val (minLen, k, cap) = readIndexParams(df.sparkSession, dir)
     writeBatch(df, textCol, idCol, dir, batchId, minLen, k, cap)
+    if (compactEveryBatches > 0 &&
+        committedBatches(df.sparkSession, dir).size > compactEveryBatches) {
+      compactSpanIndex(df.sparkSession, dir, s"auto_compact_$batchId")
+      true
+    } else false
   }
 
   private def writeBatch(df: DataFrame, textCol: String, idCol: String,

@@ -247,7 +247,8 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     dir: String, nClusters: Int = 0,
-                    seed: Long = 42, maxIter: Int = 20): Unit = {
+                    seed: Long = 42, maxIter: Int = 20,
+                    recallCurveSamples: Int = 256): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     // vectors keep their ORIGINAL element type on disk (array<float>
@@ -277,9 +278,10 @@ object Similarity {
     // stays codegen'd, and build-time assignment uses the SAME numerics
     // as appendToIvfIndex's — an appended twin of a built row can never
     // land in a different cell than its original
-    toVec.withColumn("_cell", graft.functions.NearestCentroid(
+    val assigned = toVec.withColumn("_cell", graft.functions.NearestCentroid(
         normalized(col("vec").cast("array<double>")), kmCells))
       .select(col("id"), col("vec"), col("_cell"))
+    assigned
       // repartition ON the partition column first: without it every input
       // partition writes its own file into every cell dir (tasks x cells
       // small files — 2048 ~40 KB files measured at 200k x 64 cells);
@@ -287,6 +289,17 @@ object Similarity {
       // balanced by the quantizer, so per-task skew is bounded.
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
+    // measured recall-vs-nProbe curve (opt-out: recallCurveSamples = 0):
+    // a held-out-style sample of the corpus is queried against the index
+    // geometry and each sample's TRUE top-1 cosine neighbor (self
+    // excluded) yields the RANK of that neighbor's cell in the sample's
+    // centroid ordering — the whole recall(nProbe) curve is then the
+    // rank CDF, stored as the rank list in the build sidecar. One extra
+    // corpus pass at build time; probes pick nProbe(target) from it
+    // (nProbeForRecall) instead of guessing a fraction.
+    val ranks: Array[Int] =
+      if (recallCurveSamples <= 0 || nRows < 2) Array.empty
+      else measureRecallRanks(assigned, kmCells, recallCurveSamples)
     toVec.unpersist(blocking = false)
     spark.createDataFrame(kmCells).toDF("_cell", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
@@ -297,10 +310,59 @@ object Similarity {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_build_meta.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(metaPath, true)
-    out.write(s"""{"rows":$nRows,"cells":$kCells}"""
+    val ranksJson =
+      if (ranks.isEmpty) ""
+      else s""","recallRanks":[${ranks.mkString(",")}]"""
+    out.write(s"""{"rows":$nRows,"cells":$kCells$ranksJson}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     centroidCache.remove(dir) // a rebuild invalidates any cached sidecar
+    buildMetaCache.remove(dir)
+  }
+
+  /** One rank per sampled query: the position (1-based) of the sample's
+    * true top-1 cosine neighbor's cell in the sample's centroid-distance
+    * ordering — the sufficient statistic for the whole recall(nProbe)
+    * curve (recall at p = fraction of ranks <= p). ONE distributed pass:
+    * every corpus row scores all samples through one fused
+    * [[graft.functions.LinearScoreMatrix]] (cosine = dot on the
+    * normalized vectors) and a single aggregation takes the per-sample
+    * max over (dot, cell) structs — deterministic under dot ties (larger
+    * cell id wins the struct compare; any tied neighbor is a true top-1,
+    * so either cell is valid truth). Samples are identified by
+    * xxhash64(id), generic over the id type; a hash collision merely
+    * excludes one extra corpus row from one sample's truth.
+    */
+  private[graft] def measureRecallRanks(assigned: DataFrame,
+                                        cents: Seq[(Int, Seq[Double])],
+                                        samples: Int): Array[Int] = {
+    val base = assigned.select(xxhash64(col("id")).as("_k"),
+      normalized(col("vec").cast("array<double>")).as("_nv"), col("_cell"))
+    val picked = base.orderBy("_k").limit(samples)
+      .select("_k", "_nv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (picked.isEmpty) return Array.empty
+    val w = picked.map { case (_, qn) => qn :+ 0.0 } // bias-last rows
+    val scored = base.withColumn("_dots",
+      graft.functions.LinearScoreMatrix(col("_nv"), w))
+    val aggs = picked.indices.map { s =>
+      max(when(col("_k") =!= picked(s)._1,
+        struct(element_at(col("_dots"), s + 1).as("d"),
+          col("_cell").as("c")))).as(s"s$s")
+    }
+    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+    picked.indices.iterator.flatMap { s =>
+      if (row.isNullAt(s)) None // n == 1 relative to this sample
+      else {
+        val nnCell = row.getStruct(s).getInt(1)
+        val qn = picked(s)._2
+        // same (distance, cellId) ordering as NearestCells/probeIvfIndex
+        val order = cents.sortBy { case (c, cent) =>
+          (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }
+        Some(order.indexWhere(_._1 == nnCell) + 1)
+      }
+    }.toArray
   }
 
   /** Result of [[appendToIvfIndex]]: occupancy after the append plus the
@@ -312,7 +374,8 @@ object Similarity {
     */
   final case class IvfAppendStats(appended: Long, total: Long, cells: Int,
                                   maxCell: Long, meanCell: Double,
-                                  rebuildRecommended: Boolean)
+                                  rebuildRecommended: Boolean,
+                                  compacted: Option[IvfCompactStats] = None)
 
   /** Files-before/after of [[compactIvfIndex]]; rows is the (unchanged)
     * vector count, re-verified before the swap. */
@@ -403,10 +466,17 @@ object Similarity {
     * re-quantize LOUDLY (stderr) — recall per probe-fraction degrades
     * gracefully until then, never silently off a cliff, because the
     * assignment metric and the probe metric remain the same.
+    *
+    * `compactFilesPerCell` (opt-in, 0 = off): when the cells tree
+    * exceeds that many data files per cell on average after the append,
+    * [[compactIvfIndex]] runs automatically inside this call — probe
+    * cost stays bounded by index BYTES without an operator remembering
+    * the maintenance call. Returned in `stats.compacted`.
     */
   def appendToIvfIndex(newVecs: DataFrame, vecCol: String, idCol: String,
                        dir: String,
-                       rebuildRecommendRatio: Double = 2.0): IvfAppendStats = {
+                       rebuildRecommendRatio: Double = 2.0,
+                       compactFilesPerCell: Int = 0): IvfAppendStats = {
     val spark = newVecs.sparkSession
     val cents = loadCentroids(spark, dir)
     val dim = cents.head._2.length
@@ -450,20 +520,8 @@ object Similarity {
     // `ratio` under the sqrt law FOR THIS INDEX (explicit or auto —
     // drift is relative to the corpus the quantizer saw, not to an
     // assumed sizing rule). Pre-meta indexes fall back to skew-only.
-    val builtRows: Option[Long] = try {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_build_meta.json")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        (org.json4s.jackson.JsonMethods.parse(txt) \ "rows") match {
-          case org.json4s.JInt(v) => Some(v.toLong)
-          case _ => None
-        }
-      }
-    } catch { case _: Exception => None }
+    val builtRows: Option[Long] =
+      try loadBuildMeta(spark, dir)._1 catch { case _: Exception => None }
     val outgrown = builtRows.exists(r =>
       total > rebuildRecommendRatio * rebuildRecommendRatio * r)
     val skewed = maxCell > rebuildRecommendRatio * math.max(1.0, mean)
@@ -474,8 +532,32 @@ object Similarity {
         f", max cell $maxCell vs mean $mean%.1f — appended vectors are " +
         s"riding a quantizer sized for a smaller corpus; run " +
         s"writeIvfIndex to re-quantize")
+    // opt-in auto-compaction (compactFilesPerCell > 0): once the cells
+    // tree holds more than `threshold` data files per cell on average —
+    // i.e. probe cost has started tracking APPEND COUNT instead of index
+    // bytes — run the standard compaction right here, inside the append
+    // call's exclusivity window (appends are already exclusive with
+    // probes by the compaction contract, so the hook adds no new
+    // operational requirement). The swap discipline is compactIvfIndex's
+    // own, unchanged.
+    val compacted: Option[IvfCompactStats] =
+      if (compactFilesPerCell <= 0) None
+      else {
+        val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/cells")
+        val fs = cellsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(cellsPath, true)
+        var files = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+        }
+        val cellDirs = fs.listStatus(cellsPath)
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("_cell="))
+        if (cellDirs > 0 && files > compactFilesPerCell.toLong * cellDirs)
+          Some(compactIvfIndex(spark, dir))
+        else None
+      }
     IvfAppendStats(appended, total, cents.length, maxCell, mean,
-      outgrown || skewed)
+      outgrown || skewed, compacted)
   }
 
   /** Nearest-centroid assignment as a pure per-row map (exposed for the
@@ -540,6 +622,84 @@ object Similarity {
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Int, Seq[Double])])]()
 
+  // dir -> (meta-file stamp, (rows, recallRanks)) — the same
+  // stale-rebuild discipline as centroidCache, for the build sidecar
+  private val buildMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Option[Long], Array[Int]))]()
+
+  /** Build sidecar (rows + measured recall ranks), stamped-cached. */
+  private def loadBuildMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (Option[Long], Array[Int]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_build_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return (None, Array.empty)
+    val st = fs.getFileStatus(p)
+    val stamp = s"${st.getLen}:${st.getModificationTime}"
+    buildMetaCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+        val rows = (j \ "rows") match {
+          case org.json4s.JInt(v) => Some(v.toLong)
+          case _ => None
+        }
+        val ranks = (j \ "recallRanks") match {
+          case org.json4s.JArray(vs) => vs.collect {
+            case org.json4s.JInt(v) => v.toInt }.toArray
+          case _ => Array.empty[Int]
+        }
+        (stamp, (rows, ranks))
+      })._2
+  }
+
+  /** The index's measured recall(nProbe) curve — cumulative fraction of
+    * build-time sampled queries whose true top-1 neighbor lies within
+    * the first `p` probed cells, for p = 1..cells. Monotone
+    * non-decreasing, reaching 1.0 at the full cell count by
+    * construction. None when the index was built with
+    * `recallCurveSamples = 0` (or predates the curve).
+    */
+  def recallCurve(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Option[Array[Double]] = {
+    val (_, ranks) = loadBuildMeta(spark, dir)
+    if (ranks.isEmpty) None
+    else {
+      val cells = loadCentroids(spark, dir).length
+      val n = ranks.length.toDouble
+      Some(Array.tabulate(cells)(p => ranks.count(_ <= p + 1) / n))
+    }
+  }
+
+  /** Smallest nProbe whose MEASURED build-time recall meets `target`
+    * (top-1, corpus-distribution queries — see [[recallCurve]]). The
+    * curve reaches 1.0 at the full cell count, so any target in (0, 1]
+    * resolves. Indexes without a stored curve fall back LOUDLY to the
+    * [[autoNProbe]] fraction (stderr) — never silently under-probe.
+    * Appends drift the measured curve like they drift occupancy; the
+    * rebuild recommendation is the freshness signal for both.
+    */
+  def nProbeForRecall(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, target: Double): Int = {
+    require(target > 0 && target <= 1,
+      s"recall target must be in (0, 1], got $target")
+    val (_, ranks) = loadBuildMeta(spark, dir)
+    val cells = loadCentroids(spark, dir).length
+    if (ranks.isEmpty) {
+      System.err.println(s"[graft.ivf] $dir carries no recall curve " +
+        "(built with recallCurveSamples = 0 or by an older build) — " +
+        "falling back to the autoNProbe fraction; rebuild with " +
+        "writeIvfIndex to calibrate")
+      autoNProbe(cells)
+    } else {
+      val need = math.ceil(target * ranks.length - 1e-9).toInt
+      val sorted = ranks.sorted
+      math.min(cells, sorted(math.max(0, need - 1)))
+    }
+  }
+
   private def sidecarStamp(spark: org.apache.spark.sql.SparkSession,
                            dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
@@ -578,7 +738,10 @@ object Similarity {
     * 200k-vector corpus instead of the calibrated ~19%.
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    query: Seq[Double], k: Int, nProbe: Int = 0): DataFrame = {
+                    query: Seq[Double], k: Int, nProbe: Int = 0,
+                    recallTarget: Double = 0.0): DataFrame = {
+    require(nProbe <= 0 || recallTarget <= 0,
+      "pass either an explicit nProbe or a recallTarget, not both")
     val cents = loadCentroids(spark, dir)
     // a dimension mismatch would otherwise TRUNCATE silently (zip and
     // the cosine kernel both stop at the shorter length) and return
@@ -592,7 +755,10 @@ object Similarity {
       val n2 = math.sqrt(query.map(x => x * x).sum)
       if (n2 == 0) query else query.map(_ / n2)
     }
-    val probeCells = if (nProbe > 0) nProbe else autoNProbe(cents.length)
+    val probeCells =
+      if (nProbe > 0) nProbe
+      else if (recallTarget > 0) nProbeForRecall(spark, dir, recallTarget)
+      else autoNProbe(cents.length)
     val cells = cents.sortBy { case (c, cent) =>
       (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
     }.take(math.max(1, probeCells)).map(_._1)
@@ -629,7 +795,10 @@ object Similarity {
     * `nProbe = 0` (default) = auto, the shared [[autoNProbe]] fraction.
     */
   def probeIvfIndexBatch(queries: DataFrame, vecCol: String, idCol: String,
-                         dir: String, k: Int, nProbe: Int = 0): DataFrame = {
+                         dir: String, k: Int, nProbe: Int = 0,
+                         recallTarget: Double = 0.0): DataFrame = {
+    require(nProbe <= 0 || recallTarget <= 0,
+      "pass either an explicit nProbe or a recallTarget, not both")
     val spark = queries.sparkSession
     val cents = loadCentroids(spark, dir)
     val dim = cents.head._2.length
@@ -647,7 +816,9 @@ object Similarity {
           col(vecCol).cast("array<double>").as("_qv"))
         .filter(col("_qv").isNotNull && size(col("_qv")) > 0))
     val probeCells =
-      if (nProbe > 0) nProbe else autoNProbe(cents.length)
+      if (nProbe > 0) nProbe
+      else if (recallTarget > 0) nProbeForRecall(spark, dir, recallTarget)
+      else autoNProbe(cents.length)
     // explode_OUTER: a row whose probe list is empty (every distance NaN)
     // must stay visible to the guard pass below, not vanish pre-guard;
     // its null _cell then drops naturally in the inner candidate join

@@ -851,6 +851,125 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF auto-compaction hook bounds files per cell across appends") {
+    // N small appends WITH the hook: once files/cell pass the threshold
+    // the append itself compacts — one contiguous file per cell again,
+    // probe-visible content unchanged, quantizer untouched, and the
+    // interrupted-swap discipline is compactIvfIndex's own (pinned in
+    // the sibling test)
+    val rng = new Random(45)
+    def cluster(c: Int, ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(16)(d => (if (d == c * 4) 6.0 else 0.0) +
+        rng.nextGaussian() * 0.1))
+    }
+    val base = (0 until 4).flatMap(c => cluster(c, (c * 100) until (c * 100 + 40)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_autoc").toString
+    try {
+      Similarity.writeIvfIndex(base.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", dir, nClusters = 4, seed = 11)
+      def files() = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("_cell=")).flatMap(_.listFiles())
+        .count(_.getName.endsWith(".parquet"))
+      var compactions = 0
+      var appended = Seq.empty[(Long, Seq[Double])]
+      for (b <- 0 until 5) {
+        val batch = (0 until 4).flatMap(c =>
+          cluster(c, (1000 + b * 100 + c * 10) until (1000 + b * 100 + c * 10 + 5)))
+        appended ++= batch
+        val st = Similarity.appendToIvfIndex(batch.toDF("vec_id", "embedding"),
+          "embedding", "vec_id", dir, compactFilesPerCell = 2)
+        if (st.compacted.isDefined) compactions += 1
+        // the hook's invariant: never more than threshold+1 files per
+        // cell survive an append (the +1 is the append that tripped it)
+        assert(files() <= 3 * 4, s"files unbounded after append $b: ${files()}")
+      }
+      assert(compactions >= 1, "threshold 2 over 5 appends must compact")
+      // a tighter threshold on the final append forces the compaction
+      // deterministically: the post-hook tree is one file per cell
+      val last = (0 until 4).flatMap(c => cluster(c, (9000 + c) until (9001 + c)))
+      appended ++= last
+      val lastStats = Similarity.appendToIvfIndex(
+        last.toDF("vec_id", "embedding"), "embedding", "vec_id", dir,
+        compactFilesPerCell = 1)
+      assert(lastStats.compacted.isDefined, s"threshold 1 must compact: $lastStats")
+      assert(files() <= 4, s"post-hook tree must be ~one file per cell: ${files()}")
+      // every appended row is probe-visible after the auto-compactions
+      val total = spark.read.parquet(s"$dir/cells").count()
+      assert(total == base.size + appended.size,
+        s"rows lost across auto-compaction: $total")
+      val q = base.head._2
+      val got = Similarity.probeIvfIndex(spark, dir, q, k = 3)
+        .collect().map(_.getLong(0))
+      assert(got.nonEmpty, "probe after auto-compaction")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("recall curve: measured at build, monotone, drives nProbe(target)") {
+    val rng = new Random(46)
+    def cluster(c: Int, ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(16)(d => (if (d == c * 4) 6.0 else 0.0) +
+        rng.nextGaussian() * 0.1))
+    }
+    val base = (0 until 4).flatMap(c => cluster(c, (c * 100) until (c * 100 + 50)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_curve").toString
+    try {
+      Similarity.writeIvfIndex(base.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", dir, nClusters = 4, seed = 11,
+        recallCurveSamples = 64)
+      val curve = Similarity.recallCurve(spark, dir)
+        .getOrElse(fail("no recall curve in the build sidecar"))
+      assert(curve.length == 4, s"one point per cell: ${curve.toSeq}")
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"curve must be monotone: ${curve.toSeq}")
+      assert(curve.last == 1.0,
+        s"full probe always contains the true neighbor: ${curve.toSeq}")
+      // separated clusters: a sample's true neighbor sits in its own
+      // cell, so measured recall@1 is (near) perfect — the curve
+      // reflects the data's structure, not a fixed fraction
+      assert(curve.head >= 0.9, s"clustered recall@1: ${curve.toSeq}")
+      // nProbe(target) is the smallest probe meeting the target, so it
+      // is monotone in the target and bounded by the cell count
+      val p50 = Similarity.nProbeForRecall(spark, dir, 0.5)
+      val p100 = Similarity.nProbeForRecall(spark, dir, 1.0)
+      assert(p50 <= p100 && p100 <= 4, s"p50=$p50 p100=$p100")
+      assert(p50 == 1, s"recall@1 >= 0.9 means target 0.5 needs 1 probe: $p50")
+      // the target knob rides the real probe paths; explicit nProbe and
+      // a target together are a caller error
+      val q = base.head._2
+      val got = Similarity.probeIvfIndex(spark, dir, q, k = 3,
+        recallTarget = 0.9).collect()
+      assert(got.nonEmpty)
+      intercept[IllegalArgumentException] {
+        Similarity.probeIvfIndex(spark, dir, q, k = 3, nProbe = 2,
+          recallTarget = 0.9)
+      }
+      import spark.implicits._
+      val batch = Similarity.probeIvfIndexBatch(
+        Seq((5L, q)).toDF("vec_id", "embedding"), "embedding", "vec_id",
+        dir, k = 3, recallTarget = 0.9).collect()
+      assert(batch.nonEmpty)
+      // curve-less index (samples = 0): loud autoNProbe fallback
+      val dir0 = java.nio.file.Files.createTempDirectory("ivf_nocurve").toString
+      try {
+        Similarity.writeIvfIndex(base.toDF("vec_id", "embedding"),
+          "embedding", "vec_id", dir0, nClusters = 4, seed = 11,
+          recallCurveSamples = 0)
+        assert(Similarity.recallCurve(spark, dir0).isEmpty)
+        assert(Similarity.nProbeForRecall(spark, dir0, 0.9) ==
+          Similarity.autoNProbe(4))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir0)).deleteRecursively()
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("quantizer training sample: full under cap, capped + stable above") {
     // the coarse quantizer trains on O(k) points (faiss-style), never
     // the full corpus: below max(128k, 2^16) rows the train set IS the

@@ -330,6 +330,40 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(exCol.getMessage.contains("collides"))
   }
 
+  test("span-index auto-compaction hook bounds live batches across appends") {
+    val rng = new Random(59)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val corpus = (0L until 6L).map(i => i -> rand(140))
+    val dir = java.nio.file.Files.createTempDirectory("spanidxa").toString + "/idx"
+    SubstringDedup.writeSpanIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", dir, minLen = 24, k = 8)
+    def batchNames() = new java.io.File(s"$dir/batches").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // one batch carries a copy of corpus doc 2 so probe-equality has
+    // batch-resident truth to find after the compactions
+    val probe = Seq(200L -> (rand(15) + corpus(2)._2.substring(5, 85)))
+      .toDF("doc_id", "text")
+    var compactions = 0
+    for (b <- 0 until 6) {
+      val batch = Seq((100L + b) ->
+        (rand(20) + (if (b == 1) corpus(2)._2.substring(5, 85) else rand(90))))
+      val didCompact = SubstringDedup.appendToSpanIndex(
+        batch.toDF("doc_id", "text"), "text", "doc_id", dir,
+        batchId = s"b$b", compactEveryBatches = 3)
+      if (didCompact) compactions += 1
+      // invariant: the hook never lets more than threshold+1 live
+      // batches accumulate (the +1 is the append that trips it)
+      assert(batchNames().size <= 4,
+        s"live batches unbounded after b$b: ${batchNames()}")
+    }
+    assert(compactions >= 1, "threshold 3 over 6 appends must compact")
+    // probe still finds base- and batch-resident spans (content intact)
+    val spans = SubstringDedup.spansAgainstIndex(probe, "text", "doc_id", dir)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(spans.exists(_._1 == 2L), "base doc reachable after auto-compaction")
+    assert(spans.exists(_._1 == 101L), "appended doc reachable after auto-compaction")
+  }
+
   test("fresh-id compaction after a crashed predecessor cannot resurrect sources") {
     val rng = new Random(53)
     def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString

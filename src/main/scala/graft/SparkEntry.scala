@@ -24,12 +24,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.MLRelational.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.EncodeQueries.queries
+      graft.queries.EncodeQueries.queries ++
+      graft.queries.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.MLRelational.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.EncodeQueries.oracles
+      graft.queries.EncodeQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

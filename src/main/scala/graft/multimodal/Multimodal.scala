@@ -469,6 +469,64 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** INTEGER-EXACT per-window audio statistics over decoded PCM: the
+    * mono signal splits into `nWindows` equal windows (floor split, last
+    * window takes the remainder — `audioFeatureVec`'s rule) and each
+    * emits `(window, n_samples, sum_sq, zero_crossings)` on the
+    * 16-bit-integer reconstruction `round(sample × 32768)`. For mono
+    * integer-PCM WAV the reconstruction IS the original sample (the
+    * decode divides by the power of two 32768, exact in float), so
+    * these stats are bit-exact integers — the oracle-able face of the
+    * real decode kernel (q96), and a scale-friendly audio descriptor:
+    * one pass per row, embarrassingly parallel, no floats to drift.
+    * Zero crossings use the sign rule `(s_i >= 0) != (s_{i-1} >= 0)`
+    * counted within the window. Non-WAV / null payloads emit no rows.
+    */
+  def audioWindowStats(df: DataFrame, mediaCol: String, idCol: String,
+                       nWindows: Int): DataFrame = {
+    require(nWindows >= 1, s"nWindows must be >= 1, got $nWindows")
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("window", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_crossings", IntegerType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val wav = decodeWav(
+          if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
+        if (wav == null || wav.samples.isEmpty) Iterator.empty
+        else {
+          val s = wav.samples
+          val k = nWindows
+          val win = math.max(1, s.length / k)
+          val id = r.get(idIdx)
+          (0 until k).iterator.flatMap { w =>
+            val start = w * win
+            val end = if (w == k - 1) s.length else math.min(s.length, start + win)
+            if (start >= end) None
+            else {
+              var sumSq = 0L; var zc = 0
+              var i = start
+              var prev = 0
+              while (i < end) {
+                val si = Math.round(s(i) * 32768.0f)
+                sumSq += si.toLong * si
+                if (i > start && (si >= 0) != (prev >= 0)) zc += 1
+                prev = si
+                i += 1
+              }
+              Some(Row(id, w, end - start, sumSq, zc))
+            }
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Text → synthetic media table for testing the plumbing end-to-end on
     * the documents testdata (binary = utf-8 bytes of the text).
     */

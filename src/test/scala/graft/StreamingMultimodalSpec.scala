@@ -384,6 +384,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(flat.max - flat.min < 0.05f, s"uniform image -> flat features: $flat")
   }
 
+  test("audioWindowStats: integer-exact windows off real PCM bytes") {
+    // 1 clip, 10 samples, 3 windows -> floor split 3/3/4 (last window
+    // takes the remainder, audioFeatureVec's rule)
+    val samples = Array[Short](100, -200, 300, -400, 0, 7, -7, 32767, -32768, 5)
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(n * 2)
+    samples.foreach(bb.putShort)
+    val media = Seq((1L, bb.array()), (2L, "junk".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "media")
+    val got = Multimodal.audioWindowStats(media, "media", "media_id", 3)
+      .orderBy("window").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    // driver-side truth straight off the int samples
+    def stats(lo: Int, hi: Int) = {
+      val w = samples.slice(lo, hi)
+      (w.map(s => s.toLong * s).sum,
+        w.indices.drop(1).count(i => (w(i) >= 0) != (w(i - 1) >= 0)))
+    }
+    val w0 = stats(0, 3); val w1 = stats(3, 6); val w2 = stats(6, 10)
+    assert(got.toSeq == Seq(
+      (1L, 0, 3, w0._1, w0._2), (1L, 1, 3, w1._1, w1._2),
+      (1L, 2, 4, w2._1, w2._2)), got.toSeq.toString)
+    // non-WAV and null payloads emit NO rows (ids 2 and 3 absent)
+    assert(got.forall(_._1 == 1L))
+  }
+
   test("real audio kernels: WAV parse, RMS/ZCR features on PCM bytes") {
     // Hand-rolled 16-bit mono PCM WAV: `freq` Hz sine at `amp`, 8 kHz.
     def wav(freq: Double, amp: Double, n: Int = 800, rate: Int = 8000): Array[Byte] = {

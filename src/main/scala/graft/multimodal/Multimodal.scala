@@ -527,6 +527,68 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** INTEGER-EXACT per-cell image statistics over the decoded raster:
+    * the image splits into a `grid` × `grid` cell lattice (floor split,
+    * the last row/column of cells takes the remainder —
+    * `audioWindowStats`' rule in two dimensions) and each cell emits
+    * `(gx, gy, n_pixels, sum_r, sum_g, sum_b)` straight off the decoded
+    * ARGB ints. PNG/BMP/GIF are lossless, so for those formats the
+    * decoded channel bytes ARE the encoded pixels and the sums are
+    * bit-exact integers — the oracle-able face of the real ImageIO
+    * decode kernel (q97, the image twin of q96), and a scale-friendly
+    * descriptor: one raster pass per row, embarrassingly parallel,
+    * no floats anywhere. Null / undecodable payloads emit no rows.
+    */
+  def imageGridStats(df: DataFrame, mediaCol: String, idCol: String,
+                     grid: Int): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("gx", IntegerType, nullable = false),
+      StructField("gy", IntegerType, nullable = false),
+      StructField("n_pixels", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = decodeImage(
+          if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val id = r.get(idIdx)
+          val cw = math.max(1, w / grid); val ch = math.max(1, h / grid)
+          for {
+            gy <- (0 until grid).iterator
+            y0 = gy * ch
+            y1 = if (gy == grid - 1) h else math.min(h, y0 + ch)
+            gx <- (0 until grid).iterator
+            x0 = gx * cw
+            x1 = if (gx == grid - 1) w else math.min(w, x0 + cw)
+            if y0 < y1 && x0 < x1
+          } yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, gx, gy, (x1 - x0) * (y1 - y0), sr, sg, sb)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Text → synthetic media table for testing the plumbing end-to-end on
     * the documents testdata (binary = utf-8 bytes of the text).
     */

@@ -415,6 +415,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.forall(_._1 == 1L))
   }
 
+  test("imageGridStats: integer-exact cells off real PNG bytes") {
+    // 5x7 image, 2x2 grid -> floor split: cell widths 2/3, heights 3/4
+    // (last row/column takes the remainder, audioWindowStats' rule in 2D)
+    val w = 5; val h = 7
+    def px(x: Int, y: Int) = ((x * 40 + y) % 256, (x + y * 30) % 256, (x * y * 9) % 256)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val media = Seq((1L, bos.toByteArray), (2L, "junk".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "media")
+    val got = Multimodal.imageGridStats(media, "media", "media_id", 2)
+      .orderBy("gy", "gx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // driver-side truth straight off the formula pixels
+    def cell(x0: Int, x1: Int, y0: Int, y1: Int) = {
+      val ps = for (y <- y0 until y1; x <- x0 until x1) yield px(x, y)
+      (ps.map(_._1.toLong).sum, ps.map(_._2.toLong).sum, ps.map(_._3.toLong).sum)
+    }
+    val exp = Seq((0, 0, 0, 2, 0, 3), (1, 0, 2, 5, 0, 3),
+      (0, 1, 0, 2, 3, 7), (1, 1, 2, 5, 3, 7)).map {
+      case (gx, gy, x0, x1, y0, y1) =>
+        val (sr, sg, sb) = cell(x0, x1, y0, y1)
+        (1L, gx, gy, (x1 - x0) * (y1 - y0), sr, sg, sb)
+    }
+    assert(got.toSeq == exp, got.toSeq.toString)
+    // non-image and null payloads emit NO rows (ids 2 and 3 absent)
+    assert(got.forall(_._1 == 1L))
+  }
+
   test("real audio kernels: WAV parse, RMS/ZCR features on PCM bytes") {
     // Hand-rolled 16-bit mono PCM WAV: `freq` Hz sine at `amp`, 8 kHz.
     def wav(freq: Double, amp: Double, n: Int = 800, rate: Int = 8000): Array[Byte] = {

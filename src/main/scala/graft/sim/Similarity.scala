@@ -129,19 +129,19 @@ object Similarity {
       if (nClusters > 0) nClusters
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(nCorpus.toDouble)).toInt))
-    // nProbe = 0 (default) holds a CONSTANT probe fraction (1/16 of the
-    // cells, floor 3 — at the 16-cell calibration corpus this reproduces
-    // the historical nProbe=3 exactly) instead of a constant cell count:
-    // with auto-scaled cells a fixed nProbe silently shrinks the probed
-    // fraction as n grows (3/16 = 19% at calibration vs 3/459 = 0.7% at
-    // 200k vectors) and natural recall shrinks with it. Recall on
-    // CLUSTERED corpora concentrates in the nearest cells (FAISS ships
-    // nprobe=1 for the same reason), so a small constant fraction is a
-    // serving-grade default; planted/verbatim-duplicate recall is 1.0 at
-    // ANY setting (the twin's cell is always the query's nearest). The
-    // corpus-dependent trade is the caller's explicit-nProbe knob;
-    // measured numbers at 20k near-uniform vectors are in NOTES.
-    val probeCells = if (nProbe > 0) nProbe else autoNProbe(kCells)
+    // nProbe = 0 (default) probes to a CONSTANT per-query candidate
+    // budget (autoNProbe: ~AutoProbeBudget corpus rows per query,
+    // floor 3, exhaustive for corpora at or under the budget). The
+    // earlier constant-FRACTION rule (cells/16) held natural recall but
+    // made per-query candidates linear in n — a query panel growing
+    // with the corpus then pays a QUADRATIC rerank (Decade3Probe:
+    // q62 e(10→100) = 1.87, 748 s at 2M×40k). Recall on CLUSTERED
+    // corpora concentrates in the nearest cells (FAISS ships nprobe=1
+    // for the same reason); planted/verbatim-duplicate recall is 1.0
+    // at ANY setting (the twin's cell is always the query's nearest).
+    // Callers needing a recall LEVEL pass explicit nProbe here, or
+    // recallTarget on the curve-carrying on-disk path.
+    val probeCells = if (nProbe > 0) nProbe else autoNProbe(kCells, nCorpus)
     // maxIter trades quantizer quality for fit time; recall comes from
     // nProbe overlap, so even a coarse quantizer keeps recall high.
     // kmeans|| init is KEPT deliberately: swapping it for random init
@@ -225,17 +225,44 @@ object Similarity {
   private val lastIvfResult =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
-  /** The ONE probe-count rule for auto mode: a CONSTANT fraction of the
-    * cells (1/16, floor 3) — shared by `ivfTopK` and `probeIvfIndex` so
-    * the in-memory and on-disk serving paths cannot diverge. A fixed
-    * probe COUNT against sqrt-n auto-sized cells silently shrinks the
-    * probed fraction as the corpus grows (3/16 = 19% at the 16-cell
-    * calibration corpus vs 3/459 = 0.7% at 200k vectors) and recall
-    * shrinks with it; the constant fraction reproduces the historical
-    * nProbe=3 exactly at calibration and holds the recall floor past it.
+  /** Per-query CANDIDATE BUDGET for auto probe mode: auto-probe reads
+    * ~this many corpus rows per query regardless of corpus size. 4096
+    * doubles as the exhaustive-search cutoff — corpora at or under the
+    * budget are fully probed (exact top-k), which is also what a user
+    * who didn't pick nProbe would want on a small corpus.
     */
-  private[graft] def autoNProbe(cells: Int): Int =
-    math.max(3, (cells / 16.0).ceil.toInt)
+  private[graft] val AutoProbeBudget = 4096L
+
+  /** The ONE probe-count rule for auto mode — shared by `ivfTopK` and
+    * `probeIvfIndex`/`probeIvfIndexBatch` so the in-memory and on-disk
+    * serving paths cannot diverge: probe enough cells to examine
+    * ~[[AutoProbeBudget]] candidates per query (floor 3, capped at all
+    * cells), i.e. `ceil(budget / (rows/cells))`.
+    *
+    * History, because this rule replaced two measured-worse ones. A
+    * FIXED COUNT (nProbe=3) silently shrinks the probed fraction as
+    * sqrt-n auto-sized cells grow (19% at 16 cells → 0.7% at 200k
+    * vectors) and natural recall shrinks with it. The r9–r10 fix — a
+    * constant FRACTION (cells/16, floor 3) — held recall but made
+    * per-query candidate volume LINEAR in the corpus
+    * ((cells/16)·(n/cells) = n/16), so any query panel that grows with
+    * the corpus pays a QUADRATIC rerank: Decade3Probe measured
+    * q62 e(10→100) = 1.87 at 2M vectors / 40k queries (748 s), with the
+    * rerank join dominating the profile. The budget rule keeps
+    * per-query work CONSTANT (e → 1.0 in the query-panel regime) and
+    * makes the cost model explicit: auto mode = bounded cost with
+    * best-effort recall (exhaustive ≤ budget-sized corpora, a few
+    * thousand nearest candidates above); callers who need a recall
+    * LEVEL pass explicit `nProbe` or, on curve-carrying on-disk
+    * indexes, `recallTarget` (nProbeForRecall picks the measured
+    * operating point). Planted/verbatim-duplicate recall stays 1.0 at
+    * ANY setting — the twin's cell is always the query's rank-1 probe.
+    */
+  private[graft] def autoNProbe(cells: Int, rows: Long): Int = {
+    val cellSize = math.max(1.0, rows.toDouble / cells)
+    val byBudget = math.ceil(AutoProbeBudget / cellSize).toInt
+    math.min(cells, math.max(3, byBudget))
+  }
 
   /** Materialize the IVF scale path ivfTopK's doc promises: the corpus
     * written HIVE-PARTITIONED BY QUANTIZER CELL (`dir/cells/_cell=N/…`)
@@ -655,6 +682,18 @@ object Similarity {
       })._2
   }
 
+  /** Index row count for auto-probe sizing: the build sidecar's `rows`
+    * when present, else cells² — `writeIvfIndex`'s sqrt-n cell sizing
+    * inverted, so a pre-meta index still gets a budget-consistent
+    * default rather than a full scan. (Appends drift the true count
+    * upward; under-estimating rows only OVER-probes, which errs toward
+    * recall, and the append path's rebuild recommendation is the
+    * freshness signal.)
+    */
+  private def indexRows(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, cells: Int): Long =
+    loadBuildMeta(spark, dir)._1.getOrElse(cells.toLong * cells)
+
   /** The index's measured recall(nProbe) curve — cumulative fraction of
     * build-time sampled queries whose true top-1 neighbor lies within
     * the first `p` probed cells, for p = 1..cells. Monotone
@@ -677,7 +716,8 @@ object Similarity {
     * (top-1, corpus-distribution queries — see [[recallCurve]]). The
     * curve reaches 1.0 at the full cell count, so any target in (0, 1]
     * resolves. Indexes without a stored curve fall back LOUDLY to the
-    * [[autoNProbe]] fraction (stderr) — never silently under-probe.
+    * [[autoNProbe]] candidate budget (stderr) — never silently a
+    * guessed recall.
     * Appends drift the measured curve like they drift occupancy; the
     * rebuild recommendation is the freshness signal for both.
     */
@@ -690,9 +730,9 @@ object Similarity {
     if (ranks.isEmpty) {
       System.err.println(s"[graft.ivf] $dir carries no recall curve " +
         "(built with recallCurveSamples = 0 or by an older build) — " +
-        "falling back to the autoNProbe fraction; rebuild with " +
+        "falling back to the autoNProbe candidate budget; rebuild with " +
         "writeIvfIndex to calibrate")
-      autoNProbe(cells)
+      autoNProbe(cells, indexRows(spark, dir, cells))
     } else {
       val need = math.ceil(target * ranks.length - 1e-9).toInt
       val sorted = ranks.sorted
@@ -731,11 +771,12 @@ object Similarity {
     * the nProbe matching cell partitions — `.explain` shows
     * PartitionFilters on `_cell`, i.e. non-probed cells are never read.
     *
-    * `nProbe = 0` (default) = auto: the same constant probe FRACTION as
-    * `ivfTopK` ([[autoNProbe]], cells/16 floor 3), derived from the
-    * centroid sidecar. A fixed default count here against
-    * `writeIvfIndex`'s sqrt-n auto-sized cells would probe ~0.7% of a
-    * 200k-vector corpus instead of the calibrated ~19%.
+    * `nProbe = 0` (default) = auto: the same per-query candidate-budget
+    * rule as `ivfTopK` ([[autoNProbe]] — ~[[AutoProbeBudget]] rows per
+    * query, exhaustive on small indexes), sized from the build sidecar's
+    * row count (cells² assumed for pre-meta indexes, the sqrt-n build
+    * sizing inverted). Pass `recallTarget` to pick the measured
+    * operating point from the stored recall curve instead.
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     query: Seq[Double], k: Int, nProbe: Int = 0,
@@ -758,7 +799,7 @@ object Similarity {
     val probeCells =
       if (nProbe > 0) nProbe
       else if (recallTarget > 0) nProbeForRecall(spark, dir, recallTarget)
-      else autoNProbe(cents.length)
+      else autoNProbe(cents.length, indexRows(spark, dir, cents.length))
     val cells = cents.sortBy { case (c, cent) =>
       (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
     }.take(math.max(1, probeCells)).map(_._1)
@@ -792,7 +833,8 @@ object Similarity {
     * window over candidates only (queries × probed-fraction of the
     * corpus), the irreducible rerank shuffle.
     *
-    * `nProbe = 0` (default) = auto, the shared [[autoNProbe]] fraction.
+    * `nProbe = 0` (default) = auto, the shared [[autoNProbe]]
+    * candidate-budget rule (sidecar-sized, like `probeIvfIndex`).
     */
   def probeIvfIndexBatch(queries: DataFrame, vecCol: String, idCol: String,
                          dir: String, k: Int, nProbe: Int = 0,
@@ -818,7 +860,7 @@ object Similarity {
     val probeCells =
       if (nProbe > 0) nProbe
       else if (recallTarget > 0) nProbeForRecall(spark, dir, recallTarget)
-      else autoNProbe(cents.length)
+      else autoNProbe(cents.length, indexRows(spark, dir, cents.length))
     // explode_OUTER: a row whose probe list is empty (every distance NaN)
     // must stay visible to the guard pass below, not vanish pre-guard;
     // its null _cell then drops naturally in the inner candidate join

@@ -32,11 +32,61 @@ object MultiJvmProbe {
     */
   private val IvfAppendName = "ivf_append_probe"
 
+  /** Synthetic step for the r11 fused scoring family: CART / forest /
+    * GBT models fit DRIVER-side on a deterministic matrix (both modes
+    * fit the identical model — seeds fixed, no distributed draw), then
+    * scored over a distributed synthetic frame through the fused
+    * [[graft.predict.FusedScore]] / [[graft.functions.TreeEnsembleScore]]
+    * columns plus the fused multilabel stacked-row vote. What this
+    * probes is EXECUTOR-side behavior only: the expressions' flattened
+    * node / weight arrays serializing into the task binary and the
+    * generated code evaluating identically in a separate JVM.
+    */
+  private val TreeScoreName = "tree_score_probe"
+
   private val DefaultQueries = Seq(
     "q36_ngram_jaccard", "q38_minhash_pairs", "q48_asof_join",
     "q62_ivf_ann", "q63_srp_pairs", "q64_neardup_survivors",
     "q76_semantic_dedup", "q83_dup_spans", "q87_stream_decontaminate",
-    "q90_coverage_survivors", "q92_text_predict", IvfAppendName)
+    "q90_coverage_survivors", "q92_text_predict",
+    "q95_multilabel_predict", "q96_audio_window_stats",
+    "q97_image_grid_stats", IvfAppendName, TreeScoreName)
+
+  private def treeScoreFingerprint(spark: SparkSession): (Long, Long) = {
+    import graft.exec.{CART, GBT, LogRegModel}
+    import graft.search.{ForestModel, MultilabelOvRModel}
+    val rnd = new scala.util.Random(11)
+    val X = Array.fill(800)(Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    val y = X.map(x =>
+      if (x(0) + 0.7 * x(3) - 0.2 * x(5) <= 0) 0.0
+      else if (x(1) > 0.3) 2.0 else 1.0)
+    val params = Map("max_depth" -> 4.0, "min_samples_leaf" -> 2.0)
+    val tree = CART.grow(X, y, null, params, 3, 3)
+    val forest = ForestModel(
+      Array.tabulate(12)(t => CART.grow(X, y, null, params, 100L + t, 3)), 3)
+    val gbt = GBT.Classifier.fit(X, y,
+      Map("n_estimators" -> 10.0, "max_depth" -> 3.0,
+        "learning_rate" -> 0.2), 7).asInstanceOf[GBT.GBTModel]
+    val ml = MultilabelOvRModel(Array("a", "b", "c"),
+      Array.tabulate(3) { c =>
+        val w0 = new Array[Double](9)
+        val w1 = Array.tabulate(9)(j =>
+          if (j == 8) -0.1 * c else ((j * (c * 6 + 7)) % 5 - 2) * 0.3)
+        LogRegModel(Array(w0, w1), 2): graft.exec.Model
+      }, norm = None)
+    val df = spark.range(0, 200000).select(col("id"),
+      array((0 until 8).map(d =>
+        sin(col("id") * (d * 31 + 11)).cast("double")): _*).as("x"))
+    val x = col("x")
+    val scored = graft.predict.Predict.withMultilabelPredictions(
+        spark, df, ml, "x", "ml_labels")
+      .withColumn("t_pred", graft.predict.FusedScore.predict(tree, x).get)
+      .withColumn("f_proba", graft.predict.FusedScore.proba(forest, x).get)
+      .withColumn("g_proba", graft.predict.FusedScore.proba(gbt, x).get)
+      .withColumn("ml_csv", array_join(col("ml_labels"), ","))
+      .drop("x", "ml_labels")
+    fingerprint(scored)
+  }
 
   private def ivfAppendFingerprint(spark: SparkSession): (Long, Long) = {
     import graft.sim.Similarity
@@ -94,6 +144,7 @@ object MultiJvmProbe {
       val t0 = System.nanoTime()
       val fp =
         if (n == IvfAppendName) ivfAppendFingerprint(spark)
+        else if (n == TreeScoreName) treeScoreFingerprint(spark)
         else fingerprint(graft.SparkEntry.queries(n)(spark, sfDir))
       println(f"[multijvm]   $n%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         s"  rows=${fp._1} hash=${fp._2}")

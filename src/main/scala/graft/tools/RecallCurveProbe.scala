@@ -29,7 +29,7 @@ object RecallCurveProbe {
       println(f"sfDir=$sfDir rows=$n cells=$cells samples=$samples " +
         f"build=$tBuild%.1f s")
       val marks = (Seq(1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
-        192, 256) :+ Similarity.autoNProbe(cells) :+ cells)
+        192, 256) :+ Similarity.autoNProbe(cells, n) :+ cells)
         .distinct.sorted.filter(p => p >= 1 && p <= cells)
       println("nProbe -> measured top-1 recall (build sample):")
       marks.foreach(p => println(f"  p=$p%4d  recall=${curve(p - 1)}%.3f"))

@@ -706,18 +706,31 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF default probe auto-sizes to the index's cell count") {
-    // unit law first: a constant probe FRACTION (1/16 of cells, floor 3)
-    // — reproduces the historical nProbe=3 exactly at the 16-cell
-    // calibration corpus, and scales with sqrt-n auto-sized cells
-    // instead of shrinking to ~0.7% of a 200k-vector index
-    assert(Similarity.autoNProbe(16) == 3)
-    assert(Similarity.autoNProbe(48) == 3)
-    assert(Similarity.autoNProbe(64) == 4)
-    assert(Similarity.autoNProbe(459) == 29)
-    assert(Similarity.autoNProbe(4096) == 256)
-    // end-to-end: default-probe a 64-cell index and observe the probed
-    // cell fraction as scan file count (one file per cell by layout)
+  test("IVF default probe holds a constant per-query candidate budget") {
+    // unit law first: auto-probe examines ~AutoProbeBudget (4096)
+    // corpus rows per query — exhaustive for corpora at or under the
+    // budget, then a SHRINKING cell fraction as the corpus grows, so a
+    // query panel that scales with the corpus pays a LINEAR total
+    // rerank. (The prior cells/16 fraction made per-query candidates
+    // n/16 — Decade3Probe measured the resulting quadratic at 2M×40k:
+    // q62 e(10→100) = 1.87.)
+    assert(Similarity.autoNProbe(16, 64) == 16) // tiny corpus: exhaustive
+    assert(Similarity.autoNProbe(45, 2000) == 45) // <= budget: exhaustive
+    assert(Similarity.autoNProbe(64, 20000) == 14) // ceil(4096/312.5)
+    assert(Similarity.autoNProbe(448, 200000) == 10) // ceil(4096/446.4)
+    assert(Similarity.autoNProbe(1415, 2000000) == 3) // floor engages
+    assert(Similarity.autoNProbe(4096, 100000000) == 3)
+    // budget law: probed candidates stay ~budget across three decades
+    Seq(10000L, 100000L, 1000000L).foreach { n =>
+      val cells = math.ceil(math.sqrt(n.toDouble)).toInt
+      val cand = Similarity.autoNProbe(cells, n).toLong * (n / cells)
+      assert(cand >= 2048 && cand <= 8192,
+        s"n=$n cells=$cells candidates=$cand drifted from the ~4096 budget")
+    }
+    // end-to-end: a 64-cell index over 512 rows is UNDER the budget —
+    // auto probes every cell (exact top-k on small corpora); an explicit
+    // nProbe=4 prunes to exactly 4 cell files (one file per cell by
+    // layout) — the pruning observable, unchanged
     val rng = new Random(33)
     val vecs = (0L until 512L).map { i =>
       val c = (i % 64).toInt
@@ -734,9 +747,13 @@ class DedupSimSpec extends AnyFunSuite {
       val probed = Similarity.probeIvfIndex(spark, dir, q, k = 5)
       probed.collect()
       val (files, _) = graft.tools.IvfScaleProbe.scanReadMetrics(probed)
-      assert(files == Similarity.autoNProbe(nCells),
-        s"default probe read $files cells; want cells/16 = " +
-          s"${Similarity.autoNProbe(nCells)} (the calibrated fraction)")
+      assert(files == 64,
+        s"512-row index is under the probe budget — auto must read all " +
+          s"64 cells (exhaustive), read $files")
+      val pruned = Similarity.probeIvfIndex(spark, dir, q, k = 5, nProbe = 4)
+      pruned.collect()
+      val (files4, _) = graft.tools.IvfScaleProbe.scanReadMetrics(pruned)
+      assert(files4 == 4, s"explicit nProbe=4 must read 4 cells, read $files4")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
@@ -959,7 +976,7 @@ class DedupSimSpec extends AnyFunSuite {
           recallCurveSamples = 0)
         assert(Similarity.recallCurve(spark, dir0).isEmpty)
         assert(Similarity.nProbeForRecall(spark, dir0, 0.9) ==
-          Similarity.autoNProbe(4))
+          Similarity.autoNProbe(4, base.length.toLong))
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(dir0)).deleteRecursively()
@@ -1097,15 +1114,16 @@ class DedupSimSpec extends AnyFunSuite {
     assert(auto.contains((0L, 9000L)), "planted twin pair must be recalled")
 
     // ivfTopK: nClusters = 0 resolves to max(16, ceil(sqrt(n))); nProbe=0
-    // resolves to max(3, ceil(cells/16)) — the constant probe FRACTION
+    // resolves to the autoNProbe candidate budget (exhaustive here —
+    // 301 rows is far under the 4096 budget)
     val queries = vecs.filter(col("vec_id") === 9000L)
-    val cells = math.ceil(math.sqrt(301.0)).toInt
+    val cells = math.max(16, math.ceil(math.sqrt(301.0)).toInt)
     val kAuto = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
       k = 3, seed = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     val kExpl = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
       k = 3, nClusters = cells,
-      nProbe = math.max(3, math.ceil(cells / 16.0).toInt), seed = 7)
+      nProbe = Similarity.autoNProbe(cells, 301L), seed = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(kAuto.toSet == kExpl.toSet,
       s"auto cells != explicit sqrt(n): ${kAuto.toSeq} vs ${kExpl.toSeq}")

@@ -28,15 +28,26 @@ object Relational {
   private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
   // Exact-decimal revenue term for the grouped revenue aggregates
-  // (q03/q04/q18): double summation ORDER differs between Spark and
+  // (q01/q03/q04/q18): double summation ORDER differs between Spark and
   // DuckDB, and at sf1+ group sums land close enough to a .xx5 boundary
   // to flip round(x, 2) — the crosscheck's only manual adjudications.
-  // Summing DECIMAL(20,4) is order-independent and exact, so the rounded
-  // result is engine-invariant; the per-row double→decimal cast is too,
-  // because a scale-4 TIE is impossible for a binary double (it would
-  // need value = (2m+1)/20000, whose denominator is not a power of two),
-  // so the engines' half-up vs half-even modes never disagree. The final
-  // cast back to double keeps the published column type.
+  // Summing DECIMAL is order-independent and exact, so the rounded
+  // result is engine-invariant — PROVIDED the per-row double→decimal
+  // cast itself is. The engines quantize DIFFERENT numbers (Spark
+  // half-up-rounds the double's shortest decimal representation via
+  // BigDecimal.valueOf; DuckDB rounds the binary value scaled by
+  // 10^scale), so the cast is engine-invariant only when the term's
+  // TRUE mathematical value is at least ~1e-9 away from every scale
+  // boundary. That holds exactly when the cast scale covers the term's
+  // true decimal precision: extendedprice and discount are 2-dp by
+  // data contract (verified: max |100x − round(100x)| < 1e-9 across
+  // the testdata), so extendedprice·(1−discount) is a true 4-dp value
+  // and scale 4 is tie-free. A term multiplying THREE 2-dp factors
+  // (q01's charge) is a true 6-dp value — it needs scale 6, because
+  // true .xxxx50 values DO occur and sit exactly on the scale-4
+  // boundary where the two quantizers disagree (observed at sf0.01
+  // once q01 moved to decimal sums). The final cast back to double
+  // keeps the published column type.
   private def revenueDec = revenue.cast("decimal(20,4)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -48,9 +59,24 @@ object Relational {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(revenue), 2).as("sum_disc_price"),
-          round(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          // price sums ride per-row DECIMAL (the q03/q04/q18
+          // discipline): a double sum over millions of cent-valued
+          // rows is ordering-sensitive at the last ulp, Spark's
+          // partial-agg order is nondeterministic, and at sf1 volume
+          // sum_charge landed on a round-to-cent boundary and flipped
+          // between runs. The cast SCALE must cover the term's TRUE
+          // decimal precision (see revenueDec's comment): charge
+          // multiplies THREE 2-dp factors, so its true value has SIX
+          // decimals and a scale-4 cast would sit on genuine .xxxx50
+          // ties where the engines' double→decimal quantizers disagree
+          // — scale 6 is tie-free again. sum_qty stays double:
+          // quantities are integer-valued, exact below 2^53 in any
+          // summation order.
+          round(sum(col("l_extendedprice").cast("decimal(20,4)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum(revenueDec), 2).cast("double").as("sum_disc_price"),
+          round(sum((revenue * (lit(1) + col("l_tax")))
+            .cast("decimal(24,6)")), 2).cast("double").as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
@@ -405,9 +431,9 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,6))),2) AS DOUBLE) AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),4) AS avg_disc,

@@ -37,11 +37,17 @@ private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
   * Scale design: anchors keep ~2/(w+1) of gram positions (~4% at the
   * default minLen=50/k=16), the candidate join is an equi-join on the
   * anchor hash (shuffled hash join, never a cross join), and extension
-  * runs once per CANDIDATE DOC PAIR (all of a pair's seeds in one UDF
-  * call over the two texts) — bounded by true duplication, not corpus
-  * size. `maxAnchorDf` drops anchors shared by more docs than the cap —
-  * the standard viral-shingle/boilerplate guard at 100 TB (off by
-  * default: exactness for the oracle; set ~1000 in production).
+  * is TWO-PHASE (`duplicateSpans`): candidate pairs are dominated by
+  * shared grams that never grow to minLen (measured ~700× the true
+  * span pairs at an sf100-equivalent corpus), so phase 1 settles every
+  * seed inside ±minLen slices cut around each anchor — bounded rows,
+  * never a full document on a per-pair row — and only pairs holding a
+  * run that provably leaves its slice escalate to full-text extension
+  * (one UDF call per pair over both texts, covered-seed skip) — bounded
+  * by true LONG duplication, not collision count. `maxAnchorDf` drops
+  * anchors shared by more docs than the cap — the standard
+  * viral-shingle/boilerplate guard at 100 TB (off by default: exactness
+  * for the oracle; set ~1000 in production).
   *
   * `maxPosPerHash` bounds WITHIN-doc anchor multiplicity (first n
   * positions per hash per doc, applied inside `WinnowAnchors` before the
@@ -70,10 +76,31 @@ object SubstringDedup {
     * derived as w = minLen - k + 1 so the guarantee lands exactly on
     * `minLen`.
     */
+  /** Estimated-corpus-bytes threshold above which `duplicateSpans`
+    * auto-routes to two-phase sliced extension (see the route comment in
+    * the body). The real cost driver is the PAIR-TEXT frame (candidate
+    * pairs × both full documents): while it fits executor memory the
+    * single-phase route is pure in-memory CPU and beats the slice
+    * machinery's extra shuffles; once it spills, two-phase wins and the
+    * gap grows without bound. Pair count is unknowable pre-plan, so the
+    * router is a corpus-bytes proxy with MEASURED brackets
+    * (LongDocRejectProbe + Decade3/SubstrStageDecadeProbe): single wins
+    * ~3-5× at 48 MB (234k–1.2M pairs) and 320 MB (4M pairs × 4 KB docs,
+    * 32 GB pair frame — still in memory on a 128 GB box); two-phase
+    * wins 22%+ at ~800 MB (176M pairs — pair frame ~70× corpus bytes,
+    * spilling). 512 MB sits between the measured brackets and errs
+    * toward two-phase: a misroute above the bracket costs a bounded
+    * constant, the opposite misroute at 100 TB is a spilled shuffle of
+    * pairs × documents. Callers who know their pair density pass
+    * `twoPhase = Some(...)`.
+    */
+  private[graft] val TwoPhaseBytesBudget: Long = 512L << 20
+
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      minLen: Int = 50, k: Int = 16,
                      maxAnchorDf: Int = Int.MaxValue,
-                     maxPosPerHash: Int = DefaultMaxPosPerHash): DataFrame = {
+                     maxPosPerHash: Int = DefaultMaxPosPerHash,
+                     twoPhase: Option[Boolean] = None): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed gram size k ($k)")
     val w = minLen - k + 1
     // docs shorter than minLen cannot hold a qualifying span; the filter
@@ -96,18 +123,113 @@ object SubstringDedup {
     // same reason as the shingle joins: Catalyst sizes the sides from the
     // parquet scan and would broadcast the whole exploded index; both
     // sides share one canonical plan (ReusedExchange computes it once).
-    val cand = index.as("a").hint("shuffle_hash")
+    val seedRows = index.as("a").hint("shuffle_hash")
       .join(index.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        packedSeed(col("a.pos"), col("b.pos")).as("seed"))
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+
+    // ROUTE (twoPhase = None = auto): two-phase iff the estimated corpus
+    // text bytes exceed TwoPhaseBytesBudget — the regime where full
+    // texts stop being cheap to join per pair. Unknown-stats derived
+    // inputs estimate huge and take the scale-safe two-phase route.
+    val useTwoPhase = twoPhase.getOrElse(
+      texts.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(TwoPhaseBytesBudget))
+    // Single-phase route: every candidate pair joins BOTH FULL TEXTS and
+    // extends all its seeds in one UDF call — pure in-memory CPU below
+    // the budget, and the equivalence oracle for specs/probes: the
+    // two-phase route below is bit-identical by construction and
+    // spec-pinned against this path on randomized corpora.
+    if (!useTwoPhase) {
+      val cand = seedRows
+        .select(col("doc_a"), col("doc_b"),
+          packedSeed(col("pa"), col("pb")).as("seed"))
+        .groupBy("doc_a", "doc_b")
+        .agg(collect_list(col("seed")).as("seeds"))
+      return seedsToSpans(cand,
+        texts.select(col("doc").as("doc_a"), col("text").as("ta")),
+        texts.select(col("doc").as("doc_b"), col("text").as("tb")),
+        "doc_a", "doc_b", "start_a", "start_b", k, minLen,
+        broadcastTextsB = false)
+    }
+
+    // TWO-PHASE EXTENSION (default). Candidate pairs are dominated by
+    // FALSE matches — shared 16-grams (boilerplate) that never grow to
+    // minLen: measured at the sf100-equivalent corpus, 176.5M candidate
+    // pairs carry only 254k true spans (~700×). The single-phase route
+    // above converts both full texts to code-point arrays per pair —
+    // the operator's dominant constant, and all of it to reject one
+    // 16-gram; its cost scales with DOCUMENT LENGTH × collision count.
+    // Phase 1 instead extends every seed inside ±minLen SLICES cut
+    // around each anchor (bounded rows: k + 2·minLen code points — a
+    // constant, independent of document length), which settles each
+    // seed exactly unless the run provably leaves its slice; only pairs
+    // holding such a too-long-for-the-slice run — bounded by TRUE long
+    // duplication, not by collision count — escalate to the full-text
+    // extension. Output is bit-identical to the single-phase route
+    // (spec-pinned equivalence on randomized corpora): phase-1 spans are
+    // per-seed deterministic (distinct collapses same-run seeds),
+    // escalated pairs DISCARD their phase-1 rows and recompute whole.
+    val S = minLen
+    // ALL of a doc's slices in ONE call per document: the text joins per
+    // DOC (never per anchor, never per pair) and is code-point-converted
+    // exactly once — strictly less text work than the single-phase route
+    // pays for any doc participating in even one candidate pair. A
+    // per-anchor text join here would just move the blowup (measured:
+    // 2.6M anchor rows × 4 KB texts = 10 GB materialized on a corpus
+    // whose seeds needed 0.3 GB of slices).
+    val sliceUdf = udf((text: String, ps: Seq[Int]) => {
+      val cps = text.codePoints().toArray
+      val cap = k + 2 * S
+      ps.map { p =>
+        val off = math.max(0, p - S)
+        val n = math.min(cps.length - off, cap)
+        (p, off, cps.length, new String(cps, off, n))
+      }
+    })
+    val sliceTbl = index.groupBy("doc")
+      .agg(collect_list(col("pos")).as("ps"))
+      .join(texts, "doc")
+      .select(col("doc"), explode(sliceUdf(col("text"), col("ps"))).as("s"))
+      .select(col("doc"), col("s._1").as("pos"), col("s._2").as("off"),
+        col("s._3").as("dlen"), col("s._4").as("sl"))
+    val vUdf = udf((slA: String, offA: Int, dlenA: Int, pa: Int,
+                    slB: String, offB: Int, dlenB: Int, pb: Int) =>
+      extendInSlice(slA, offA, dlenA, pa, slB, offB, dlenB, pb, k, minLen))
+    // thin seed rows join the slice table per side (keyed by (doc, pos),
+    // slices ~116 code points) — the full texts never ride a per-pair row
+    val verdicts = Par.pinLatest("substring.verdicts", seedRows
+      .join(sliceTbl.select(col("doc").as("doc_a"), col("pos").as("pa"),
+        col("off").as("offA"), col("dlen").as("dlenA"), col("sl").as("slA")),
+        Seq("doc_a", "pa"))
+      .join(sliceTbl.select(col("doc").as("doc_b"), col("pos").as("pb"),
+        col("off").as("offB"), col("dlen").as("dlenB"), col("sl").as("slB")),
+        Seq("doc_b", "pb"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        vUdf(col("slA"), col("offA"), col("dlenA"), col("pa"),
+          col("slB"), col("offB"), col("dlenB"), col("pb")).as("v")))
+    val esc = verdicts.filter(col("v")(0) === SliceEscalate)
+      .select("doc_a", "doc_b").distinct()
+    val phase1 = verdicts.filter(col("v")(0) === SliceSpan)
+      .join(esc, Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"),
+        (col("v")(1) + 1).cast("int").as("start_a"),
+        (col("v")(2) + 1).cast("int").as("start_b"),
+        col("v")(3).cast("int").as("span_len"))
+      .distinct()
+    val escSeeds = verdicts
+      .join(esc, Seq("doc_a", "doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"),
+        packedSeed(col("pa"), col("pb")).as("seed"))
       .groupBy("doc_a", "doc_b")
       .agg(collect_list(col("seed")).as("seeds"))
-    seedsToSpans(cand,
+    val phase2 = seedsToSpans(escSeeds,
       texts.select(col("doc").as("doc_a"), col("text").as("ta")),
       texts.select(col("doc").as("doc_b"), col("text").as("tb")),
       "doc_a", "doc_b", "start_a", "start_b", k, minLen,
       broadcastTextsB = false)
+    phase1.unionByName(phase2)
   }
 
   /** Substring-level benchmark decontamination — q71's n-gram collision
@@ -521,6 +643,69 @@ object SubstringDedup {
                                  k: Int, minLen: Int): Seq[DupSpan] =
     extendSeeds(ta.codePoints().toArray, tb.codePoints().toArray,
       seeds, k, minLen)
+
+  private[graft] val SliceReject = 0
+  private[graft] val SliceSpan = 1
+  private[graft] val SliceEscalate = 2
+
+  /** Phase-1 per-seed extension over ±`minLen` SLICES instead of full
+    * documents (see `duplicateSpans`): verify the seed gram and extend
+    * to the maximal common run, all within the two slices. Returns
+    * `[kind, start_a, start_b, len]` (0-based global code-point starts):
+    *
+    *  - [[SliceSpan]]: BOTH run boundaries are certain — each stop is a
+    *    character mismatch or a document boundary visible in the slice —
+    *    and the run reaches `minLen`. By determinism of maximal
+    *    extension, every seed of the same run returns the identical
+    *    span, so a downstream `distinct` reproduces exactly
+    *    `extendSeeds`' one-span-per-run output.
+    *  - [[SliceReject]]: certain boundaries but the run is shorter than
+    *    `minLen` (the boilerplate case — a shared 16-gram that never
+    *    grows), or the gram bytes differ (hash collision). A run that
+    *    never left the slice cannot reach `minLen` outside it: the slice
+    *    covers `minLen` characters beyond the gram on each side.
+    *  - [[SliceEscalate]]: the run touched a slice edge that is NOT a
+    *    document boundary — the true boundary is outside the slice, so
+    *    the pair must re-run full-text extension (`extendSeeds`).
+    *
+    * `off*` is each slice's global start offset, `dlen*` the document's
+    * code-point length (slice edge == doc edge iff off == 0 on the left,
+    * off + sliceLen == dlen on the right).
+    */
+  private[graft] def extendInSlice(
+      slA: String, offA: Int, dlenA: Int, pa: Int,
+      slB: String, offB: Int, dlenB: Int, pb: Int,
+      k: Int, minLen: Int): Array[Int] = {
+    val ta = slA.codePoints().toArray
+    val tb = slB.codePoints().toArray
+    val ia = pa - offA; val ib = pb - offB
+    // defensive: malformed offsets re-route to the exact full path
+    if (ia < 0 || ia + k > ta.length || ib < 0 || ib + k > tb.length)
+      return Array(SliceEscalate, 0, 0, 0)
+    var i = 0
+    while (i < k) { // gram verify — the hash-collision guard
+      if (ta(ia + i) != tb(ib + i)) return Array(SliceReject, 0, 0, 0)
+      i += 1
+    }
+    var sa = ia; var sb = ib
+    while (sa > 0 && sb > 0 && ta(sa - 1) == tb(sb - 1)) { sa -= 1; sb -= 1 }
+    // a stop is REAL iff it is a mismatch (both cursors still inside) or
+    // a document boundary; a slice edge that is not a doc edge hides the
+    // true boundary
+    val leftReal = (sa > 0 && sb > 0) ||
+      (sa == 0 && offA == 0) || (sb == 0 && offB == 0)
+    var ea = ia + k; var eb = ib + k
+    while (ea < ta.length && eb < tb.length && ta(ea) == tb(eb)) {
+      ea += 1; eb += 1
+    }
+    val rightReal = (ea < ta.length && eb < tb.length) ||
+      (ea == ta.length && offA + ta.length == dlenA) ||
+      (eb == tb.length && offB + tb.length == dlenB)
+    if (!leftReal || !rightReal) return Array(SliceEscalate, 0, 0, 0)
+    val len = ea - sa
+    if (len < minLen) Array(SliceReject, 0, 0, 0)
+    else Array(SliceSpan, offA + sa, offB + sb, len)
+  }
 
   private[graft] def extendSeeds(ta: Array[Int], tb: Array[Int],
                                  seeds: Seq[Long],

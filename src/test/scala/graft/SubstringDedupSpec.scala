@@ -55,9 +55,10 @@ class SubstringDedupSpec extends AnyFunSuite {
   }
 
   private def sparkSpans(docs: Seq[(Long, String)], minLen: Int, k: Int,
-                         maxAnchorDf: Int = Int.MaxValue) =
+                         maxAnchorDf: Int = Int.MaxValue,
+                         twoPhase: Option[Boolean] = None) =
     SubstringDedup.duplicateSpans(docs.toDF("doc_id", "text"),
-        "text", "doc_id", minLen, k, maxAnchorDf)
+        "text", "doc_id", minLen, k, maxAnchorDf, twoPhase = twoPhase)
       .as[(Long, Long, Int, Int, Int)].collect().toSet
 
   test("planted long spans are found with exact offsets and lengths") {
@@ -94,6 +95,13 @@ class SubstringDedupSpec extends AnyFunSuite {
       val got = sparkSpans(docs, minLen, k = 8)
       val want = bruteSpans(docs, minLen)
       assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+      // both explicit routes must be bit-identical on the same corpus
+      // (slice verdicts + escalation == full-text extension everywhere);
+      // got above took the auto route
+      val single = sparkSpans(docs, minLen, k = 8, twoPhase = Some(false))
+      val sliced = sparkSpans(docs, minLen, k = 8, twoPhase = Some(true))
+      assert(got == single && got == sliced,
+        s"seed $seed: route disagreement (auto/single/sliced)")
     }
   }
 
@@ -211,6 +219,78 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, sa, sb, len) =>
       a == 1L && b == 3L && sa == 10001 && sb == 1 && len == 20000 })
     assert(secs < 60, s"extension took $secs s — quadratic regression")
+  }
+
+  test("extendInSlice: verdicts split by slice visibility, spans exact") {
+    // the phase-1 kernel behind the two-phase duplicateSpans — global
+    // positions, ±minLen slices. k=4, minLen=10 keeps the strings
+    // hand-checkable; S (slice slack) = minLen in the pipeline, so the
+    // slice here is the substring [p-10, p+4+10) of each doc.
+    val k = 4; val minLen = 10
+    def slice(doc: String, p: Int): (String, Int) = {
+      val off = math.max(0, p - minLen)
+      (doc.substring(off, math.min(doc.length, p + k + minLen)), off)
+    }
+    def run(docA: String, pa: Int, docB: String, pb: Int): Array[Int] = {
+      val (slA, offA) = slice(docA, pa); val (slB, offB) = slice(docB, pb)
+      SubstringDedup.extendInSlice(slA, offA, docA.length, pa,
+        slB, offB, docB.length, pb, k, minLen)
+    }
+    val shared = "qrstuvwxyzab" // 12 >= minLen: a true span
+    val a1 = "cccccc" + shared + "dddddd"  // span at [6, 18)
+    val b1 = "eee" + shared + "fff"        // span at [3, 15)
+    // seed gram inside the span: both boundaries visible -> exact span
+    assert(run(a1, 8, b1, 5).toSeq ==
+      Seq(SubstringDedup.SliceSpan, 6, 3, 12))
+    // every seed of the run reports the identical span (distinct dedups)
+    assert(run(a1, 6, b1, 3).toSeq ==
+      Seq(SubstringDedup.SliceSpan, 6, 3, 12))
+    // shared gram that never grows to minLen -> reject (the boilerplate
+    // case phase 1 exists to settle without full texts)
+    val a2 = "mmmm" + "wxyz" + "nnnnnnnnnnnnnnnn"
+    val b2 = "pppp" + "wxyz" + "qqqqqqqqqqqqqqqq"
+    assert(run(a2, 4, b2, 4).head == SubstringDedup.SliceReject)
+    // hash-collision shape: grams differ -> reject
+    assert(SubstringDedup.extendInSlice("abcd", 0, 4, 0, "abce", 0, 4, 0,
+      k, minLen).head == SubstringDedup.SliceReject)
+    // run longer than the slice -> escalate (true boundary not visible)
+    val longShared = "z" * 40
+    val a3 = "gg" + longShared + "hh"
+    val b3 = "ii" + longShared + "jj"
+    assert(run(a3, 20, b3, 20).head == SubstringDedup.SliceEscalate)
+    // doc boundary IS a real boundary: span to the very start of both
+    // docs resolves exactly even though it touches the slice edge
+    val a4 = shared + "kkkk"
+    val b4 = shared + "llll"
+    assert(run(a4, 0, b4, 0).toSeq ==
+      Seq(SubstringDedup.SliceSpan, 0, 0, 12))
+    // asymmetric: A's slice edge is A's doc start -> the run CANNOT
+    // extend left regardless of B -> real boundary, exact
+    val a5 = shared + "mm"
+    val b5 = "nn" + shared + "oo"
+    assert(run(a5, 1, b5, 3).toSeq ==
+      Seq(SubstringDedup.SliceSpan, 0, 2, 12))
+  }
+
+  test("two-phase duplicateSpans: escalated long spans stay offset-exact") {
+    // spans longer than the slice (k + 2*minLen = 116 at the default
+    // k=16/minLen=50) MUST take the full-text escalation path; their
+    // offsets and the coexistence with phase-1-sized spans stay exact
+    val rng = new Random(91)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(20)).toChar).mkString
+    val long = noise(400)   // escalates (400 > 116)
+    val short = noise(60)   // settles in phase 1 (60 < 116)
+    val docs = Seq(
+      1L -> (noise(80) + long + noise(80)),
+      2L -> (noise(30) + long + noise(200) + short),
+      3L -> (short + noise(120)))
+    // force the slice route: the tiny corpus would auto-route single
+    val got = sparkSpans(docs, minLen = 50, k = 16, twoPhase = Some(true))
+    assert(got == bruteSpans(docs, 50), s"two-phase != brute: $got")
+    assert(got.exists { case (a, b, _, _, len) =>
+      a == 1L && b == 2L && len == 400 }, s"long escalated span: $got")
+    assert(got.exists { case (a, b, _, _, len) =>
+      a == 2L && b == 3L && len == 60 }, s"short phase-1 span: $got")
   }
 
   test("span index: probe == crossSpans; append extends the corpus side") {

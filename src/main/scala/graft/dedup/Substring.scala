@@ -76,7 +76,7 @@ object SubstringDedup {
     * derived as w = minLen - k + 1 so the guarantee lands exactly on
     * `minLen`.
     */
-  /** Estimated-corpus-bytes threshold above which `duplicateSpans`
+  /** Corpus-bytes threshold above which `duplicateSpans`
     * auto-routes to two-phase sliced extension (see the route comment in
     * the body). The real cost driver is the PAIR-TEXT frame (candidate
     * pairs × both full documents): while it fits executor memory the
@@ -95,6 +95,37 @@ object SubstringDedup {
     * `twoPhase = Some(...)`.
     */
   private[graft] val TwoPhaseBytesBudget: Long = 512L << 20
+
+  /** Auto-route decision for [[duplicateSpans]]: two-phase iff the
+    * corpus text bytes exceed `budget` ([[TwoPhaseBytesBudget]] in
+    * production; injectable so specs pin both sides of the threshold
+    * without half-GB fixtures).
+    *
+    * Bytes are MEASURED for derived inputs, never taken from Catalyst
+    * plan stats: the optimizer's multiplicative estimate is off by ~1e5
+    * on derived frames (a ~250 KB groupBy+join survivor frame — q88's
+    * input — estimates 23.6 GB), which force-routed EVERY derived
+    * corpus two-phase, including the 48–320 MB bracket where
+    * single-phase measures 3–5× faster (LongDocRejectProbe). A derived
+    * frame arrives here already pinned (`Par.pinIfDerived`), so one
+    * narrow sum(octet_length) agg both materializes the cache all three
+    * downstream consumers need anyway and returns exact bytes. A bare
+    * scan+filter+project stays on plan stats: those derive from parquet
+    * file sizes (accurate within compression — q83's base table
+    * estimates 255 KB for a 255 KB corpus), and a measured agg there
+    * would pay an extra full text-column scan of a possibly-100 TB
+    * table for a decision the scan stats already make correctly.
+    */
+  private[graft] def routeTwoPhase(texts: DataFrame,
+      budget: Long = TwoPhaseBytesBudget): Boolean = {
+    val bytes: BigInt =
+      if (texts.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        Option(texts.agg(sum(octet_length(col("text")))).first().get(0))
+          .map(v => BigInt(v.asInstanceOf[Number].longValue))
+          .getOrElse(BigInt(0))
+      else texts.queryExecution.optimizedPlan.stats.sizeInBytes
+    bytes > BigInt(budget)
+  }
 
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      minLen: Int = 50, k: Int = 16,
@@ -129,13 +160,11 @@ object SubstringDedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
 
-    // ROUTE (twoPhase = None = auto): two-phase iff the estimated corpus
-    // text bytes exceed TwoPhaseBytesBudget — the regime where full
-    // texts stop being cheap to join per pair. Unknown-stats derived
-    // inputs estimate huge and take the scale-safe two-phase route.
-    val useTwoPhase = twoPhase.getOrElse(
-      texts.queryExecution.optimizedPlan.stats.sizeInBytes >
-        BigInt(TwoPhaseBytesBudget))
+    // ROUTE (twoPhase = None = auto): two-phase iff the corpus text
+    // bytes exceed TwoPhaseBytesBudget — the regime where full texts
+    // stop being cheap to join per pair. Bytes are MEASURED for derived
+    // inputs (see routeTwoPhase), never Catalyst's multiplicative guess.
+    val useTwoPhase = twoPhase.getOrElse(routeTwoPhase(texts))
     // Single-phase route: every candidate pair joins BOTH FULL TEXTS and
     // extends all its seeds in one UDF call — pure in-memory CPU below
     // the budget, and the equivalence oracle for specs/probes: the

@@ -242,6 +242,18 @@ object TextQueries {
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     }),
 
+    // q83's twin with the two-phase sliced-extension kernel FORCED:
+    // gate-scale corpora auto-route single-phase, so this is the row
+    // that keeps the scale route's bit-exactness under the driver's
+    // hash gate every round (oracle shared with q83 — the routes are
+    // bit-identical by construction, spec-pinned on randomized corpora).
+    "q98_dup_spans_twophase" -> ((s, d) => {
+      graft.dedup.SubstringDedup.duplicateSpans(
+          Tables.documents(s, d), "text", "doc_id", minLen = 50, k = 16,
+          twoPhase = Some(true))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
     // Per-doc duplicated-char coverage: union of span intervals on either
     // side of any pair, merged by a window-island pass; every doc
     // reported (clean docs at 0).
@@ -597,7 +609,7 @@ object TextQueries {
       s"SELECT doc_id, '$lang' AS lang, len(list_filter(t, x -> x IN ($ws))) AS hits FROM toks"
     }.mkString("\n UNION ALL ")
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q31_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
@@ -1409,4 +1421,14 @@ object TextQueries {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
   )
+
+  /** q98 forces the two-phase sliced-extension kernel behind the same
+    * exact brute-force truth as q83 (VERDICT r11 item 2: gate-scale
+    * corpora auto-route single-phase, so without this twin the slow
+    * path's bit-exactness would rest on the randomized-equivalence spec
+    * alone). Identical oracle by construction: the routes are
+    * bit-identical.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("q98_dup_spans_twophase" -> oraclesBase("q83_dup_spans"))
 }

@@ -56,6 +56,26 @@ object LongDocRejectProbe {
       s"perGroup=$perGroup (~${groups.toLong * perGroup * (perGroup - 1) / 2} " +
       "candidate pairs)")
 
+    // Auto-route on a DERIVED input — the r11 misroute shape: a
+    // groupBy+join survivor frame whose Catalyst size estimate is
+    // unrelated to its true bytes. The measured router must place this
+    // corpus on the same side of TwoPhaseBytesBudget as its actual
+    // text bytes (single-phase for the 48–320 MB brackets).
+    {
+      val derived = df.groupBy("doc_id").agg(first(col("text")).as("text"))
+        .join(df.select(col("doc_id")), "doc_id")
+      val pinned = graft.ops.Par.pinIfDerived("probe.route",
+        derived.select(col("doc_id").cast("long").as("doc"), col("text")))
+      val stat = pinned.queryExecution.optimizedPlan.stats.sizeInBytes
+      val measured = pinned.agg(sum(octet_length(col("text"))))
+        .first().getLong(0)
+      val twoP = graft.dedup.SubstringDedup.routeTwoPhase(pinned)
+      println(f"[longdoc] derived auto-route: twoPhase=$twoP " +
+        f"(measured ${measured / 1e6}%.1f MB, plan-stat ${stat.toDouble / 1e6}%.1f MB, " +
+        f"budget ${graft.dedup.SubstringDedup.TwoPhaseBytesBudget / 1e6}%.0f MB)")
+      graft.ops.Par.unpin("probe.route", pinned)
+    }
+
     def time(twoPhase: Boolean): (Double, Long) = {
       var rows = 0L
       val t = (1 to iters).map { _ =>

@@ -50,6 +50,23 @@ object Relational {
   // keeps the published column type.
   private def revenueDec = revenue.cast("decimal(20,4)")
 
+  // Engine-invariant 4-dp average over a true 2-dp column (ADVICE r11):
+  // round(avg(x), 4) on a double sum inherits the same partial-agg
+  // ordering sensitivity that flipped sum_charge — lower probability
+  // (averages don't land systematically on rounding boundaries the way
+  // cent-multiple sums do), but the exact route costs nothing. Per-row
+  // cents round(x*100) is tie-free and identical in both engines (x is
+  // true 2-dp by data contract, so x*100 sits within 1e-9 of an
+  // integer); the integer sum S is exact in any order; and
+  // floor((200·S + n) / (2·n)) is the mathematically exact half-up
+  // round(S/(100·n), 4) scaled by 10⁴, computed wholly in integer
+  // arithmetic (DECIMAL(38,0) here, HUGEINT via `//` in the DuckDB
+  // oracle). The only float op left is the final /10⁴ on an identical
+  // integer — bit-identical across engines.
+  private def avgExact2dp(c: String): org.apache.spark.sql.Column = expr(
+    s"CAST((sum(CAST(round($c * 100) AS DECIMAL(38,0))) * 200 + count(*))" +
+    s" DIV (count(*) * 2) AS DOUBLE) / 10000")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: full-scan aggregate with map-side
     // partial aggregation; groups are tiny so the shuffle is negligible.
@@ -77,9 +94,9 @@ object Relational {
           round(sum(revenueDec), 2).cast("double").as("sum_disc_price"),
           round(sum((revenue * (lit(1) + col("l_tax")))
             .cast("decimal(24,6)")), 2).cast("double").as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          avgExact2dp("l_quantity").as("avg_qty"),
+          avgExact2dp("l_extendedprice").as("avg_price"),
+          avgExact2dp("l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -434,9 +451,9 @@ object Relational {
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))),2) AS DOUBLE) AS sum_base_price,
         | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))),2) AS DOUBLE) AS sum_disc_price,
         | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,6))),2) AS DOUBLE) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | CAST((sum(CAST(round(l_quantity*100) AS BIGINT))*200 + count(*)) // (count(*)*2) AS DOUBLE)/10000 AS avg_qty,
+        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT))*200 + count(*)) // (count(*)*2) AS DOUBLE)/10000 AS avg_price,
+        | CAST((sum(CAST(round(l_discount*100) AS BIGINT))*200 + count(*)) // (count(*)*2) AS DOUBLE)/10000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

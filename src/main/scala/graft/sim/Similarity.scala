@@ -682,6 +682,11 @@ object Similarity {
       })._2
   }
 
+  // dirs already warned about a missing build sidecar (once per JVM per
+  // index, not once per probe)
+  private val preMetaWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Index row count for auto-probe sizing: the build sidecar's `rows`
     * when present, else cells² — `writeIvfIndex`'s sqrt-n cell sizing
     * inverted, so a pre-meta index still gets a budget-consistent
@@ -689,10 +694,30 @@ object Similarity {
     * upward; under-estimating rows only OVER-probes, which errs toward
     * recall, and the append path's rebuild recommendation is the
     * freshness signal.)
+    *
+    * The inversion is only right when the index WAS sqrt-n auto-sized:
+    * an explicitly-over-celled pre-meta index (say 4096 cells over 100k
+    * rows) over-estimates rows ~170×, and autoNProbe then probes the
+    * 3-cell floor instead of a near-exhaustive budget-sized probe — a
+    * SILENT recall cut, the opposite failure direction from the comment
+    * above. No local signal distinguishes the two without scanning cell
+    * files, so fall back LOUDLY (once per index per JVM, matching
+    * nProbeForRecall's no-curve warning): rebuilding with the current
+    * writeIvfIndex stamps `rows` and retires the guess entirely.
     */
   private def indexRows(spark: org.apache.spark.sql.SparkSession,
                         dir: String, cells: Int): Long =
-    loadBuildMeta(spark, dir)._1.getOrElse(cells.toLong * cells)
+    loadBuildMeta(spark, dir)._1.getOrElse {
+      if (preMetaWarned.add(dir))
+        System.err.println(s"[graft.ivf] $dir carries no _build_meta.json " +
+          s"(pre-meta build) — auto-probe sizing ASSUMES sqrt-n cells " +
+          s"(rows ≈ cells² = ${cells.toLong * cells}); if the index was " +
+          "built with explicit nClusters well above sqrt(rows) this " +
+          "over-estimate silently under-probes — rebuild with " +
+          "writeIvfIndex to stamp the true row count, or pass nProbe " +
+          "explicitly")
+      cells.toLong * cells
+    }
 
   /** The index's measured recall(nProbe) curve — cumulative fraction of
     * build-time sampled queries whose true top-1 neighbor lies within

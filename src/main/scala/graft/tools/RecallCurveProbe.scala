@@ -38,6 +38,25 @@ object RecallCurveProbe {
         println(f"  target=$t%.2f -> nProbe=${
           Similarity.nProbeForRecall(spark, dir, t)}")
       }
+      // in-memory twin: ivfTopK(recallTarget) measures its curve at fit
+      // time over the same corpus (256 samples — comparable to the
+      // default disk build); identical fit inputs + curve math should
+      // land the same operating points (parity is spec-pinned exactly
+      // at sample-cap-covered corpus sizes)
+      import org.apache.spark.sql.functions.col
+      val q1 = emb.limit(4).withColumn("vec_id", col("vec_id") + 10000000L)
+      Similarity.ivfTopK(emb, q1, "embedding", "vec_id", k = 1,
+        recallTarget = 0.9).count()
+      val memRanks = Similarity.lastMemoryRecallRanks.get()
+      val memCurve = Array.tabulate(cells)(p =>
+        memRanks.count(_ <= p + 1).toDouble / memRanks.length)
+      println("in-memory fit-time curve (ivfTopK recallTarget, 256 samples):")
+      marks.foreach(p => println(f"  p=$p%4d  recall=${memCurve(p - 1)}%.3f"))
+      println("target -> in-memory nProbe:")
+      Seq(0.5, 0.8, 0.9, 0.95, 0.99, 1.0).foreach { t =>
+        println(f"  target=$t%.2f -> nProbe=${
+          Similarity.nProbeFromRanks(memRanks, cells, t)}")
+      }
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

@@ -987,6 +987,50 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK recallTarget: fit-time curve matches the on-disk sidecar " +
+       "curve and resolves the same operating point") {
+    val rng = new Random(47)
+    def cluster(c: Int, ids: Range) = ids.map { i =>
+      (i.toLong, Seq.tabulate(16)(d => (if (d == c * 4) 6.0 else 0.0) +
+        rng.nextGaussian() * 0.1))
+    }
+    // corpus <= both paths' sample caps (64 disk / 256 memory), so the
+    // curve samples are THE WHOLE CORPUS on both sides — identical fit
+    // inputs + identical curve math means identical curves, not just
+    // close ones
+    val base = (0 until 4).flatMap(c => cluster(c, (c * 100) until (c * 100 + 15)))
+    val df = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_parity").toString
+    try {
+      Similarity.writeIvfIndex(df, "embedding", "vec_id", dir,
+        nClusters = 4, seed = 11, recallCurveSamples = 64)
+      val diskCurve = Similarity.recallCurve(spark, dir)
+        .getOrElse(fail("no disk curve"))
+      val queries = df.filter(col("vec_id") % 25 === 3)
+        .withColumn("vec_id", col("vec_id") + 5000)
+      val byTarget = Similarity.ivfTopK(df, queries, "embedding", "vec_id",
+        k = 3, nClusters = 4, seed = 11, recallTarget = 0.9).collect()
+      assert(byTarget.nonEmpty)
+      val memRanks = Similarity.lastMemoryRecallRanks.get()
+      assert(memRanks.nonEmpty, "fit-time ranks recorded")
+      val memCurve = Array.tabulate(4)(p =>
+        memRanks.count(_ <= p + 1).toDouble / memRanks.length)
+      assert(memCurve.corresponds(diskCurve)((a, b) => math.abs(a - b) < 1e-9),
+        s"mem=${memCurve.toSeq} disk=${diskCurve.toSeq}")
+      // both entry points speak recall and agree on the operating point
+      assert(Similarity.nProbeFromRanks(memRanks, 4, 0.9) ==
+        Similarity.nProbeForRecall(spark, dir, 0.9))
+      // target + explicit nProbe together is a caller error, as on-disk
+      intercept[IllegalArgumentException] {
+        Similarity.ivfTopK(df, queries, "embedding", "vec_id", k = 3,
+          nClusters = 4, nProbe = 2, recallTarget = 0.9)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("quantizer training sample: full under cap, capped + stable above") {
     // the coarse quantizer trains on O(k) points (faiss-style), never
     // the full corpus: below max(128k, 2^16) rows the train set IS the

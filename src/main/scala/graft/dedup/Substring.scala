@@ -9,10 +9,10 @@ import graft.ops.Par
 
 /** A maximal exact duplicated span between two documents: 0-based start
   * offsets in each text (code points) and the span's length in code
-  * points. Top-level so the UDF return encoder resolves without an outer
-  * pointer.
+  * points. Top-level kernel result type, shared by the codegen'd
+  * `ExtendSeeds` expression.
   */
-private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
+private[graft] case class DupSpan(sa: Int, sb: Int, len: Int)
 
 /** Exact substring-level deduplication — the "dedupe repeated spans, not
   * whole documents" curation step of LLM training pipelines (Lee et al.,
@@ -43,7 +43,7 @@ private[dedup] case class DupSpan(sa: Int, sb: Int, len: Int)
   * seed inside ±minLen slices cut around each anchor — bounded rows,
   * never a full document on a per-pair row — and only pairs holding a
   * run that provably leaves its slice escalate to full-text extension
-  * (one UDF call per pair over both texts, covered-seed skip) — bounded
+  * (one fused `ExtendSeeds` call per pair over both texts, covered-seed skip) — bounded
   * by true LONG duplication, not collision count. `maxAnchorDf` drops
   * anchors shared by more docs than the cap — the standard
   * viral-shingle/boilerplate guard at 100 TB (off by default: exactness
@@ -166,7 +166,7 @@ object SubstringDedup {
     // inputs (see routeTwoPhase), never Catalyst's multiplicative guess.
     val useTwoPhase = twoPhase.getOrElse(routeTwoPhase(texts))
     // Single-phase route: every candidate pair joins BOTH FULL TEXTS and
-    // extends all its seeds in one UDF call — pure in-memory CPU below
+    // extends all its seeds in one fused ExtendSeeds call — pure in-memory CPU below
     // the budget, and the equivalence oracle for specs/probes: the
     // two-phase route below is bit-identical by construction and
     // spec-pinned against this path on randomized corpora.
@@ -207,25 +207,17 @@ object SubstringDedup {
     // pays for any doc participating in even one candidate pair. A
     // per-anchor text join here would just move the blowup (measured:
     // 2.6M anchor rows × 4 KB texts = 10 GB materialized on a corpus
-    // whose seeds needed 0.3 GB of slices).
-    val sliceUdf = udf((text: String, ps: Seq[Int]) => {
-      val cps = text.codePoints().toArray
-      val cap = k + 2 * S
-      ps.map { p =>
-        val off = math.max(0, p - S)
-        val n = math.min(cps.length - off, cap)
-        (p, off, cps.length, new String(cps, off, n))
-      }
-    })
+    // whose seeds needed 0.3 GB of slices). AnchorSlices / SliceExtend
+    // are codegen'd expressions (r12: the former UDFs' exact kernels,
+    // now inside whole-stage codegen — no boxed Row marshalling on the
+    // per-seed hot path).
     val sliceTbl = index.groupBy("doc")
       .agg(collect_list(col("pos")).as("ps"))
       .join(texts, "doc")
-      .select(col("doc"), explode(sliceUdf(col("text"), col("ps"))).as("s"))
-      .select(col("doc"), col("s._1").as("pos"), col("s._2").as("off"),
-        col("s._3").as("dlen"), col("s._4").as("sl"))
-    val vUdf = udf((slA: String, offA: Int, dlenA: Int, pa: Int,
-                    slB: String, offB: Int, dlenB: Int, pb: Int) =>
-      extendInSlice(slA, offA, dlenA, pa, slB, offB, dlenB, pb, k, minLen))
+      .select(col("doc"), explode(graft.functions.AnchorSlices(
+        col("text"), col("ps"), k, S)).as("s"))
+      .select(col("doc"), col("s.pos").as("pos"), col("s.off").as("off"),
+        col("s.dlen").as("dlen"), col("s.sl").as("sl"))
     // thin seed rows join the slice table per side (keyed by (doc, pos),
     // slices ~116 code points) — the full texts never ride a per-pair row
     val verdicts = Par.pinLatest("substring.verdicts", seedRows
@@ -236,8 +228,9 @@ object SubstringDedup {
         col("off").as("offB"), col("dlen").as("dlenB"), col("sl").as("slB")),
         Seq("doc_b", "pb"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
-        vUdf(col("slA"), col("offA"), col("dlenA"), col("pa"),
-          col("slB"), col("offB"), col("dlenB"), col("pb")).as("v")))
+        graft.functions.SliceExtend(col("slA"), col("offA"), col("dlenA"),
+          col("pa"), col("slB"), col("offB"), col("dlenB"), col("pb"),
+          k, minLen).as("v")))
     val esc = verdicts.filter(col("v")(0) === SliceEscalate)
       .select("doc_a", "doc_b").distinct()
     val phase1 = verdicts.filter(col("v")(0) === SliceSpan)
@@ -624,13 +617,13 @@ object SubstringDedup {
     }
 
   /** Pack an anchor-pair seed into one long so the per-pair collect_list
-    * stays a flat array<bigint> (UDFs cannot take struct rows).
+    * stays a flat array<bigint> (one primitive word per seed, no struct rows).
     */
   private def packedSeed(posA: Column, posB: Column): Column =
     shiftleft(posA.cast("long"), 32).bitwiseOR(posB.cast("long"))
 
   /** Shared tail of both span pipelines: texts join back once per
-    * candidate PAIR (not per seed) — extension is one UDF call per pair
+    * candidate PAIR (not per seed) — extension is one codegen'd ExtendSeeds call per pair
     * over both full texts; docs are bounded (KB-MB), pair count is
     * bounded by true duplication + the df cap. `broadcastTextsB` marks
     * the benchmark side of the cross variant.
@@ -644,11 +637,10 @@ object SubstringDedup {
     val withTexts = cand
       .join(textsA, idA)
       .join(if (broadcastTextsB) broadcast(textsB) else textsB, idB)
-    val extend = udf((ta: String, tb: String, seeds: Seq[Long]) =>
-      extendSeeds(ta, tb, seeds, k, minLen))
     withTexts
       .select(col(idA), col(idB),
-        explode(extend(col("ta"), col("tb"), col("seeds"))).as("s"))
+        explode(graft.functions.ExtendSeeds(col("ta"), col("tb"),
+          col("seeds"), k, minLen)).as("s"))
       .select(col(idA), col(idB),
         (col("s.sa") + 1).cast("int").as(startA),
         (col("s.sb") + 1).cast("int").as(startB),

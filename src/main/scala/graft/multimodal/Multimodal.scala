@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * (luminance-grid embedding) operate on actual pixels. AUDIO covers
   * PCM WAV plus the G.711 mu-law/A-law companded formats (pure-formula
   * expansion); VIDEO covers MJPEG (concatenated JPEGs — marker-scan
-  * frame extraction + ImageIO decode). Bytes outside those formats fall
-  * back to the deterministic byte-level kernels (`fakeDecode`,
-  * subsampling) so every operator stays total — other codecs are not in
-  * the JDK.
+  * frame extraction + ImageIO decode). Compressed codecs the JDK lacks
+  * (MP3/AAC/H.264, …) plug in through the [[MediaDecoder]] ServiceLoader
+  * SPI, consulted after the built-ins; bytes nothing decodes fall back
+  * to the deterministic byte-level kernels (`fakeDecode`, subsampling)
+  * so every operator stays total.
   *
   * Scale: media rows are large; these operators never shuffle the binary
   * payload — decode/extract are narrow map transformations, and the
@@ -55,15 +56,51 @@ object Multimodal {
     out
   }
 
-  /** REAL image decode (JDK ImageIO: PNG/JPEG/BMP/GIF). Returns null for
-    * null/empty/undecodable bytes — callers branch to byte-level
-    * fallbacks. Pure raster ops, headless-safe.
+  // ServiceLoader-discovered external codecs (see [[MediaDecoder]]) —
+  // resolved lazily ONCE per JVM (driver and each executor classload),
+  // never captured in closures: each executor re-resolves from its own
+  // classpath, which is what makes the SPI cluster-correct.
+  private lazy val externalDecoders: Array[MediaDecoder] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[MediaDecoder])
+      .iterator().asScala.toArray
+  }
+
+  private def externalImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    var i = 0
+    while (i < externalDecoders.length) {
+      val d = try externalDecoders(i).decodeImage(bytes)
+      catch { case scala.util.control.NonFatal(_) => null }
+      if (d != null) return d
+      i += 1
+    }
+    null
+  }
+
+  private def externalAudio(bytes: Array[Byte]): WavData = {
+    var i = 0
+    while (i < externalDecoders.length) {
+      val d = try externalDecoders(i).decodeAudio(bytes)
+      catch { case scala.util.control.NonFatal(_) => null }
+      if (d != null) return d
+      i += 1
+    }
+    null
+  }
+
+  /** REAL image decode (JDK ImageIO: PNG/JPEG/BMP/GIF), then any
+    * [[MediaDecoder]] SPI plug-ins for formats the JDK lacks. Returns
+    * null for null/empty/undecodable bytes — callers branch to
+    * byte-level fallbacks. Pure raster ops, headless-safe.
     */
   private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
     if (bytes == null || bytes.isEmpty) null
-    else try {
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    } catch { case scala.util.control.NonFatal(_) => null }
+    else {
+      val builtIn = try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } catch { case scala.util.control.NonFatal(_) => null }
+      if (builtIn != null) builtIn else externalImage(bytes)
+    }
 
   /** Luminance of an ARGB pixel in [0, 1] (Rec. 601 weights). */
   @inline private def luminance(argb: Int): Float =
@@ -319,11 +356,23 @@ object Multimodal {
     */
   final case class WavData(sampleRate: Int, channels: Int, samples: Array[Float])
 
-  /** Minimal RIFF/WAVE PCM parser — pure JVM, no codecs (WAV is
-    * uncompressed; 8/16-bit integer PCM). Returns null for anything that
-    * is not a well-formed PCM WAV, so callers branch to byte fallbacks.
+  /** Audio decode: the built-in RIFF parser first (exact, oracle-pinned),
+    * then any [[MediaDecoder]] SPI plug-ins for compressed formats the
+    * JDK lacks. Null when nothing decodes — callers branch to byte
+    * fallbacks.
     */
-  private[graft] def decodeWav(bytes: Array[Byte]): WavData = try {
+  private[graft] def decodeWav(bytes: Array[Byte]): WavData =
+    if (bytes == null || bytes.isEmpty) null
+    else {
+      val builtIn = decodeWavRiff(bytes)
+      if (builtIn != null) builtIn else externalAudio(bytes)
+    }
+
+  /** Minimal RIFF/WAVE PCM parser — pure JVM, no codecs (WAV is
+    * uncompressed; 8/16-bit integer PCM, G.711 mu/A-law). Returns null
+    * for anything that is not a well-formed PCM WAV.
+    */
+  private[graft] def decodeWavRiff(bytes: Array[Byte]): WavData = try {
     if (bytes == null || bytes.length < 44) return null
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")

@@ -514,4 +514,103 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge(0L).get.asInstanceOf[scala.collection.Seq[_]].isEmpty)
     assert(edge(1L).isEmpty)
   }
+
+  test("substring extension expressions match the UDF route bit-exactly " +
+       "under forced codegen (AnchorSlices / SliceExtend / ExtendSeeds)") {
+    import spark.implicits._
+    import graft.dedup.SubstringDedup
+    val rng = new scala.util.Random(29)
+    val k = 8; val minLen = 20
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    // adversarial small-alphabet docs + planted long duplicate + some
+    // supplementary-plane chars (code-point vs char offsets diverge)
+    val span = rand(40)
+    val docs = (0L until 12L).map { i =>
+      val base = rand(120 + rng.nextInt(80))
+      val t =
+        if (i % 3 == 0) base.take(30) + span + base.drop(30)
+        else if (i % 5 == 0) "x😀" + base // supplementary plane
+        else base
+      (i, t)
+    }
+    // 1) AnchorSlices vs a UDF of the same slicing logic (the old vehicle)
+    val sliceUdf = udf((text: String, ps: Seq[Int]) => {
+      val cps = text.codePoints().toArray
+      val cap = k + 2 * minLen
+      ps.map { p =>
+        val off = math.max(0, p - minLen)
+        val n = math.min(cps.length - off, cap)
+        (p, off, cps.length, new String(cps, off, n))
+      }
+    })
+    // anchor positions from the real winnowing pass (as production does)
+    val anchored = docs.toDF("id", "t").select(col("id"), col("t"),
+      graft.functions.WinnowAnchors(col("t"), k, minLen - k + 1).as("a"))
+      .select(col("id"), col("t"), expr("transform(a, x -> x.pos)").as("ps"))
+      .cache()
+    val exprSlices = anchored.select(col("id"),
+      explode(graft.functions.AnchorSlices(col("t"), col("ps"), k, minLen)).as("s"))
+      .select(col("id"), col("s.pos"), col("s.off"), col("s.dlen"), col("s.sl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    val udfSlices = anchored.select(col("id"),
+      explode(sliceUdf(col("t"), col("ps"))).as("s"))
+      .select(col("id"), col("s._1"), col("s._2"), col("s._3"), col("s._4"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    assert(exprSlices == udfSlices, "AnchorSlices != slice UDF")
+    assert(exprSlices.nonEmpty)
+    // 2) SliceExtend vs a UDF over the SAME kernel (vehicle-only swap):
+    // pair every doc's slices with every other doc's (small corpus)
+    val sl = anchored.select(col("id"),
+      explode(graft.functions.AnchorSlices(col("t"), col("ps"), k, minLen)).as("s"))
+      .select(col("id"), col("s.pos").as("p"), col("s.off").as("off"),
+        col("s.dlen").as("dlen"), col("s.sl").as("sl"))
+    val pairs = sl.as("a").crossJoin(sl.as("b"))
+      .filter(col("a.id") < col("b.id"))
+    val vUdf = udf((slA: String, offA: Int, dlenA: Int, pa: Int,
+                    slB: String, offB: Int, dlenB: Int, pb: Int) =>
+      SubstringDedup.extendInSlice(slA, offA, dlenA, pa,
+        slB, offB, dlenB, pb, k, minLen))
+    val exprV = pairs.select(
+      graft.functions.SliceExtend(col("a.sl"), col("a.off"), col("a.dlen"),
+        col("a.p"), col("b.sl"), col("b.off"), col("b.dlen"), col("b.p"),
+        k, minLen).as("v")).collect().map(_.getSeq[Int](0)).toSeq
+    val udfV = pairs.select(
+      vUdf(col("a.sl"), col("a.off"), col("a.dlen"), col("a.p"),
+        col("b.sl"), col("b.off"), col("b.dlen"), col("b.p")).as("v"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(exprV == udfV, "SliceExtend != extendInSlice UDF")
+    assert(exprV.exists(_.head != 0), "at least one non-reject verdict")
+    // 3) ExtendSeeds vs a UDF over the SAME kernel
+    val seedUdf = udf((ta: String, tb: String, seeds: Seq[Long]) =>
+      SubstringDedup.extendSeeds(ta, tb, seeds, k, minLen)
+        .map(s => (s.sa, s.sb, s.len)))
+    val textPairs = docs.toDF("ia", "ta").crossJoin(docs.toDF("ib", "tb"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("seeds", expr(
+        "transform(sequence(0, 4), i -> cast(i * 7 as bigint) * 4294967296 + i * 11)"))
+    val exprSeeds = textPairs.select(col("ia"), col("ib"),
+      graft.functions.ExtendSeeds(col("ta"), col("tb"), col("seeds"),
+        k, minLen).as("sp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(x =>
+          (x.getInt(0), x.getInt(1), x.getInt(2))))).toSet
+    val udfSeeds = textPairs.select(col("ia"), col("ib"),
+      seedUdf(col("ta"), col("tb"), col("seeds")).as("sp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(x =>
+          (x.getInt(0), x.getInt(1), x.getInt(2))))).toSet
+    assert(exprSeeds == udfSeeds, "ExtendSeeds != extendSeeds UDF")
+    // 4) the real operator end-to-end under CODEGEN_ONLY: both routes,
+    // bit-identical (the fused kernels ride the actual pipeline)
+    val corpus = docs.toDF("doc_id", "text")
+    def spans(tp: Boolean) = SubstringDedup.duplicateSpans(corpus,
+      "text", "doc_id", minLen = minLen, k = k, twoPhase = Some(tp))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val single = spans(false); val two = spans(true)
+    assert(single == two, "routes diverge under CODEGEN_ONLY")
+    assert(single.nonEmpty, "planted spans must surface")
+  }
 }

@@ -315,6 +315,50 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(feats.values.exists(_.exists(_ != 0.0f)), "features are non-trivial")
   }
 
+  test("MediaDecoder SPI: ServiceLoader plug-in decodes formats the " +
+       "built-ins reject; built-ins and fallbacks unaffected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // TestMediaDecoder (registered via the real META-INF/services entry
+    // on the test classpath) handles only FAKEIMG/FAKEAUD payloads
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("media", BinaryType)))
+    val rows = Seq(
+      Row(1L, "FAKEIMG-payload".getBytes("US-ASCII")),
+      Row(2L, "FAKEAUD-payload".getBytes("US-ASCII")),
+      Row(3L, "neither-format!".getBytes("US-ASCII")),
+      Row(4L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // image path: the 2x2 checkerboard decodes through the SPI, so
+    // imageMeta sees real pixel dims; the garbage row stays null
+    val meta = Multimodal.imageMeta(df, "media")
+      .select("media_id", "decoded_width", "decoded_height")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(meta(1L) == (Some(2), Some(2)), s"SPI image decoded: $meta")
+    assert(meta(3L) == (None, None) && meta(4L) == (None, None),
+      "undecodable bytes keep the null/fallback contract")
+    // audio path: audioMeta reports the SPI decoder's rate/samples
+    val am = Multimodal.audioMeta(df, "media")
+      .select("media_id", "sample_rate", "n_samples")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(am(2L) == (Some(8000), Some(4)), s"SPI audio decoded: $am")
+    assert(am(3L) == (None, None), "garbage bytes undecoded")
+    // a REAL PNG still decodes through ImageIO (built-ins first: the
+    // SPI cannot shadow oracle-pinned kernels)
+    val img = new java.awt.image.BufferedImage(3, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val pngDf = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(9L, baos.toByteArray)), 1), schema)
+    val pngMeta = Multimodal.imageMeta(pngDf, "media")
+      .select("decoded_width", "decoded_height").head()
+    assert(pngMeta.getInt(0) == 3 && pngMeta.getInt(1) == 1)
+  }
+
   test("streaming dedup keeps first occurrence per fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream").toString
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

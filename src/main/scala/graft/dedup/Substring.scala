@@ -80,21 +80,28 @@ object SubstringDedup {
     * auto-routes to two-phase sliced extension (see the route comment in
     * the body). The real cost driver is the PAIR-TEXT frame (candidate
     * pairs × both full documents): while it fits executor memory the
-    * single-phase route is pure in-memory CPU and beats the slice
-    * machinery's extra shuffles; once it spills, two-phase wins and the
-    * gap grows without bound. Pair count is unknowable pre-plan, so the
-    * router is a corpus-bytes proxy with MEASURED brackets
-    * (LongDocRejectProbe + Decade3/SubstrStageDecadeProbe): single wins
-    * ~3-5× at 48 MB (234k–1.2M pairs) and 320 MB (4M pairs × 4 KB docs,
-    * 32 GB pair frame — still in memory on a 128 GB box); two-phase
-    * wins 22%+ at ~800 MB (176M pairs — pair frame ~70× corpus bytes,
-    * spilling). 512 MB sits between the measured brackets and errs
-    * toward two-phase: a misroute above the bracket costs a bounded
-    * constant, the opposite misroute at 100 TB is a spilled shuffle of
-    * pairs × documents. Callers who know their pair density pass
-    * `twoPhase = Some(...)`.
+    * single-phase route is pure in-memory CPU; once it spills, two-phase
+    * wins and the gap grows without bound. Pair count is unknowable
+    * pre-plan, so the router is a corpus-bytes proxy with MEASURED
+    * brackets.
+    *
+    * RECALIBRATED at 128 MB after the r12 kernel fusion: the pre-fusion
+    * brackets ("single wins 3–5× at 48–320 MB") were dominated by the
+    * slice machinery's per-seed UDF marshalling, which the codegen'd
+    * `AnchorSlices`/`SliceExtend` expressions removed. Post-fusion
+    * measurements (LongDocRejectProbe 4 KB-doc corpora + the decade-3
+    * testdata corpus, min-of-2 where noted): two-phase wins 1.6× at
+    * 160 MB (13.7 → 8.7 s, 780k pairs) and 14% at the 255 MB
+    * decade-3 corpus (222 → 192 s, 5M real docs); at 48–96 MB the
+    * routes are within noise of each other (both ~1.5–2.5 s, ordering
+    * flips run to run). 128 MB keeps tiny/oracle corpora on the
+    * cheaper-constant single-phase path and sends everything at or
+    * beyond the first measurable two-phase win to the scale-safe
+    * route — and a misroute near the threshold now costs percent-level
+    * constants either way, not the pre-fusion multiples. Callers who
+    * know their pair density pass `twoPhase = Some(...)`.
     */
-  private[graft] val TwoPhaseBytesBudget: Long = 512L << 20
+  private[graft] val TwoPhaseBytesBudget: Long = 128L << 20
 
   /** Auto-route decision for [[duplicateSpans]]: two-phase iff the
     * corpus text bytes exceed `budget` ([[TwoPhaseBytesBudget]] in
@@ -105,8 +112,9 @@ object SubstringDedup {
     * plan stats: the optimizer's multiplicative estimate is off by ~1e5
     * on derived frames (a ~250 KB groupBy+join survivor frame — q88's
     * input — estimates 23.6 GB), which force-routed EVERY derived
-    * corpus two-phase, including the 48–320 MB bracket where
-    * single-phase measures 3–5× faster (LongDocRejectProbe). A derived
+    * corpus two-phase regardless of its true size — a route decision
+    * must not ride a number that wrong, whatever the current
+    * crossover's shape (LongDocRejectProbe). A derived
     * frame arrives here already pinned (`Par.pinIfDerived`), so one
     * narrow sum(octet_length) agg both materializes the cache all three
     * downstream consumers need anyway and returns exact bytes. A bare

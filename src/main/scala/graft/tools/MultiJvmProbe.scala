@@ -48,7 +48,10 @@ object MultiJvmProbe {
     "q36_ngram_jaccard", "q38_minhash_pairs", "q48_asof_join",
     "q62_ivf_ann", "q63_srp_pairs", "q64_neardup_survivors",
     "q76_semantic_dedup", "q83_dup_spans", "q87_stream_decontaminate",
-    "q90_coverage_survivors", "q92_text_predict",
+    // q98 forces the two-phase route: the r12 fused AnchorSlices /
+    // SliceExtend expressions only execute on that path, and their
+    // generated code must load graft classes in executor JVMs
+    "q90_coverage_survivors", "q92_text_predict", "q98_dup_spans_twophase",
     "q95_multilabel_predict", "q96_audio_window_stats",
     "q97_image_grid_stats", IvfAppendName, TreeScoreName)
 

@@ -85,23 +85,26 @@ object SubstringDedup {
     * pre-plan, so the router is a corpus-bytes proxy with MEASURED
     * brackets.
     *
-    * RECALIBRATED at 128 MB after the r12 kernel fusion: the pre-fusion
+    * RECALIBRATED at 16 MB after the r12 kernel fusion: the pre-fusion
     * brackets ("single wins 3–5× at 48–320 MB") were dominated by the
     * slice machinery's per-seed UDF marshalling, which the codegen'd
     * `AnchorSlices`/`SliceExtend` expressions removed. Post-fusion
-    * measurements (LongDocRejectProbe 4 KB-doc corpora + the decade-3
-    * testdata corpus, min-of-2 where noted): two-phase wins 1.6× at
-    * 160 MB (13.7 → 8.7 s, 780k pairs) and 14% at the 255 MB
-    * decade-3 corpus (222 → 192 s, 5M real docs); at 48–96 MB the
-    * routes are within noise of each other (both ~1.5–2.5 s, ordering
-    * flips run to run). 128 MB keeps tiny/oracle corpora on the
-    * cheaper-constant single-phase path and sends everything at or
-    * beyond the first measurable two-phase win to the scale-safe
-    * route — and a misroute near the threshold now costs percent-level
-    * constants either way, not the pre-fusion multiples. Callers who
-    * know their pair density pass `twoPhase = Some(...)`.
+    * measurements, most decisive first: on the REAL testdata corpus
+    * shape two-phase wins **3.3× at 25 MB** (q83 single 10.9 s vs q98
+    * two-phase 3.3 s, same sf10 bench run, min-of-2) and 14% at the
+    * 255 MB decade-3 corpus (222 → 192 s, 5M docs); on the adversarial
+    * 4 KB-doc LongDocRejectProbe corpora two-phase wins 1.6× at 160 MB
+    * (13.7 → 8.7 s) and 48–96 MB is a wash (both ~1.5–2.5 s, ordering
+    * flips run to run). Below ~16 MB every measured corpus finishes
+    * sub-second either way, so the route choice is immaterial there
+    * and single-phase keeps its minimal-shuffle plan (3 fewer
+    * exchanges — the right default for trivial corpora and the
+    * exactness-mode oracle runs); everything larger takes the route
+    * that is equal-or-faster in every post-fusion measurement AND the
+    * only memory-safe one at 100 TB. Callers who know their pair
+    * density pass `twoPhase = Some(...)`.
     */
-  private[graft] val TwoPhaseBytesBudget: Long = 128L << 20
+  private[graft] val TwoPhaseBytesBudget: Long = 16L << 20
 
   /** Auto-route decision for [[duplicateSpans]]: two-phase iff the
     * corpus text bytes exceed `budget` ([[TwoPhaseBytesBudget]] in

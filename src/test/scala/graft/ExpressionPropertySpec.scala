@@ -107,4 +107,108 @@ object ExpressionProperties extends Properties("expressions") {
         val want = if (d == 0.0) 0.0 else dot / d
         Prop(got == want) :| s"got=$got want=$want"
     }
+
+  // ---- substring-extension kernels (r12 fused expressions) ----
+
+  /** Independent full-text seed extension — the reference the slice and
+    * packed-seed kernels must agree with.
+    */
+  private def refExtend(ta: Array[Int], tb: Array[Int], pa: Int, pb: Int,
+                        k: Int): Option[(Int, Int, Int)] = {
+    if (pa < 0 || pb < 0 || pa + k > ta.length || pb + k > tb.length)
+      return None
+    var i = 0
+    while (i < k) {
+      if (ta(pa + i) != tb(pb + i)) return None
+      i += 1
+    }
+    var sa = pa; var sb = pb
+    while (sa > 0 && sb > 0 && ta(sa - 1) == tb(sb - 1)) { sa -= 1; sb -= 1 }
+    var ea = pa + k; var eb = pb + k
+    while (ea < ta.length && eb < tb.length && ta(ea) == tb(eb)) {
+      ea += 1; eb += 1
+    }
+    Some((sa, sb, ea - sa))
+  }
+
+  // small alphabet (collisions abound) + supplementary-plane chars so
+  // code-point arithmetic differs from char arithmetic
+  private val cpGen: Gen[Int] =
+    Gen.frequency(8 -> Gen.choose('a'.toInt, 'c'.toInt),
+      1 -> Gen.const(0x1F600), 1 -> Gen.const(0x1F4A9))
+  private val textGen: Gen[Array[Int]] =
+    Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, cpGen)).map(_.toArray)
+  private def str(cps: Array[Int]) = new String(cps, 0, cps.length)
+
+  property("extendInSlice: SliceSpan = exact full-text span; never " +
+    "rejects a qualifying run; escalate only on a matched gram") =
+    forAll(textGen, textGen, Gen.choose(2, 4), Gen.choose(5, 12)) {
+      (ca, cb, k, minLen) =>
+        val (sa0, sb0) = (str(ca), str(cb))
+        val seeds = for {
+          pa <- 0 to math.max(-1, ca.length - k)
+          pb <- 0 to math.max(-1, cb.length - k)
+        } yield (pa, pb)
+        val cap = k + 2 * minLen
+        def slice(cps: Array[Int], p: Int): (String, Int) = {
+          val off = math.max(0, p - minLen)
+          val n = math.min(cps.length - off, cap)
+          (new String(cps, off, n), off)
+        }
+        val props = seeds.take(400).map { case (pa, pb) =>
+          val (slA, offA) = slice(ca, pa)
+          val (slB, offB) = slice(cb, pb)
+          val v = graft.dedup.SubstringDedup.extendInSlice(
+            slA, offA, ca.length, pa, slB, offB, cb.length, pb, k, minLen)
+          val ref = refExtend(ca, cb, pa, pb, k)
+          v(0) match {
+            case 1 => // SliceSpan: bit-exact vs full-text extension
+              Prop(ref.contains((v(1), v(2), v(3))) && v(3) >= minLen) :|
+                s"span ($pa,$pb): got=${v.toSeq} ref=$ref"
+            case 0 => // SliceReject: certainly no qualifying run here
+              Prop(ref.forall(_._3 < minLen)) :|
+                s"reject ($pa,$pb) but ref=$ref (k=$k minLen=$minLen)"
+            case 2 => // SliceEscalate: gram verified, boundary uncertain
+              Prop(ref.nonEmpty) :| s"escalate ($pa,$pb) on unmatched gram"
+            case other => Prop.falsified :| s"unknown verdict $other"
+          }
+        }
+        if (props.isEmpty) Prop.passed else Prop.all(props: _*)
+    }
+
+  property("extendSeeds = distinct full-text spans >= minLen (covered-" +
+    "seed skip is invisible in the output)") =
+    forAll(textGen, textGen, Gen.choose(2, 4), Gen.choose(5, 12)) {
+      (ca, cb, k, minLen) =>
+        val seeds = (for {
+          pa <- 0 to math.max(-1, ca.length - k)
+          pb <- 0 to math.max(-1, cb.length - k)
+        } yield (pa.toLong << 32) | pb.toLong).take(400)
+        val got = graft.dedup.SubstringDedup.extendSeeds(
+          ca, cb, seeds, k, minLen).map(s => (s.sa, s.sb, s.len)).toSet
+        val want = seeds.flatMap { packed =>
+          refExtend(ca, cb, (packed >>> 32).toInt, (packed & 0xFFFFFFFFL).toInt, k)
+        }.filter(_._3 >= minLen).toSet
+        Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  property("AnchorSlices.build: slice = codepoints[max(0,p-minLen), " +
+    "+k+2*minLen), dlen = codepoint length") =
+    forAll(textGen, Gen.choose(2, 4), Gen.choose(5, 12)) { (cps, k, minLen) =>
+      val ps = (0 to math.max(-1, cps.length - k)).toArray
+      val out = graft.functions.AnchorSlices.build(
+        UTF8String.fromString(str(cps)), new GenericArrayData(ps), k, minLen)
+      val cap = k + 2 * minLen
+      val props = ps.indices.map { i =>
+        val row = out.array(i)
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val off = math.max(0, ps(i) - minLen)
+        val n = math.min(cps.length - off, cap)
+        Prop(row.getInt(0) == ps(i) && row.getInt(1) == off &&
+          row.getInt(2) == cps.length &&
+          row.getUTF8String(3).toString == new String(cps, off, n)) :|
+          s"slice $i (p=${ps(i)})"
+      }
+      if (props.isEmpty) Prop(out.numElements() == 0) else Prop.all(props: _*)
+    }
 }

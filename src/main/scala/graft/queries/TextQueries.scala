@@ -263,6 +263,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Line-level boilerplate dedup (the CCNet paragraph-dedup /
+    // RefinedWeb line-removal curation step) over a constructed
+    // multi-line corpus: the testdata documents are single-line, so the
+    // query builds 4-line docs from closed-form fields BOTH engines
+    // derive identically (the q96/q97 oracle idiom) — a per-lang header
+    // (df ≈ n/5, removed), the unique text line (kept), a per-doc-pair
+    // line (df = 2 < minDf = 3, KEPT — pins the threshold boundary),
+    // and a per-source footer (df ≈ n/20, removed).
+    "q99_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("HDR "), col("lang")),
+          col("text"),
+          concat(lit("PAIR "), expr("doc_id DIV 2").cast("string")),
+          concat(lit("FTR "), col("source"))).as("t"))
+      graft.text.Corpus.dedupLines(docs, "t", "doc_id", minDf = 3)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic source-weighted mix sampling: 60/30/10 % rates by
     // source index residue, systematic on doc_id.
     "q75_mix_sample" -> ((s, d) => {
@@ -1430,5 +1449,34 @@ object TextQueries {
     * bit-identical.
     */
   val oracles: Map[String, String] =
-    oraclesBase + ("q98_dup_spans_twophase" -> oraclesBase("q83_dup_spans"))
+    oraclesBase +
+      ("q98_dup_spans_twophase" -> oraclesBase("q83_dup_spans")) +
+      // Line-level boilerplate dedup truth: identical closed-form doc
+      // construction, line df over distinct docs, anti-join, ordered
+      // reassembly — all-boilerplate docs come back as '' via the left
+      // join, exactly the operator's totality contract.
+      ("q99_line_dedup" ->
+        """WITH docs AS (SELECT doc_id,
+          |  'HDR ' || lang || chr(10) || text || chr(10) ||
+          |  'PAIR ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+          |  'FTR ' || source AS t
+          |FROM documents),
+          |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM docs),
+          |idx AS (SELECT unnest(generate_series(1,
+          |  (SELECT max(len(ls)) FROM l))) AS i),
+          |e AS (SELECT doc_id, CAST(i AS INT) AS idx, ls[i] AS ln
+          |      FROM l JOIN idx ON i <= len(ls)),
+          |hot AS (SELECT ln FROM e WHERE len(trim(ln)) >= 1
+          |        GROUP BY ln HAVING count(DISTINCT doc_id) >= 3),
+          |kept AS (SELECT e.doc_id, e.idx, e.ln
+          |         FROM e ANTI JOIN hot USING (ln)),
+          |agg AS (SELECT doc_id,
+          |          string_agg(ln, chr(10) ORDER BY idx) AS text_cleaned,
+          |          count(*) AS kept_n
+          |        FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(a.text_cleaned, '') AS text_cleaned,
+          |  CAST(len(string_split(d.t, chr(10))) - coalesce(a.kept_n, 0)
+          |    AS INT) AS n_removed_lines
+          |FROM docs d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)
 }

@@ -157,6 +157,62 @@ object Corpus {
         size(slice(col("_toks"), start, lit(window))).as("n_chunk_tokens"))
   }
 
+  /** Line-level boilerplate dedup — the CCNet paragraph-dedup /
+    * RefinedWeb line-removal curation step (Wenzek et al. 2020 §3;
+    * Penedo et al. 2023 §3.1.3): a line occurring in at least `minDf`
+    * DISTINCT documents is boilerplate (headers, footers, cookie
+    * banners, nav menus) and ALL its occurrences are removed; document
+    * text is reassembled from the surviving lines in original order.
+    * Lines shorter than `minLineChars` after trim are exempt (blank
+    * separator lines occur everywhere by construction — removing them
+    * would mangle formatting, and they carry no content to dedup).
+    * Returns every input document:
+    * `(idCol, <outCol>, n_removed_lines)` — a doc whose every line was
+    * boilerplate comes back with the empty string, not a dropped row.
+    *
+    * Scale design: lines explode as a narrow map (one shuffle to count
+    * per-line document frequency, one anti-join of the line frame
+    * against the boilerplate set, one per-doc reassembly aggregation).
+    * The boilerplate set is NOT broadcast by construction: at corpus
+    * scale the number of distinct duplicated lines is itself
+    * corpus-sized, so the anti join must be shuffle-capable — AQE picks
+    * broadcast at runtime when the set measures small. Exact-content
+    * matching (no normalization) keeps the operator oracle-equal across
+    * engines; callers wanting case-insensitive boilerplate pass a
+    * pre-normalized column.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 minDf: Int = 2, minLineChars: Int = 1,
+                 outCol: String = "text_cleaned"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    // -1 limit: trailing empty lines are real lines (SQL split drops
+    // trailing empties by default, which would silently shift counts)
+    val lines = df.select(col(idCol).as("_doc"),
+        posexplode(split(textOrEmpty(textCol), "\n", -1)).as(Seq("_idx", "_line")))
+    // boilerplate = eligible lines in >= minDf distinct docs; exempt
+    // (short/blank) lines never enter this frame, so the anti join
+    // below passes them through without a special case
+    val hot = lines.filter(length(trim(col("_line"))) >= minLineChars)
+      .groupBy("_line").agg(countDistinct(col("_doc")).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("_line")
+    val kept = lines.join(hot, Seq("_line"), "left_anti")
+      .groupBy("_doc")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_idx"),
+          col("_line")))), x => x.getField("_line")), "\n").as(outCol),
+        count(lit(1)).as("_kept"))
+    // every doc comes back; all-boilerplate docs rebuild as ""
+    df.select(col(idCol), col(idCol).as("_doc0"),
+        size(split(textOrEmpty(textCol), "\n", -1)).as("_total"))
+      .join(kept, col("_doc0") === kept("_doc"), "left")
+      .select(col(idCol),
+        coalesce(col(outCol), lit("")).as(outCol),
+        (col("_total") - coalesce(col("_kept"), lit(0L)))
+          .cast("int").as("n_removed_lines"))
+  }
+
   /** Corpus-unigram log-probability quality score (the shape of CCNet's
     * LM-perplexity filter with the corpus itself as the LM): a document's
     * score is the mean ln p(w) of its tokens under the corpus unigram

@@ -19,6 +19,23 @@ object GraftSqlBridge {
     * 103.8 s -> 4.9 s from exactly this). Returns 0 when the plan has
     * no codegen stage.
     */
+  /** Number of WholeStageCodegen spans in `df`'s executed plan (AQE
+    * stages unwrapped) — the plan-audit "how much of this plan runs
+    * fused" counter ExplainProbe prints.
+    */
+  def codegenStageCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def stagesOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WholeStageCodegenExec] = p.collect {
+      case w: WholeStageCodegenExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => stagesOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        stagesOf(q.plan)
+    }.flatten
+    stagesOf(df.queryExecution.executedPlan).length
+  }
+
   def maxCodegenMethodSize(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -356,6 +356,41 @@ class DedupSimSpec extends AnyFunSuite {
     assert(math.abs(got(0).getAs[Double]("score") - math.log(3.0)) < 1e-3)
   }
 
+  test("line-level dedup: boilerplate lines removed everywhere, " +
+       "threshold boundary, exemptions, totality") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (0L, "SHARED HEADER\nalpha unique\n\nSHARED FOOTER"),
+      (1L, "SHARED HEADER\nbeta unique\nrare pair\nSHARED FOOTER"),
+      (2L, "SHARED HEADER\nrare pair\ngamma unique"),
+      (3L, "SHARED HEADER\nSHARED FOOTER"), // all-boilerplate doc
+      (4L, "solo doc, nothing shared\n"),   // trailing empty line
+      (5L, null.asInstanceOf[String]))      // null text
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupLines(docs, "text", "doc_id", minDf = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    // header df=4 >= 3 -> removed everywhere; footer df=3 -> removed;
+    // "rare pair" df=2 < 3 -> KEPT; blank line exempt -> kept
+    assert(byId(0L) == (("alpha unique\n", 2)), s"doc0: ${byId(0L)}")
+    assert(byId(1L) == (("beta unique\nrare pair", 2)))
+    assert(byId(2L) == (("rare pair\ngamma unique", 1)))
+    assert(byId(3L) == (("", 2)), "all-boilerplate doc returns empty, not dropped")
+    assert(byId(4L) == (("solo doc, nothing shared\n", 0)),
+      "trailing empty line survives (split keeps trailing empties)")
+    assert(byId(5L) == (("", 0)), "null text reads as empty")
+    assert(got.length == 6, "every input doc comes back")
+    // countDistinct semantics: a line repeated WITHIN one doc does not
+    // reach the df threshold
+    val within = Seq((0L, "same\nsame\nsame"), (1L, "other"))
+      .toDF("doc_id", "text")
+    val w = Corpus.dedupLines(within, "text", "doc_id", minDf = 2)
+      .orderBy("doc_id").as[(Long, String, Int)].collect()
+    assert(w(0)._2 == "same\nsame\nsame" && w(0)._3 == 0,
+      "within-doc repetition is repetitionStats' business, not dedup's")
+  }
+
   test("mix sampling keeps exactly the sub-threshold id residues") {
     import graft.text.Corpus
     val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "x" else "y"))

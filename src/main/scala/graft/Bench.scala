@@ -36,7 +36,15 @@ object Bench {
       var err: Option[String] = None
       def runOnce(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        // toRdd.count(), NOT Dataset.count(): count() re-optimizes the
+        // plan under Aggregate[count(1)], and Catalyst then ELIMINATES
+        // work the query exists to measure — a unique-keyed left join +
+        // its whole construction collapses to a bare parquet metadata
+        // count (measured r12: q99 0.38 s via count() vs 30.3 s of real
+        // work at 5M docs), and final projections/sorts drop the same
+        // way. toRdd executes the query's OWN physical plan as planned
+        // (sorts included) without collecting rows to the driver.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
           case e: Throwable =>
             err = Some(e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").take(120))
@@ -76,7 +84,11 @@ object Bench {
     // cohabiting processes shows up here, not in any per-query number).
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"extra_iters":$extraIters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // "action":"exec" marks the r12 vehicle change: full physical-plan
+    // execution via toRdd (earlier rounds' count() vehicle let Catalyst
+    // eliminate measurable work — totals are NOT comparable across the
+    // boundary; see NOTES round-12 log)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"exec","iters":$iters,"extra_iters":$extraIters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,6 +169,8 @@ object Corpus {
     * Returns every input document:
     * `(idCol, <outCol>, n_removed_lines)` — a doc whose every line was
     * boilerplate comes back with the empty string, not a dropped row.
+    * `sep` sets the unit granularity: "\n" (default) = RefinedWeb
+    * lines, "\n\n" = CCNet paragraphs; a literal string, not a regex.
     *
     * Scale design: lines explode as a narrow map (one shuffle to count
     * per-line document frequency, one anti-join of the line frame
@@ -183,13 +185,19 @@ object Corpus {
     */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
                  minDf: Int = 2, minLineChars: Int = 1,
-                 outCol: String = "text_cleaned"): DataFrame = {
+                 outCol: String = "text_cleaned",
+                 sep: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    require(sep.nonEmpty, "separator must be non-empty")
+    // `sep` is a LITERAL separator (quoted into the split regex), used
+    // for both split and reassembly — "\n\n" gives CCNet's paragraph
+    // granularity, "\n" (default) RefinedWeb's line granularity
     // -1 limit: trailing empty lines are real lines (SQL split drops
     // trailing empties by default, which would silently shift counts)
     val lines = df.select(col(idCol).as("_doc"),
-        posexplode(split(textOrEmpty(textCol), "\n", -1)).as(Seq("_idx", "_line")))
+        posexplode(split(textOrEmpty(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("_idx", "_line")))
     // boilerplate = eligible lines in >= minDf distinct docs; exempt
     // (short/blank) lines never enter this frame, so the anti join
     // below passes them through without a special case
@@ -201,11 +209,12 @@ object Corpus {
       .groupBy("_doc")
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("_idx"),
-          col("_line")))), x => x.getField("_line")), "\n").as(outCol),
+          col("_line")))), x => x.getField("_line")), sep).as(outCol),
         count(lit(1)).as("_kept"))
     // every doc comes back; all-boilerplate docs rebuild as ""
     df.select(col(idCol), col(idCol).as("_doc0"),
-        size(split(textOrEmpty(textCol), "\n", -1)).as("_total"))
+        size(split(textOrEmpty(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as("_total"))
       .join(kept, col("_doc0") === kept("_doc"), "left")
       .select(col(idCol),
         coalesce(col(outCol), lit("")).as(outCol),

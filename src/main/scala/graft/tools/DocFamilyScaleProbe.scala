@@ -39,7 +39,9 @@ object DocFamilyScaleProbe {
       val fn = graft.SparkEntry.queries(name)
       (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        // toRdd, not count(): count() lets Catalyst eliminate the very
+        // work under measurement (see Bench.runOnce)
+        fn(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.min
     }

@@ -24,7 +24,9 @@ object QueryProbe {
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // toRdd, not count(): see Bench.runOnce (count() eliminates
+        // eliminable joins/projections and skips final sorts)
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
       println(f"PROBE $name%-24s ${times.map(_._1).min}%8.3f s  rows=${times.head._2}" +

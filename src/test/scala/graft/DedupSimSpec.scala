@@ -389,6 +389,17 @@ class DedupSimSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, String, Int)].collect()
     assert(w(0)._2 == "same\nsame\nsame" && w(0)._3 == 0,
       "within-doc repetition is repetitionStats' business, not dedup's")
+    // paragraph granularity (CCNet): sep = "\n\n" treats multi-line
+    // paragraphs as the dedup unit — inner newlines survive intact
+    val paras = Seq(
+      (0L, "shared para\nline two\n\nunique a"),
+      (1L, "shared para\nline two\n\nunique b"))
+      .toDF("doc_id", "text")
+    val p = Corpus.dedupLines(paras, "text", "doc_id", minDf = 2,
+        sep = "\n\n")
+      .orderBy("doc_id").as[(Long, String, Int)].collect()
+    assert(p(0) == ((0L, "unique a", 1)) && p(1) == ((1L, "unique b", 1)),
+      s"paragraph mode: ${p.toSeq}")
   }
 
   test("mix sampling keeps exactly the sub-threshold id residues") {

@@ -65,7 +65,9 @@ object TextFunctions {
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
 
   def stopwordCount(text: Column, stop: Seq[String] = defaultStopwords): Column =
-    size(filter(tokens(text), t => t.isin(stop: _*)))
+    // fused hash-set count, not filter+isin: the In literal chain costs
+    // O(tokens × stopwords) string equality per row (see VocabHits)
+    graft.functions.VocabHits(tokens(text), stop)
 
   def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
     val n = tokenCount(text)
@@ -141,7 +143,8 @@ object TextFunctions {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+      struct(graft.functions.VocabHits(toks, words).as("hits"),
+        lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     // CJK text is unsegmented — whitespace tokens never equal the zh

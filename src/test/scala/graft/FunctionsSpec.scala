@@ -515,6 +515,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge(1L).isEmpty)
   }
 
+  test("vocab_hits = size(filter(isin)) with multiplicity, under forced codegen") {
+    import spark.implicits._
+    val vocab = Seq("the", "a", "naïve", "東京")
+    val rows = Seq(
+      (1L, Some(Seq(Some("the"), Some("the"), Some("cat"), Some("a")))), // repeats count
+      (2L, Some(Seq[Option[String]]())),                                 // empty
+      (3L, None),                                                        // null array
+      (4L, Some(Seq(Some("naïve"), None, Some("東京")))),                // null element + unicode
+      (5L, Some(Seq(Some("THE")))))                                      // case-sensitive miss
+      .toDF("id", "toks")
+    val got = rows.select(col("id"),
+      graft.functions.VocabHits(col("toks"), vocab).as("h"),
+      size(filter(col("toks"), t => t.isin(vocab: _*))).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    got.foreach { case (id, h, ref) =>
+      // the composed form null-propagates on a null array; VocabHits
+      // contracts null -> 0
+      if (id == 3L) assert(h == 0 && ref.isEmpty)
+      else assert(ref.contains(h), s"row $id: $h vs $ref")
+    }
+    assert(got.find(_._1 == 1L).get._2 == 3, "repeats counted")
+  }
+
   test("substring extension expressions match the UDF route bit-exactly " +
        "under forced codegen (AnchorSlices / SliceExtend / ExtendSeeds)") {
     import spark.implicits._

@@ -88,7 +88,10 @@ object EncodeQueries {
     // (lang/source one-hots + standardized n_chars), checked via the
     // assembled vector's element sum = 2 + scaled(n_chars).
     "q58_encoder_e2e" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // fanOut: the transform-stage feature projection otherwise
+      // serializes on the bench corpus's single row group (no-op at
+      // real scale) — same for the explode stages below
+      val docs = graft.ops.Par.fanOut(Tables.documents(s, d))
       val enc = Encoderizer.fit(docs, Seq("lang", "source", "n_chars"))
       val out = enc.transform(docs)
       out.select(col("doc_id"),
@@ -110,7 +113,7 @@ object EncodeQueries {
     // aggregation, no joins, no driver loops.
     "q92_text_predict" -> ((s, d) => {
       val nb = 64
-      val toks = Tables.documents(s, d).select(col("doc_id"),
+      val toks = graft.ops.Par.fanOut(Tables.documents(s, d)).select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
       val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
@@ -143,7 +146,7 @@ object EncodeQueries {
     // two keyed aggregations, expression scoring on the scan — no joins.
     "q93_text_proba" -> ((s, d) => {
       val nb = 64
-      val toks = Tables.documents(s, d).select(col("doc_id"),
+      val toks = graft.ops.Par.fanOut(Tables.documents(s, d)).select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
       val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
@@ -184,7 +187,7 @@ object EncodeQueries {
     // aggregations, expression scoring on the scan — no joins.
     "q95_multilabel_predict" -> ((s, d) => {
       val nb = 64
-      val toks = Tables.documents(s, d).select(col("doc_id"),
+      val toks = graft.ops.Par.fanOut(Tables.documents(s, d)).select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
       val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)

@@ -247,7 +247,9 @@ object Relational {
 
     // Semi-structured: JSON field extraction from the props column.
     "q15_json_extract" -> ((s, d) => {
-      Tables.events(s, d)
+      // fanOut: per-row JSON parsing otherwise serializes on the bench
+      // file's two row groups (no-op at real scale)
+      graft.ops.Par.fanOut(Tables.events(s, d))
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")
     }),

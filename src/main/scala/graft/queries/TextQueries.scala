@@ -19,7 +19,11 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + corpus stats per language bucket.
     "q31_token_stats" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // fanOut: the scan-stage partial agg otherwise serializes on the
+      // bench corpus's single parquet row group (no-op at real scale,
+      // where split count >= parallelism) — same below wherever a
+      // projection/explode rides a bare documents scan
+      val docs = graft.ops.Par.fanOut(Tables.documents(s, d))
       docs.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
@@ -29,7 +33,7 @@ object TextQueries {
 
     // Per-document quality scoring (length/word-len/stopword/punct).
     "q32_quality" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      graft.ops.Par.fanOut(Tables.documents(s, d)).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("token_count"),
         round(TextFunctions.avgWordLen(col("text")), 4).as("avg_word_len"),
@@ -40,7 +44,7 @@ object TextQueries {
 
     // Language ID by stopword-profile argmax.
     "q33_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
+      graft.ops.Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("detected"))
         .orderBy("doc_id")
     }),
@@ -77,7 +81,7 @@ object TextQueries {
     // then count and redact them (codegen'd regexp built-ins; RE2-safe
     // patterns so DuckDB reproduces the scan verbatim).
     "q72_pii_redact" -> ((s, d) => {
-      val seeded = Tables.documents(s, d).withColumn("text2", concat(
+      val seeded = graft.ops.Par.fanOut(Tables.documents(s, d)).withColumn("text2", concat(
         col("text"),
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
@@ -609,7 +613,7 @@ object TextQueries {
 
     // BPE-ish piece counting vs whitespace tokens (token-budget estimator).
     "q61_bpe_pieces" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      graft.ops.Par.fanOut(Tables.documents(s, d)).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_ws"),
         TextFunctions.bpePieceCount(col("text")).as("n_bpe"))

@@ -74,7 +74,11 @@ object Corpus {
                   minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
                   minStopwordHits: Int = 2,
                   maxTopTokenRatio: Double = 0.12): DataFrame = {
-    val scalars = df.select(col(idCol),
+    // fanOut: scalar rules are a pure projection and otherwise run at
+    // the scan's split parallelism (one task on a single-row-group
+    // bench file; no-op at real scale) — same for the explode stages
+    // of the sibling operators
+    val scalars = graft.ops.Par.fanOut(df).select(col(idCol),
       TextFunctions.tokenCount(textOrEmpty(textCol)).as("n_words"),
       TextFunctions.avgWordLen(textOrEmpty(textCol)).as("_awl"),
       TextFunctions.stopwordCount(textOrEmpty(textCol)).as("_stop"))
@@ -148,7 +152,8 @@ object Corpus {
     val nChunks = lit(1) + greatest(lit(0),
       ceil((n - lit(window)).cast("double") / lit(stride)).cast("int"))
     val start = col("chunk_idx") * stride + 1 // slice() is 1-based
-    df.select(col(idCol), TextFunctions.tokens(textOrEmpty(textCol)).as("_toks"))
+    graft.ops.Par.fanOut(df)
+      .select(col(idCol), TextFunctions.tokens(textOrEmpty(textCol)).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
@@ -195,7 +200,7 @@ object Corpus {
     // granularity, "\n" (default) RefinedWeb's line granularity
     // -1 limit: trailing empty lines are real lines (SQL split drops
     // trailing empties by default, which would silently shift counts)
-    val lines = df.select(col(idCol).as("_doc"),
+    val lines = graft.ops.Par.fanOut(df).select(col(idCol).as("_doc"),
         posexplode(split(textOrEmpty(textCol),
           java.util.regex.Pattern.quote(sep), -1)).as(Seq("_idx", "_line")))
     // boilerplate = eligible lines in >= minDf distinct docs; exempt
@@ -297,7 +302,7 @@ object Corpus {
     // plain explode: it drops empty/null token arrays, which IS the
     // "no tokens → no row" contract (an earlier explode_outer + isNotNull
     // filter pair was exactly equivalent, just wordier)
-    df.select(col(idCol),
+    graft.ops.Par.fanOut(df).select(col(idCol),
       explode(TextFunctions.tokens(textOrEmpty(textCol))).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_c"))
       .groupBy(col(idCol)).agg(

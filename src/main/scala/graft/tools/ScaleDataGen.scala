@@ -129,7 +129,17 @@ object ScaleDataGen {
     def writeFlat(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // small row groups (8 MB vs the 128 MB default): coalesce(1)'s
+      // single writer otherwise produces ONE row group per ~128 MB, and
+      // parquet scans cannot split within a row group — every scan-stage
+      // projection then runs on 1-2 tasks no matter the split count
+      // (measured: q15's 10M-row JSON extract pinned to 2 cores, 49.5 s).
+      // A real 100 TB corpus is thousands of files; small row groups
+      // give the flat single-file layout (which the streaming globs
+      // require) the same scan parallelism.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
         .findFirst().orElseThrow()
       Files.move(part, Paths.get(s"$out/$name.parquet"),

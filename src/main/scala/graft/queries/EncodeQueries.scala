@@ -194,11 +194,13 @@ object EncodeQueries {
         .cast("long") % nb).cast("int")
       val tf = toks.groupBy(col("doc_id"), bucket.as("bucket"))
         .agg(count(lit(1)).cast("double").as("tf"))
+      // codegen'd dense build — the previous map_from_entries +
+      // transform/try_element_at composition was a CodegenFallback HOF
+      // that dragged the downstream fused score matrix into per-row
+      // interpreted evaluation (18 s of the query at sf10)
       val dense = tf.groupBy("doc_id")
-        .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
-          .as("_m"))
-        .withColumn("x", transform(sequence(lit(0), lit(nb - 1)),
-          j => coalesce(try_element_at(col("_m"), j), lit(0.0))))
+        .agg(collect_list(struct(col("bucket"), col("tf"))).as("_e"))
+        .withColumn("x", graft.functions.DenseFromEntries(col("_e"), nb))
       val taus = Seq(0.0, -100.0, -5.0)
       val models: Array[graft.exec.Model] =
         Seq(37, 53, 71).zip(taus).map { case (p, tau) =>

@@ -539,6 +539,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._2 == 3, "repeats counted")
   }
 
+  test("dense_from_entries = map_from_entries + try_element_at transform, " +
+       "under forced codegen") {
+    import spark.implicits._
+    val nb = 8
+    val rows = Seq(
+      (1L, Seq((0, 1.5), (3, -2.0), (7, 4.0))),
+      (2L, Seq.empty[(Int, Double)]),
+      (4L, Seq((-1, 5.0), (8, 6.0), (1, 2.0))) // out-of-range skipped
+    ).toDF("id", "e")
+      .withColumn("e", expr("transform(e, x -> struct(x._1 AS idx, x._2 AS v))"))
+    val got = rows.select(col("id"),
+        graft.functions.DenseFromEntries(col("e"), nb).as("x"),
+        transform(sequence(lit(0), lit(nb - 1)), j => coalesce(
+          try_element_at(map_from_entries(col("e")), j), lit(0.0))).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    got.foreach { case (id, x, ref) =>
+      // out-of-range keys survive map_from_entries but try_element_at
+      // never probes them — identical zero-fill either way
+      assert(x == ref, s"row $id: $x vs $ref")
+    }
+    assert(got.find(_._1 == 1L).get._2 == Seq(1.5, 0.0, 0.0, -2.0, 0.0, 0.0, 0.0, 4.0))
+    // duplicate index: map_from_entries THROWS (ANSI dedup policy);
+    // DenseFromEntries defines later-wins — q95's upstream groupBy
+    // guarantees unique indexes, so both behaviors are out of its path
+    val dup = Seq((3L, Seq((2, 1.0), (2, 9.0)))).toDF("id", "e")
+      .withColumn("e", expr("transform(e, x -> struct(x._1 AS idx, x._2 AS v))"))
+      .select(graft.functions.DenseFromEntries(col("e"), nb)).head().getSeq[Double](0)
+    assert(dup == Seq(0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
   test("substring extension expressions match the UDF route bit-exactly " +
        "under forced codegen (AnchorSlices / SliceExtend / ExtendSeeds)") {
     import spark.implicits._

@@ -123,8 +123,22 @@ object Par {
       case _ => false
     }
 
+  /** Minimum estimated input size before [[fanOut]] inserts its
+    * repartition: below this, even a single core finishes the scan-stage
+    * work in well under a second, and the exchange round-trip costs more
+    * than the parallelism buys (measured r12 at sf0.1: ~0.3 s per query
+    * of pure repartition latency over 255 KB corpora, ~+6 s across the
+    * fanned query set — while at 55 MB the same repartition turned a
+    * 73 s one-core scan stage into 4 s). Plan stats are reliable here:
+    * fanOut only ever sees exchange-free narrow plans, whose estimate
+    * comes straight from the file scan.
+    */
+  private[graft] val FanOutMinBytes: Long = 8L << 20
+
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming || plansExchange(df)) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(FanOutMinBytes)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df

@@ -10,7 +10,10 @@ object Verify {
     val spark = graft.tools.Sessions.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // name order, like Bench: deterministic, and build-style queries
+    // (q94_build_ivf) land before the serving queries that reuse their
+    // on-disk artifacts
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -111,27 +111,37 @@ object SubstringDedup {
     * production; injectable so specs pin both sides of the threshold
     * without half-GB fixtures).
     *
-    * Bytes are MEASURED for derived inputs, never taken from Catalyst
-    * plan stats: the optimizer's multiplicative estimate is off by ~1e5
-    * on derived frames (a ~250 KB groupBy+join survivor frame — q88's
-    * input — estimates 23.6 GB), which force-routed EVERY derived
+    * Bytes are MEASURED when the caller says the frame is a pinned
+    * DERIVED plan (`measured = true`), never taken from Catalyst plan
+    * stats there: the optimizer's multiplicative estimate is off by
+    * ~1e5 on derived frames (a ~250 KB groupBy+join survivor frame —
+    * q88's input — estimates 23.6 GB), which force-routed EVERY derived
     * corpus two-phase regardless of its true size — a route decision
     * must not ride a number that wrong, whatever the current
-    * crossover's shape (LongDocRejectProbe). A derived
-    * frame arrives here already pinned (`Par.pinIfDerived`), so one
-    * narrow sum(octet_length) agg both materializes the cache all three
-    * downstream consumers need anyway and returns exact bytes. A bare
-    * scan+filter+project stays on plan stats: those derive from parquet
-    * file sizes (accurate within compression — q83's base table
-    * estimates 255 KB for a 255 KB corpus), and a measured agg there
-    * would pay an extra full text-column scan of a possibly-100 TB
-    * table for a decision the scan stats already make correctly.
+    * crossover's shape (LongDocRejectProbe). The pinned-derived frame's
+    * one narrow sum(octet_length) agg both materializes the cache all
+    * three downstream consumers need anyway and returns exact bytes.
+    * With `measured = false` (a bare scan+filter+project) plan stats
+    * are used: those derive from parquet file sizes (accurate within
+    * compression — q83's base table estimates 255 KB for a 255 KB
+    * corpus), and a measured agg there would pay an extra full
+    * text-column scan of a possibly-100 TB table for a decision the
+    * scan stats already make correctly.
+    *
+    * `measured` is an EXPLICIT caller flag, not inferred from
+    * `df.storageLevel`: any caller-persisted frame satisfies a
+    * storage-level test — a user-cached scan-only corpus (the 100 TB
+    * shape this operator documents) would then trigger an eager full
+    * text-column aggregation plus cache materialization at
+    * plan-construction time just to pick a route. Only duplicateSpans
+    * itself knows whether it pinned the frame BECAUSE it was derived.
     */
-  private[graft] def routeTwoPhase(texts: DataFrame,
+  private[graft] def routeTwoPhase(texts: DataFrame, measured: Boolean,
+      textCol: String = "text",
       budget: Long = TwoPhaseBytesBudget): Boolean = {
     val bytes: BigInt =
-      if (texts.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        Option(texts.agg(sum(octet_length(col("text")))).first().get(0))
+      if (measured)
+        Option(texts.agg(sum(octet_length(col(textCol)))).first().get(0))
           .map(v => BigInt(v.asInstanceOf[Number].longValue))
           .getOrElse(BigInt(0))
       else texts.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -153,10 +163,14 @@ object SubstringDedup {
     // groupBy+join survivor frame) re-executes its whole upstream once
     // per consumer. A bare table scan stays unpinned: re-scanning
     // parquet three times is cheaper than caching corpus-scale text.
-    val texts = Par.pinIfDerived("substring.texts",
-      df.select(col(idCol).cast("long").as("doc"),
-          col(textCol).as("text"))
-        .filter(length(col("text")) >= minLen))
+    val proj = df.select(col(idCol).cast("long").as("doc"),
+        col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+    // derived-ness computed ONCE and threaded to both the pin decision
+    // and the route's measured-vs-stats choice: inferring it downstream
+    // from storageLevel would misfire on caller-persisted bare scans.
+    val derived = Par.plansExchange(proj)
+    val texts = if (derived) Par.pinLatest("substring.texts", proj) else proj
     val an = Par.fanOut(texts).select(col("doc"),
         explode(WinnowAnchors(col("text"), k, w, maxPosPerHash)).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("h"))
@@ -175,7 +189,8 @@ object SubstringDedup {
     // bytes exceed TwoPhaseBytesBudget — the regime where full texts
     // stop being cheap to join per pair. Bytes are MEASURED for derived
     // inputs (see routeTwoPhase), never Catalyst's multiplicative guess.
-    val useTwoPhase = twoPhase.getOrElse(routeTwoPhase(texts))
+    val useTwoPhase = twoPhase.getOrElse(
+      routeTwoPhase(texts, measured = derived))
     // Single-phase route: every candidate pair joins BOTH FULL TEXTS and
     // extends all its seeds in one fused ExtendSeeds call — pure in-memory CPU below
     // the budget, and the equivalence oracle for specs/probes: the

@@ -22,15 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Counts every OCCURRENCE of a vocabulary member (repeats included —
   * stopword ratios and language-ID scores weight by occurrence, and
   * the DuckDB oracle's `len(list_filter(...))` counts the same way).
-  * Null elements are skipped; a null array yields 0 (never null),
-  * matching `size(filter(null-as-empty))` composition semantics under
-  * the tokens() null normalization.
+  * Null elements are skipped; a null ARRAY propagates null — exactly
+  * like the composed `size(filter(...))` form it replaces and DuckDB's
+  * `len(list_filter(...))`. (An earlier revision returned 0 there on
+  * the premise that `tokens()` normalizes null text to an empty array;
+  * it does not — `tokens(null)` is null — so a null-text document would
+  * have silently diverged from the oracle in q31–q33.)
   */
 case class VocabHits(child: Expression, vocab: Array[String])
   extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -46,9 +48,7 @@ case class VocabHits(child: Expression, vocab: Array[String])
     s
   }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return 0
+  override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     var hits = 0
     var k = 0
@@ -61,23 +61,18 @@ case class VocabHits(child: Expression, vocab: Array[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val s = ctx.addReferenceObj("vocabSet", set, "java.util.HashSet")
-    val c = child.genCode(ctx)
-    val hits = ctx.freshName("hits")
-    val k = ctx.freshName("k")
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
-    ev.copy(code =
-      code"""
-         |${c.code}
+    nullSafeCodeGen(ctx, ev, arr => {
+      val hits = ctx.freshName("hits")
+      val k = ctx.freshName("k")
+      s"""
          |int $hits = 0;
-         |if (!${c.isNull}) {
-         |  for (int $k = 0; $k < ${c.value}.numElements(); $k++) {
-         |    if (!${c.value}.isNullAt($k) &&
-         |        $s.contains(${c.value}.getUTF8String($k))) $hits++;
-         |  }
+         |for (int $k = 0; $k < $arr.numElements(); $k++) {
+         |  if (!$arr.isNullAt($k) &&
+         |      $s.contains($arr.getUTF8String($k))) $hits++;
          |}
-         |int ${ev.value} = $hits;
-       """.stripMargin, isNull = FalseLiteral)
+         |${ev.value} = $hits;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): VocabHits =

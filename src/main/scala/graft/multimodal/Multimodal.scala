@@ -60,10 +60,42 @@ object Multimodal {
   // resolved lazily ONCE per JVM (driver and each executor classload),
   // never captured in closures: each executor re-resolves from its own
   // classpath, which is what makes the SPI cluster-correct.
+  // Discovery is DEFENSIVE per provider: ServiceLoader throws
+  // ServiceConfigurationError (an Error, so NOT caught by the NonFatal
+  // handlers around per-row decode calls) for a misregistered or
+  // failing-to-construct provider class — one bad plug-in jar must skip
+  // that provider (with a once-per-JVM stderr warning), not poison every
+  // decode of non-built-in bytes. That is the SPI's documented contract:
+  // a provider that throws is treated the same as one returning null,
+  // contained per row — and the same containment applies at load time.
   private lazy val externalDecoders: Array[MediaDecoder] = {
-    import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[MediaDecoder])
-      .iterator().asScala.toArray
+    def contained(t: Throwable): Boolean =
+      scala.util.control.NonFatal(t) ||
+        t.isInstanceOf[java.util.ServiceConfigurationError] ||
+        t.isInstanceOf[LinkageError]
+    def warn(t: Throwable): Unit =
+      System.err.println("[graft.media] skipping MediaDecoder provider " +
+        s"that failed to load: ${t.getClass.getName}: " +
+        Option(t.getMessage).getOrElse("").take(200))
+    val out = scala.collection.mutable.ArrayBuffer.empty[MediaDecoder]
+    val it = java.util.ServiceLoader.load(classOf[MediaDecoder]).iterator()
+    var more = true
+    while (more) {
+      // hasNext (config-file parse) and next (provider instantiation)
+      // can EACH throw ServiceConfigurationError. A throwing next skips
+      // just that provider and keeps iterating; a throwing hasNext gives
+      // no way to advance past the bad entry, so discovery STOPS there
+      // (providers already loaded stay usable) rather than retrying the
+      // same throw forever.
+      more = try it.hasNext catch {
+        case t: Throwable if contained(t) => warn(t); false
+      }
+      if (more) {
+        try out += it.next()
+        catch { case t: Throwable if contained(t) => warn(t) }
+      }
+    }
+    out.toArray
   }
 
   private def externalImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {

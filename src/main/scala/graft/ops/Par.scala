@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 
 /** Parallelism plumbing for compute-heavy per-row derivations. */
 object Par {
@@ -113,7 +114,7 @@ object Par {
     ()
   }
 
-  private def plansExchange(df: DataFrame): Boolean =
+  private[graft] def plansExchange(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
            _: Distinct | _: Deduplicate | _: Except | _: Intersect |
@@ -135,10 +136,24 @@ object Par {
     */
   private[graft] val FanOutMinBytes: Long = 8L << 20
 
-  def fanOut(df: DataFrame): DataFrame = {
-    if (df.isStreaming || plansExchange(df)) df
+  def fanOut(df: DataFrame, minBytes: Long = FanOutMinBytes): DataFrame = {
+    // Pinned/cached frames return UNTOUCHED, before any plan probe: cache
+    // substitution runs before optimization, so a persisted derived frame
+    // presents as a bare InMemoryRelation — plansExchange cannot see the
+    // Join/Aggregate hidden inside it, the stats read would fall back to
+    // the child plan's multiplicative estimate (the same ~1e5-off number
+    // routeTwoPhase exists to avoid), and the df.rdd partition probe
+    // would materialize the cache's upstream shuffles under AQE. A frame
+    // someone pinned is either derived (already spread by its own
+    // exchange) or a deliberately cached scan — neither wants an extra
+    // repartition stacked on top of the cache.
+    if (df.isStreaming ||
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        df.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[InMemoryRelation]) ||
+        plansExchange(df)) df
     else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(FanOutMinBytes)) df
+      BigInt(minBytes)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df

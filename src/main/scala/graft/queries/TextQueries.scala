@@ -16,6 +16,25 @@ import graft.text.{Corpus, TextFunctions}
   */
 object TextQueries {
 
+  /** q94's on-disk index location — keyed by full-path UUID (not a
+    * collision-prone hashCode) AND the process pid: bench iterations
+    * within one process reuse/overwrite the same dir, while two
+    * concurrent harness processes can never overwrite each other's
+    * index mid-probe.
+    */
+  private def q94IndexDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q94_idx_" +
+      java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)) +
+      s"_${ProcessHandle.current().pid()}"
+
+  /** Dirs this process has already built — lets q94_ivf_batch_probe be
+    * SERVE-ONLY when q94_build_ivf ran first (the name-ordered bench /
+    * verify path) while staying self-contained when invoked alone.
+    */
+  private val q94Built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + corpus stats per language bucket.
     "q31_token_stats" -> ((s, d) => {
@@ -555,26 +574,46 @@ object TextQueries {
         .orderBy("query_id")
     }),
 
+    // IVF index BUILD, split from serving so each cost is visible per
+    // SF (r12 verdict: q94's 25.4 s at sf10 was build+serve mixed — the
+    // suite's most expensive number with no attribution). Always a full
+    // rebuild (honest build cost per run), then gated against the meta
+    // the build STAMPED on disk: rows/cells are closed-form (the
+    // null/empty filter + the max(16, min(4096, ceil(sqrt(n)))) auto
+    // sizing), so DuckDB derives the same pair independently — the gate
+    // asserts an index with exactly those properties was written.
+    "q94_build_ivf" -> ((s, d) => {
+      val dir = q94IndexDir(d)
+      Similarity.writeIvfIndex(Tables.embeddings(s, d),
+        "embedding", "vec_id", dir, maxIter = 5)
+      q94Built.add(dir)
+      // read back through the probe-side sidecar loaders (spark.read
+      // skips _-prefixed files): rows from the stamped meta, cells from
+      // the centroid sidecar actually written — the gate asserts the
+      // on-disk index carries exactly the closed-form properties
+      val nVectors = Similarity.loadBuildMeta(s, dir)._1.getOrElse(
+        sys.error(s"q94_build_ivf: no rows stamped in $dir"))
+      val nCells = Similarity.loadCentroids(s, dir).length
+      import s.implicits._
+      Seq((nVectors, nCells)).toDF("n_vectors", "n_cells")
+    }),
+
     // Batch serving over the ON-DISK IVF index, FULLY ORACLED via the
-    // q62 planted-twin construction: build the index from the corpus
-    // (deterministic per-sfDir dir, overwritten per call — bench
-    // iterations reuse it rather than leaking temp dirs), then probe a
-    // whole DataFrame of planted copies in one distributed plan. Top-1
-    // is structural exactly as in q62 — the twin's cell is the argmin of
-    // the SAME fused numerics that rank the query's probe list, so it is
-    // always a candidate and wins at cos 1.0. Exercises write → sidecar
-    // → NearestCells probe lists → static cell pruning → rerank.
+    // q62 planted-twin construction: probe a whole DataFrame of planted
+    // copies in one distributed plan against the index q94_build_ivf
+    // wrote (built here only if this process hasn't yet — Bench/Verify
+    // run queries in name order, so build lands first and this number
+    // is SERVE-ONLY). Top-1 is structural exactly as in q62 — the
+    // twin's cell is the argmin of the SAME fused numerics that rank
+    // the query's probe list, so it is always a candidate and wins at
+    // cos 1.0. Exercises sidecar → NearestCells probe lists → static
+    // cell pruning → rerank.
     "q94_ivf_batch_probe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      // keyed by full-path UUID (not a collision-prone hashCode) AND the
-      // process pid: bench iterations within one process reuse/overwrite
-      // the same dir, while two concurrent harness processes can never
-      // overwrite each other's index mid-probe
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q94_idx_" +
-        java.util.UUID.nameUUIDFromBytes(
-          d.getBytes(java.nio.charset.StandardCharsets.UTF_8)) +
-        s"_${ProcessHandle.current().pid()}"
-      Similarity.writeIvfIndex(emb, "embedding", "vec_id", dir, maxIter = 5)
+      val dir = q94IndexDir(d)
+      if (q94Built.add(dir))
+        Similarity.writeIvfIndex(emb, "embedding", "vec_id", dir,
+          maxIter = 5)
       val probesQ = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
         .withColumn("vec_id", col("vec_id") + 100000)
       Similarity.probeIvfIndexBatch(probesQ, "embedding", "vec_id", dir,
@@ -818,6 +857,15 @@ object TextQueries {
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
         |  1.0 AS cos, CAST(1 AS INT) AS rank
         |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id""".stripMargin,
+
+    // Closed-form build properties (see q94_build_ivf): the vector-valid
+    // row count and the sqrt auto cell sizing, derived independently.
+    "q94_build_ivf" ->
+      """SELECT count(*) AS n_vectors,
+        |  CAST(greatest(16, least(4096, ceil(sqrt(count(*))))) AS INT)
+        |    AS n_cells
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND len(embedding) > 0""".stripMargin,
 
     "q77_unigram_logprob" ->
       """WITH toks AS (

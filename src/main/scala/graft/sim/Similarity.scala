@@ -702,7 +702,7 @@ object Similarity {
     String, (String, (Option[Long], Array[Int]))]()
 
   /** Build sidecar (rows + measured recall ranks), stamped-cached. */
-  private def loadBuildMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def loadBuildMeta(spark: org.apache.spark.sql.SparkSession,
                             dir: String): (Option[Long], Array[Int]) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_build_meta.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -814,9 +814,18 @@ object Similarity {
     */
   private[graft] def nProbeFromRanks(ranks: Array[Int], cells: Int,
                                      target: Double): Int = {
-    val need = math.ceil(target * ranks.length - 1e-9).toInt
-    val sorted = ranks.sorted
-    math.min(cells, sorted(math.max(0, need - 1)))
+    // Empty ranks (a 1-row corpus yields no measurable queries; a probe
+    // may read lastMemoryRecallRanks before any recallTarget call) is
+    // guarded HERE, not at call sites: with zero measurements no smaller
+    // probe can be certified to meet the target, so probe every cell —
+    // recall 1.0 by construction, and the empty-curve corner only arises
+    // on corpora small enough that full probing is free.
+    if (ranks.isEmpty) cells
+    else {
+      val need = math.ceil(target * ranks.length - 1e-9).toInt
+      val sorted = ranks.sorted
+      math.min(cells, sorted(math.max(0, need - 1)))
+    }
   }
 
   /** Diagnostic: the fit-time recall ranks measured by the most recent
@@ -840,7 +849,7 @@ object Similarity {
     * call, a JSON read only when the sidecar changed (see centroidCache
     * comment). Shared by every on-disk-index entry point.
     */
-  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Array[(Int, Seq[Double])] = {
     val stamp = sidecarStamp(spark, dir)
     val cents = centroidCache.compute(dir, (d, cached) =>

@@ -352,44 +352,16 @@ object Streams {
       s"benchmark side is ~$sidecarBytes bytes (> $maxBenchBytes): " +
         "contaminationFilter broadcasts the WHOLE bench suite — pass the " +
         "eval sets here, not a corpus (or raise maxBenchBytes)")
-    val kk = k; val ml = minLen; val ww = w; val cap = maxPosPerHash
-    val probe = udf((text: String) => {
-      val (bh, bt, bids) = sidecar.value
-      if (text == null || text.length < ml) (false, 0, 0)
-      else {
-        // decode the incoming doc ONCE; winnow and every extension share it
-        val cps = text.codePoints().toArray
-        val (pos, hash) = graft.functions.WinnowAnchors.winnow(cps, kk, ww, cap)
-        // group candidate seeds per bench doc, then one extension pass each
-        val seeds = new scala.collection.mutable.HashMap[Int, List[Long]]()
-        var i = 0
-        while (i < pos.length) {
-          bh.getOrElse(hash(i), Nil).foreach { case (bi, bp) =>
-            seeds(bi) = (pos(i).toLong << 32 | bp.toLong) :: seeds.getOrElse(bi, Nil)
-          }
-          i += 1
-        }
-        // count DISTINCT bench doc IDS, not sidecar row indices — a
-        // duplicated bench doc must count once, as in crossSpans'
-        // (corpus_id, bench_id) grouping (the parity the spec asserts)
-        val hitIds = new scala.collection.mutable.HashSet[Long]()
-        var maxSpan = 0
-        seeds.foreach { case (bi, ss) =>
-          val spans = graft.dedup.SubstringDedup
-            .extendSeeds(cps, bt(bi), ss, kk, ml)
-          if (spans.nonEmpty) {
-            hitIds += bids(bi)
-            spans.foreach(sp => if (sp.len > maxSpan) maxSpan = sp.len)
-          }
-        }
-        (hitIds.nonEmpty, hitIds.size, maxSpan)
-      }
-    })
+    // fused codegen probe (graft.functions.ContaminationProbe), not a
+    // Scala UDF: same winnow + extendSeeds kernels, minus the per-row
+    // boxed String marshalling and catalyst result converters — the last
+    // per-row UDF on a 100 TB-path operator (r12 verdict item 5)
     val vC = freshCol("_v", docs.columns)
-    docs.withColumn(vC, probe(col(textCol)))
-      .withColumn("contaminated", col(s"$vC._1"))
-      .withColumn("n_bench_docs", col(s"$vC._2"))
-      .withColumn("max_span", col(s"$vC._3"))
+    docs.withColumn(vC, graft.functions.ContaminationProbe(
+        col(textCol), sidecar, k, minLen, maxPosPerHash))
+      .withColumn("contaminated", col(s"$vC.contaminated"))
+      .withColumn("n_bench_docs", col(s"$vC.n_bench_docs"))
+      .withColumn("max_span", col(s"$vC.max_span"))
       .drop(vC)
   }
 

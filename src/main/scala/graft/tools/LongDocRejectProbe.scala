@@ -69,7 +69,8 @@ object LongDocRejectProbe {
       val stat = pinned.queryExecution.optimizedPlan.stats.sizeInBytes
       val measured = pinned.agg(sum(octet_length(col("text"))))
         .first().getLong(0)
-      val twoP = graft.dedup.SubstringDedup.routeTwoPhase(pinned)
+      val twoP = graft.dedup.SubstringDedup.routeTwoPhase(pinned,
+        measured = true)
       println(f"[longdoc] derived auto-route: twoPhase=$twoP " +
         f"(measured ${measured / 1e6}%.1f MB, plan-stat ${stat.toDouble / 1e6}%.1f MB, " +
         f"budget ${graft.dedup.SubstringDedup.TwoPhaseBytesBudget / 1e6}%.0f MB)")

@@ -22,6 +22,44 @@ class FunctionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  test("contamination_probe fused expression: kernel truth, null/short " +
+       "text, distinct bench ids, under forced codegen") {
+    import spark.implicits._
+    val k = 8; val minLen = 24; val w = minLen - k + 1
+    val cap = graft.dedup.SubstringDedup.DefaultMaxPosPerHash
+    val rng = new scala.util.Random(43)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val leak = rand(80)
+    // sidecar built EXACTLY as Streams.contaminationFilter builds it —
+    // including a duplicated bench row (same id twice) so the
+    // distinct-id contract is exercised at the expression level
+    val benchTexts = Array(leak, leak, rand(80)).map(_.codePoints().toArray)
+    val benchIds = Array(7L, 7L, 8L)
+    val byHash = new scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+    benchTexts.zipWithIndex.foreach { case (cps, b) =>
+      val (pos, hash) = graft.functions.WinnowAnchors.winnow(cps, k, w, cap)
+      pos.indices.foreach(i =>
+        byHash(hash(i)) = (b, pos(i)) :: byHash.getOrElse(hash(i), Nil))
+    }
+    val sidecar = spark.sparkContext.broadcast(
+      (byHash.toMap, benchTexts, benchIds))
+    val contaminated = rand(10) + leak.substring(5, 70) + rand(10)
+    val rows = Seq((0L, Some(contaminated)), (1L, Some(rand(90))),
+      (2L, None), (3L, Some("short"))).toDF("id", "text")
+    val got = rows.select(col("id"), graft.functions.ContaminationProbe(
+        col("text"), sidecar, k, minLen, cap).as("v"))
+      .select(col("id"), col("v.contaminated"), col("v.n_bench_docs"),
+        col("v.max_span"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(0L)._1 && got(0L)._2 == 1, // duplicated bench doc counts once
+      s"planted leak must flag with ONE distinct bench id: ${got(0L)}")
+    assert(got(0L)._3 >= minLen, "span at least minLen")
+    assert(got(1L) == ((false, 0, 0)), "clean doc")
+    assert(got(2L) == ((false, 0, 0)), "null text is clean, never null row")
+    assert(got(3L) == ((false, 0, 0)), "sub-minLen text is clean")
+  }
+
   test("linear_score matches driver-side dot product under forced codegen") {
     import spark.implicits._
     val w = Array.tabulate(8)(j => (j * 37 % 19 - 9) / 10.0)
@@ -528,15 +566,16 @@ class FunctionsSpec extends AnyFunSuite {
     val got = rows.select(col("id"),
       graft.functions.VocabHits(col("toks"), vocab).as("h"),
       size(filter(col("toks"), t => t.isin(vocab: _*))).as("ref"))
-      .collect().map(r => (r.getLong(0), r.getInt(1),
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
         if (r.isNullAt(2)) None else Some(r.getInt(2))))
     got.foreach { case (id, h, ref) =>
-      // the composed form null-propagates on a null array; VocabHits
-      // contracts null -> 0
-      if (id == 3L) assert(h == 0 && ref.isEmpty)
-      else assert(ref.contains(h), s"row $id: $h vs $ref")
+      // null-propagating on a null array, EXACTLY like the composed
+      // form (and DuckDB's len(list_filter(...)))
+      assert(ref == h, s"row $id: $h vs $ref")
     }
-    assert(got.find(_._1 == 1L).get._2 == 3, "repeats counted")
+    assert(got.find(_._1 == 3L).get._2.isEmpty, "null array -> null")
+    assert(got.find(_._1 == 1L).get._2.contains(3), "repeats counted")
   }
 
   test("dense_from_entries = map_from_entries + try_element_at transform, " +

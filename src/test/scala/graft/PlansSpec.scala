@@ -163,4 +163,82 @@ class PlansSpec extends AnyFunSuite {
       .r.findFirstIn(plan).isDefined,
       s"join-key shuffle of the fact crept in:\n$plan")
   }
+
+  // ---- Par.fanOut routing contract -------------------------------------
+  // fanOut sits in ~20 registered-query paths; its behavioral contract
+  // ("no-op on a real cluster", "no-op below the byte gate", "never probe
+  // a plan that would materialize shuffles") is pinned here, not just in
+  // comments. The byte gate is injectable (minBytes) so both sides of the
+  // threshold are exercised without multi-MB fixtures.
+
+  private def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+
+  test("fanOut inserts the repartition only above the byte gate, on " +
+       "under-parallel exchange-free scans") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    assert(docs.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism, "fixture: one-split scan")
+    // above the gate: fan out to defaultParallelism
+    val fanned = graft.ops.Par.fanOut(docs, minBytes = 1L)
+    assert(hasRepartition(fanned), "a big one-split scan must fan out")
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // below the gate: untouched (the exchange costs more than it buys)
+    assert(graft.ops.Par.fanOut(docs, minBytes = Long.MaxValue) eq docs,
+      "sub-gate scans pass through untouched")
+  }
+
+  test("fanOut is a no-op at >= defaultParallelism partitions (the " +
+       "real-cluster shape)") {
+    val spread = spark.range(0L, 1000L, 1L,
+      numPartitions = spark.sparkContext.defaultParallelism).toDF("id")
+    assert(graft.ops.Par.fanOut(spread, minBytes = 1L) eq spread,
+      "an already-spread exchange-free plan must pass through")
+  }
+
+  test("fanOut never touches streaming frames or plans with exchanges") {
+    val stream = spark.readStream.format("rate").load()
+    assert(graft.ops.Par.fanOut(stream, minBytes = 1L) eq stream,
+      "streaming frames cannot be probed")
+    val joined = {
+      val a = spark.range(10).toDF("id")
+      a.groupBy("id").count()
+    }
+    assert(graft.ops.Par.fanOut(joined, minBytes = 1L) eq joined,
+      "plans with exchanges are already spread; probing them would " +
+        "materialize shuffles under AQE")
+  }
+
+  test("fanOut returns pinned/cached frames untouched (q88's " +
+       "pinned-derived path)") {
+    // A pinned DERIVED frame presents as a bare InMemoryRelation (cache
+    // substitution precedes optimization), so the exchange guard cannot
+    // see the Join/Aggregate inside it — fanOut must bail on the cache
+    // marker itself, BEFORE any stats read or partition probe.
+    val base = spark.range(100).toDF("id")
+      .withColumn("text", concat(lit("doc "), col("id")))
+    val derived = base.groupBy("id").agg(first("text").as("text"))
+    val pinned = graft.ops.Par.pinLatest("spec.fanout.pin", derived)
+    try {
+      assert(graft.ops.Par.fanOut(pinned, minBytes = 1L) eq pinned,
+        "pinned derived frames pass through untouched")
+      // a frame built ON TOP of the cache hides the exchange one level
+      // deeper — still untouched
+      val onTop = pinned.select(col("id"), length(col("text")).as("n"))
+      assert(graft.ops.Par.fanOut(onTop, minBytes = 1L) eq onTop,
+        "plans reading an InMemoryRelation pass through untouched")
+    } finally graft.ops.Par.unpin("spec.fanout.pin", pinned)
+    // a caller-persisted BARE SCAN is equally off-limits: repartitioning
+    // on top of someone's cache would re-shuffle every consumption
+    val cached = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").persist()
+    try assert(graft.ops.Par.fanOut(cached, minBytes = 1L) eq cached,
+      "caller-persisted scans pass through untouched")
+    finally { cached.unpersist(blocking = false); () }
+  }
 }

@@ -747,18 +747,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert((statBytes - BigInt(trueBytes)).abs * 2 > BigInt(trueBytes),
       s"expected divergent plan stats, got $statBytes vs true $trueBytes")
     // measured routing: single-phase below the budget...
-    assert(!SubstringDedup.routeTwoPhase(texts, budget = trueBytes + 1))
+    assert(!SubstringDedup.routeTwoPhase(texts, measured = true,
+      budget = trueBytes + 1))
     // ...two-phase above it
-    assert(SubstringDedup.routeTwoPhase(texts, budget = trueBytes - 1))
+    assert(SubstringDedup.routeTwoPhase(texts, measured = true,
+      budget = trueBytes - 1))
     // bare scan+filter+project stays on (accurate) plan stats: no pin,
     // no measuring scan
     val bare = base.select(col("doc_id").cast("long").as("doc"),
       col("text")).filter(length(col("text")) >= 10)
     assert(bare.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     val bareStats = bare.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(SubstringDedup.routeTwoPhase(bare,
+    assert(SubstringDedup.routeTwoPhase(bare, measured = false,
       budget = (bareStats - 1).toLong) &&
-      !SubstringDedup.routeTwoPhase(bare, budget = (bareStats + 1).toLong))
+      !SubstringDedup.routeTwoPhase(bare, measured = false,
+        budget = (bareStats + 1).toLong))
     graft.ops.Par.unpin("spec.route.texts", texts)
   }
 }

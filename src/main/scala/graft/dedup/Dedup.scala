@@ -68,10 +68,19 @@ object Dedup {
       // below the fan-out exchange — re-serializing the whole shingle
       // computation onto the single pre-shuffle task. The rule skips outer
       // generates; the explicit isnotnull(s) keeps the row semantics.
+      // The index rows carry xxhash64(shingle), not the string: the join
+      // key drops from ~20 variable bytes to 8 fixed, which slims the
+      // one big exchange AND turns every join-probe comparison into a
+      // long equality. n_inter over hashes equals n_inter over strings
+      // absent a 64-bit collision between distinct shingles — the same
+      // premise as minhashPairs' hashed rerank, spec-pinned collision-
+      // free on the oracle corpora (DedupSimSpec) and string-truth-
+      // checked end-to-end by the q36/q38/q64 DuckDB gates.
       val sh = base.select(col("doc"), arr.as("_arr"))
         .select(col("doc"), size(col("_arr")).as("n_sh"),
           explode_outer(col("_arr")).as("s"))
         .filter(col("s").isNotNull)
+        .select(col("doc"), col("n_sh"), xxhash64(col("s")).as("s"))
       selfJoinOnShingle(sh)
         .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
           col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -93,7 +102,8 @@ object Dedup {
       // so without persistence the shingle build would run ~3x.
       val exploded = Par.pinLatest("jaccard.index",
         base.select(col("doc"), explode_outer(arr).as("s"))
-          .filter(col("s").isNotNull)) // see no-cap branch: dodge InferFiltersFromGenerate
+          .filter(col("s").isNotNull) // see no-cap branch: dodge InferFiltersFromGenerate
+          .select(col("doc"), xxhash64(col("s")).as("s"))) // hashed key, as above
       val hot = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxShingleDf).select("s")
       val filtered = exploded.join(broadcast(hot), Seq("s"), "left_anti")
@@ -170,7 +180,11 @@ object Dedup {
     * higher-order functions), candidates from an equi-join on the LONG
     * (table, signature) key — a real hash join, unlike Spark ML's
     * approxSimilarityJoin whose VectorUDT key forces a non-codegen join —
-    * then an exact Jaccard rerank (array_intersect on the shingle sets)
+    * then a Jaccard rerank over SORTED 64-BIT SHINGLE HASHES
+    * (ShingleHashes/SortedIntersectCount — set sizes exact, intersection
+    * equal to the string-set intersection absent an xxhash64 collision
+    * between distinct shingles, ~|S|²/2⁶⁵; spec-pinned collision-free on
+    * the oracle corpora and parity-checked against the string rerank)
     * keeps only pairs >= minJaccard. OR-amplification over
     * `numHashTables` gives recall ≈ 1-(1-J)^k; the post-filter gives
     * precision 1, so the output equals exact Jaccard pairs restricted to
@@ -221,15 +235,26 @@ object Dedup {
     // Rerank: candidates are numerous PRE-filter (LSH collisions among
     // unrelated docs), so (a) pin the rerank's parallelism — its shuffle
     // bytes are small enough that AQE would coalesce the intersect-heavy
-    // stage to one task — and (b) count the overlap with the codegen'd
-    // IntersectCount instead of interpreted size(array_intersect(...)).
+    // stage to one task — and (b) intersect SORTED 64-BIT SHINGLE HASHES
+    // (the same content hash the signatures fold over), not the string
+    // sets: the string arrays made the join1→join2 intermediate ~1.4 KB
+    // per candidate pair — 4.8 GB of shuffle at sf10, the operator's
+    // whole dominant cost — where the hashed arrays are 8 B/elem and the
+    // per-pair count is a branchy-free merge instead of a hash-set
+    // build+probe (SortedIntersectCount). Jaccard over hashed sets
+    // equals the string-set Jaccard absent a 64-bit collision between
+    // distinct shingles (~|S|²/2⁶⁵); DedupSimSpec pins zero collisions
+    // on the oracle corpora and randomized parity with the string-set
+    // rerank. n_a/n_b stay exact: ShingleHashes preserves array length.
+    val shH = sh.select(col("id"),
+      graft.functions.ShingleHashes(col("shingles")).as("_h"))
     cand.repartition(p, col("id_a"))
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("_sa")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("_sb")), "id_b")
+      .join(shH.select(col("id").as("id_a"), col("_h").as("_ha")), "id_a")
+      .join(shH.select(col("id").as("id_b"), col("_h").as("_hb")), "id_b")
       .withColumn("_inter",
-        graft.functions.IntersectCount(col("_sa"), col("_sb")))
+        graft.functions.SortedIntersectCount(col("_ha"), col("_hb")))
       .withColumn("est_jaccard", round(col("_inter") /
-        (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
+        (size(col("_ha")) + size(col("_hb")) - col("_inter")), 6))
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -291,8 +316,18 @@ object Dedup {
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                  maxIter: Int = 20,
                  driverEdgeBudget: Long = 1L << 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Both edge directions in ONE pass over `pairs` (explode of a 2-row
+    // array), NOT union(select(a,b), select(b,a)): the union's two sides
+    // are canonically different plans, so only the upstream exchange is
+    // reused and everything above it — for a Jaccard pair graph, the
+    // 100M-row final pair aggregate + threshold filter — would execute
+    // TWICE (measured at sf10: q64's edge count was 321 s of CPU, ~2×
+    // the pair pipeline's own cost, for a 25k-row result).
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .persist()
     // Auto-route on size (the same regime switch as the broadcast vs
     // data-parallel fit paths): a near-dup pair graph is usually ORDERS

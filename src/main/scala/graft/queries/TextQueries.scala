@@ -31,9 +31,28 @@ object TextQueries {
   /** Dirs this process has already built — lets q94_ivf_batch_probe be
     * SERVE-ONLY when q94_build_ivf ran first (the name-ordered bench /
     * verify path) while staying self-contained when invoked alone.
+    * First registration also hooks a JVM-exit delete: the dirs are
+    * per-pid, so nothing else can ever reuse them and they would
+    * otherwise accumulate in java.io.tmpdir one per harness process.
     */
   private val q94Built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val q94Cleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def q94RegisterCleanup(dir: String): Unit =
+    if (q94Cleanup.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
+      ()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + corpus stats per language bucket.
@@ -584,6 +603,7 @@ object TextQueries {
     // asserts an index with exactly those properties was written.
     "q94_build_ivf" -> ((s, d) => {
       val dir = q94IndexDir(d)
+      q94RegisterCleanup(dir)
       Similarity.writeIvfIndex(Tables.embeddings(s, d),
         "embedding", "vec_id", dir, maxIter = 5)
       q94Built.add(dir)
@@ -611,6 +631,7 @@ object TextQueries {
     "q94_ivf_batch_probe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dir = q94IndexDir(d)
+      q94RegisterCleanup(dir)
       if (q94Built.add(dir))
         Similarity.writeIvfIndex(emb, "embedding", "vec_id", dir,
           maxIter = 5)

@@ -21,7 +21,7 @@ object RepeatStageProfile {
     try graft.Tables.lineitem(spark, sfDir).count()
     catch { case _: Exception => graft.Tables.documents(spark, sfDir).count() }
 
-    val current = ArrayBuffer[(Int, String, Int, Long, Long)]()
+    val current = ArrayBuffer[(Int, String, Int, Long, Long, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -29,7 +29,10 @@ object RepeatStageProfile {
           current += ((si.stageId, si.name.takeWhile(_ != '\n').take(50),
             si.numTasks,
             si.taskMetrics.executorRunTime,
-            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)))
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            si.taskMetrics.inputMetrics.bytesRead))
         }
       }
     })
@@ -51,9 +54,11 @@ object RepeatStageProfile {
     for ((label, (wall, snap)) <- Seq(
         "FASTEST" -> runs.minBy(_._1), "SLOWEST" -> runs.maxBy(_._1))) {
       println(f"[repeat] $label wall=$wall%.2f s")
-      snap.sortBy(-_._5).take(12).foreach { case (id, nm, t, run, w) =>
-        println(f"[repeat]   stage=$id%4d tasks=$t%3d runSum=${run}%7d ms " +
-          f"wall=${w}%7d ms  $nm")
+      snap.sortBy(-_._5).take(12).foreach {
+        case (id, nm, t, run, w, sr, sw, in) =>
+          println(f"[repeat]   stage=$id%4d tasks=$t%3d runSum=${run}%7d ms " +
+            f"wall=${w}%7d ms shufR=${sr >> 20}%6d M shufW=${sw >> 20}%6d M " +
+            f"in=${in >> 20}%6d M  $nm")
       }
     }
     spark.stop()

@@ -96,6 +96,53 @@ class DedupSimSpec extends AnyFunSuite {
       s"missed=${(exact -- lsh).toSeq.sorted} spurious=${(lsh -- exact).toSeq.sorted}")
   }
 
+  test("hashed rerank premise: zero xxhash64 collisions among distinct " +
+       "shingles on the oracle corpora; randomized string-set parity") {
+    // minhashPairs reranks over ShingleHashes (64-bit content hashes of
+    // the shingles); its Jaccard equals the string-set Jaccard iff no
+    // two DISTINCT shingles collide. Pin that premise on the corpora the
+    // driver's gate runs (sf0.001 verified here; sf0.01 = the gate's SF).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val sh = Tables.documents(spark, d)
+        .select(explode(graft.text.TextFunctions
+          .distinctWordNGrams(col("text"), 3)).as("s"))
+      val r = sh.agg(countDistinct(col("s")),
+        countDistinct(xxhash64(col("s")))).first()
+      assert(r.getLong(0) == r.getLong(1),
+        s"$d: ${r.getLong(0)} distinct shingles vs ${r.getLong(1)} hashes")
+    }
+    // randomized parity: hashed-merge jaccard == string-hash-set jaccard
+    // over arbitrary shingle-set pairs (duplicate-free, as the builders
+    // emit) — the kernel-level equivalence under codegen
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      val words = Seq.fill(5 + rng.nextInt(40))(
+        s"w${rng.nextInt(120)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"), graft.text.TextFunctions
+      .distinctWordNGrams(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.functions.IntersectCount(col("a.sh"), col("b.sh")).as("si"),
+        graft.functions.SortedIntersectCount(
+          graft.functions.ShingleHashes(col("a.sh")),
+          graft.functions.ShingleHashes(col("b.sh"))).as("hi"),
+        size(col("a.sh")).as("na"),
+        graft.functions.ShingleHashes(col("a.sh")).as("ha"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"string vs hashed intersection: $r")
+      assert(r.getInt(2) == r.getSeq[Long](3).length,
+        "ShingleHashes preserves set size")
+      val hs = r.getSeq[Long](3)
+      assert(hs == hs.sorted, "ShingleHashes emits sorted arrays")
+    }
+  }
+
   test("components chain transitively; survivors keep one doc per group") {
     // 1-2, 2-3 chain (3 never pairs with 1 directly) + separate 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -60,6 +60,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3L) == ((false, 0, 0)), "sub-minLen text is clean")
   }
 
+  test("shingle_hashes + sorted_intersect_count: sortedness, null-element " +
+       "skip, duplicate-run counting, under forced codegen") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(Seq(Some("b"), Some("a"), None, Some("c")))), // null elem skipped
+      (2L, Some(Seq[Option[String]]())),                      // empty
+      (3L, None))                                             // null array
+      .toDF("id", "sh")
+    val got = rows.select(col("id"),
+        graft.functions.ShingleHashes(col("sh")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+    assert(got(1L).get.length == 3, "null elements skipped, others kept")
+    assert(got(1L).get == got(1L).get.sorted, "sorted ascending")
+    assert(got(2L).get.isEmpty && got(3L).isEmpty)
+    // merge-count: duplicate runs count once per matched value — equals
+    // set-intersection on duplicate-free inputs, and stays a SET count
+    // even when a genuine collision duplicates a hash
+    val a = Seq(1L, 3L, 3L, 5L, 9L)
+    val b = Seq(3L, 5L, 5L, 7L)
+    val cnt = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount(col("a"), col("b")))
+      .head().getInt(0)
+    assert(cnt == 2, s"values {3,5} shared -> 2, got $cnt")
+  }
+
   test("linear_score matches driver-side dot product under forced codegen") {
     import spark.implicits._
     val w = Array.tabulate(8)(j => (j * 37 % 19 - 9) / 10.0)

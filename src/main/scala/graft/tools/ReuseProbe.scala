@@ -42,6 +42,13 @@ object ReuseProbe {
     val pinnedRep = pinned.repartition(8, col("k"))
     println(s"[reuse] persisted+repartitioned self-join: " +
       s"${reuseCount(selfJoin(pinnedRep))}")
+    // (e) cache ABOVE the exchange: if InMemoryTableScan preserves the
+    // cached repartition's HashPartitioning, the self-join needs NO
+    // exchange at all — the workaround for (c)/(d)'s broken reuse
+    val repPinned = base.repartition(8, col("k")).persist()
+    repPinned.count()
+    println(s"[reuse] repartitioned-then-persisted self-join " +
+      s"(want 0 exchanges): ${reuseCount(selfJoin(repPinned))}")
     spark.stop()
   }
 }

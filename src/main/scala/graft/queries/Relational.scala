@@ -27,28 +27,61 @@ object Relational {
 
   private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
-  // Exact-decimal revenue term for the grouped revenue aggregates
+  // Exact integer-unit sums for the grouped revenue aggregates
   // (q01/q03/q04/q18): double summation ORDER differs between Spark and
   // DuckDB, and at sf1+ group sums land close enough to a .xx5 boundary
   // to flip round(x, 2) — the crosscheck's only manual adjudications.
-  // Summing DECIMAL is order-independent and exact, so the rounded
-  // result is engine-invariant — PROVIDED the per-row double→decimal
-  // cast itself is. The engines quantize DIFFERENT numbers (Spark
-  // half-up-rounds the double's shortest decimal representation via
-  // BigDecimal.valueOf; DuckDB rounds the binary value scaled by
-  // 10^scale), so the cast is engine-invariant only when the term's
-  // TRUE mathematical value is at least ~1e-9 away from every scale
-  // boundary. That holds exactly when the cast scale covers the term's
-  // true decimal precision: extendedprice and discount are 2-dp by
-  // data contract (verified: max |100x − round(100x)| < 1e-9 across
-  // the testdata), so extendedprice·(1−discount) is a true 4-dp value
-  // and scale 4 is tie-free. A term multiplying THREE 2-dp factors
-  // (q01's charge) is a true 6-dp value — it needs scale 6, because
-  // true .xxxx50 values DO occur and sit exactly on the scale-4
-  // boundary where the two quantizers disagree (observed at sf0.01
-  // once q01 moved to decimal sums). The final cast back to double
-  // keeps the published column type.
-  private def revenueDec = revenue.cast("decimal(20,4)")
+  // Summing integers is order-independent and exact, so the rounded
+  // result is engine-invariant — PROVIDED the per-row quantization
+  // itself is. The engines quantize DIFFERENT numbers (Spark half-up-
+  // rounds the double's shortest decimal representation via
+  // BigDecimal.valueOf inside round(); DuckDB's DECIMAL cast rounds the
+  // binary value scaled by 10^scale), so the quantization is engine-
+  // invariant only when the term's TRUE mathematical value is at least
+  // ~1e-9 away from every boundary at the chosen scale. That holds
+  // exactly when the scale covers the term's true decimal precision:
+  // extendedprice and discount are 2-dp by data contract (verified:
+  // max |100x − round(100x)| < 1e-9 across the testdata), so
+  // extendedprice·(1−discount) is a true 4-dp value and scale 4 is
+  // tie-free. A term multiplying THREE 2-dp factors (q01's charge) is
+  // a true 6-dp value — it needs scale 6, because true .xxxx50 values
+  // DO occur and sit exactly on the scale-4 boundary where the two
+  // quantizers disagree (observed at sf0.01 on the decimal-sum
+  // predecessor of this vehicle).
+  //
+  // The SUM vehicle is Sum128 over round(term·10^scale) longs, NOT
+  // sum(CAST(term AS DECIMAL(20+,scale))): any per-row path through a
+  // >18-precision Decimal leaves the long-backed compact representation
+  // and allocates BigDecimals inside the generated aggregate loop —
+  // measured 3-5x slower at best, with intermittent HotSpot
+  // deopt/recompile storms where one task burns 20-75 s of CPU on work
+  // that takes 0.3 s compiled (DecimalAggProbe, r13 NOTES). Sum128's
+  // two-long 128-bit accumulator keeps the per-row work in pure long
+  // arithmetic at ANY corpus size, and materializes DECIMAL(38,0) once
+  // per group. The DuckDB oracle keeps its DECIMAL casts — its decimal
+  // sums are exact too, and the hash gate pins the equality.
+  private def unitSum(term: org.apache.spark.sql.Column, scale: Int)
+      : org.apache.spark.sql.Column =
+    graft.functions.Sum128(
+      round(term * math.pow(10, scale).toLong).cast("long"))
+
+  /** round(sum(term), 2) with the sum exact in 10^-scale units. */
+  private def sumMoney(term: org.apache.spark.sql.Column, scale: Int)
+      : org.apache.spark.sql.Column =
+    round(unitSum(term, scale) / lit(math.pow(10, scale).toLong), 2)
+      .cast("double")
+
+  /** Exact `DIV` (the oracle's HUGEINT `//`) built directly: the
+    * SQL-string route would need a registered sum128 function.
+    */
+  private def intDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, NumericEvalContext}
+    GraftSqlBridge.column(IntegralDivide(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b),
+      NumericEvalContext(EvalMode.LEGACY, allowDecimalPrecisionLoss = true)))
+  }
 
   // Engine-invariant 4-dp average over a true 2-dp column (ADVICE r11):
   // round(avg(x), 4) on a double sum inherits the same partial-agg
@@ -57,15 +90,18 @@ object Relational {
   // cent-multiple sums do), but the exact route costs nothing. Per-row
   // cents round(x*100) is tie-free and identical in both engines (x is
   // true 2-dp by data contract, so x*100 sits within 1e-9 of an
-  // integer); the integer sum S is exact in any order; and
-  // floor((200·S + n) / (2·n)) is the mathematically exact half-up
+  // integer); the integer sum S is exact in any order (Sum128's 128-bit
+  // long-limb accumulator — see unitSum for why not DECIMAL(38,0));
+  // and floor((200·S + n) / (2·n)) is the mathematically exact half-up
   // round(S/(100·n), 4) scaled by 10⁴, computed wholly in integer
-  // arithmetic (DECIMAL(38,0) here, HUGEINT via `//` in the DuckDB
-  // oracle). The only float op left is the final /10⁴ on an identical
-  // integer — bit-identical across engines.
-  private def avgExact2dp(c: String): org.apache.spark.sql.Column = expr(
-    s"CAST((sum(CAST(round($c * 100) AS DECIMAL(38,0))) * 200 + count(*))" +
-    s" DIV (count(*) * 2) AS DOUBLE) / 10000")
+  // arithmetic (DECIMAL(38,0) once per group here, HUGEINT via `//` in
+  // the DuckDB oracle). The only float op left is the final /10⁴ on an
+  // identical integer — bit-identical across engines.
+  private def avgExact2dp(c: String): org.apache.spark.sql.Column = {
+    val s = unitSum(col(c), 2)
+    val n = count(lit(1))
+    intDiv(s * lit(200) + n, n * lit(2)).cast("double") / 10000
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: full-scan aggregate with map-side
@@ -76,24 +112,21 @@ object Relational {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          // price sums ride per-row DECIMAL (the q03/q04/q18
-          // discipline): a double sum over millions of cent-valued
-          // rows is ordering-sensitive at the last ulp, Spark's
-          // partial-agg order is nondeterministic, and at sf1 volume
-          // sum_charge landed on a round-to-cent boundary and flipped
-          // between runs. The cast SCALE must cover the term's TRUE
-          // decimal precision (see revenueDec's comment): charge
+          // price sums ride exact integer units via Sum128 (the
+          // q03/q04/q18 discipline): a double sum over millions of
+          // cent-valued rows is ordering-sensitive at the last ulp,
+          // Spark's partial-agg order is nondeterministic, and at sf1
+          // volume sum_charge landed on a round-to-cent boundary and
+          // flipped between runs. The unit SCALE must cover the term's
+          // TRUE decimal precision (see unitSum's comment): charge
           // multiplies THREE 2-dp factors, so its true value has SIX
-          // decimals and a scale-4 cast would sit on genuine .xxxx50
-          // ties where the engines' double→decimal quantizers disagree
-          // — scale 6 is tie-free again. sum_qty stays double:
-          // quantities are integer-valued, exact below 2^53 in any
-          // summation order.
-          round(sum(col("l_extendedprice").cast("decimal(20,4)")), 2)
-            .cast("double").as("sum_base_price"),
-          round(sum(revenueDec), 2).cast("double").as("sum_disc_price"),
-          round(sum((revenue * (lit(1) + col("l_tax")))
-            .cast("decimal(24,6)")), 2).cast("double").as("sum_charge"),
+          // decimals and scale-4 units would sit on genuine .xxxx50
+          // ties where the engines' quantizers disagree — scale 6 is
+          // tie-free again. sum_qty stays double: quantities are
+          // integer-valued, exact below 2^53 in any summation order.
+          sumMoney(col("l_extendedprice"), 2).as("sum_base_price"),
+          sumMoney(revenue, 4).as("sum_disc_price"),
+          sumMoney(revenue * (lit(1) + col("l_tax")), 6).as("sum_charge"),
           avgExact2dp("l_quantity").as("avg_qty"),
           avgExact2dp("l_extendedprice").as("avg_price"),
           avgExact2dp("l_discount").as("avg_disc"),
@@ -127,11 +160,15 @@ object Relational {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderpriority"))
       Tables.lineitem(s, d)
-        .select(col("l_orderkey"), revenueDec.as("_rev"))
+        // revenue carried through the joins as an 8-byte long of exact
+        // 4-dp units (see unitSum) — half the decimal's row width on
+        // the fact side, and the sum stays pure long arithmetic
+        .select(col("l_orderkey"), round(revenue * 10000).cast("long").as("_rev"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderpriority")
-        .agg(round(sum("_rev"), 2).cast("double").as("rev"),
+        .agg(round(graft.functions.Sum128(col("_rev")) / lit(10000L), 2)
+            .cast("double").as("rev"),
           count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
@@ -141,7 +178,7 @@ object Relational {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(round(sum(revenueDec), 2).cast("double").as("rev"),
+        .agg(sumMoney(revenue, 4).as("rev"),
           round(sum("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
@@ -280,7 +317,7 @@ object Relational {
       Tables.lineitem(s, d)
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_items"),
-          round(sum(revenueDec), 2).cast("double").as("rev"))
+          sumMoney(revenue, 4).as("rev"))
         .filter(col("n_items") > 550)
         .orderBy("l_suppkey")
     }),

@@ -43,4 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   if (sys.env.get("SPARK_GRAFT_GCLOG").contains("1"))
     Seq("-Xlog:gc*=info:stderr:time,uptime")
   else Seq.empty
+) ++ (
+  // SPARK_GRAFT_JVM_EXTRA: space-separated extra flags for the forked
+  // JVM — the A/B hook for JIT/code-cache experiments
+  // (e.g. "-XX:ReservedCodeCacheSize=1g").
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)
 )

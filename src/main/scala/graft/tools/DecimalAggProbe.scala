@@ -70,6 +70,45 @@ object DecimalAggProbe {
             expr("CAST((sum(CAST(CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(18,0))) * 200 + count(*)) DIV (count(*) * 2) AS DOUBLE) / 10000").as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
+      case "q04_sum128" =>
+        li.join(broadcast(graft.Tables.part(spark, sfDir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(round(graft.functions.Sum128(
+              round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000).cast("long")) / lit(10000L), 2)
+            .cast("double").as("rev"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      case "q04_decimal" =>
+        li.join(broadcast(graft.Tables.part(spark, sfDir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(20,4)")), 2)
+            .cast("double").as("rev"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      case "q04_double" =>
+        li.join(broadcast(graft.Tables.part(spark, sfDir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      case "q04_sum128_preround" =>
+        li.select(col("l_partkey"),
+            col("l_quantity"),
+            round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000).cast("long").as("_rev"))
+          .join(broadcast(graft.Tables.part(spark, sfDir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(round(graft.functions.Sum128(col("_rev")) / lit(10000L), 2)
+            .cast("double").as("rev"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
       case "q01_sum128" =>
         import org.apache.spark.sql.Column
         import org.apache.spark.sql.GraftSqlBridge

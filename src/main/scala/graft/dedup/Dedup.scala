@@ -465,5 +465,80 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      minCosine: Double, planes: Int = 0,
                      seed: Long = 42): DataFrame =
-    graft.sim.Similarity.cosinePairs(df, vecCol, idCol, minCosine, planes, seed)
+    graft.sim.Similarity.cosinePairs(df, vecCol, idCol, minCosine, planes,
+      seed)
+
+  /** Incremental exact dedup: keep the `incoming` rows whose `textCol`
+    * does not appear in `existing` — the dedup-new-crawl-against-prior-
+    * snapshots stage of an incremental ingestion pipeline (each crawl
+    * deduped against everything already kept, without re-deduping the
+    * snapshot).
+    *
+    * Scale design — the existing snapshot is the 100 TB side and is
+    * NEVER SHUFFLED on the default route:
+    *   1. one column-pruned scan aggregates its text hashes into a bloom
+    *      sketch (partial sketches OR-merge on the driver; size from
+    *      `expectedExisting` — pass the snapshot's known doc count; ≤ 0
+    *      spends one count() scan);
+    *   2. `incoming` keeps only bloom-positive rows as CANDIDATES
+    *      ([[graft.functions.BloomMightContain]] — no false negatives,
+    *      so bloom-negative rows are definitively new and skip the
+    *      confirm entirely);
+    *   3. candidates' distinct hashes broadcast into a semi-join that
+    *      CONFIRMS which are genuinely present (clearing bloom false
+    *      positives with one more snapshot scan, zero snapshot shuffle);
+    *   4. `incoming` anti-joins the confirmed hash set (broadcast again
+    *      — it is at most the true-duplicate count).
+    * When the sketch would exceed `maxBloomBytes` (snapshot hash count
+    * past ~10^8) or the confirmed-hit set exceeds `maxHitBroadcast`
+    * (incoming mostly redundant), the route falls back to the plain
+    * hash anti-join — one 8-byte-key shuffle per side, still never the
+    * text payload.
+    *
+    * Equality premise: matching is on xxhash64(text) — identical to
+    * text equality absent a 64-bit collision between distinct texts
+    * (~n²/2⁶⁵), the same premise as the hashed shingle rerank
+    * (spec-pinned; the q100 DuckDB gate compares against a raw
+    * text-equality anti join every round). Null text never matches
+    * anything (SQL null semantics both engines share).
+    */
+  def dedupAgainstCorpus(incoming: DataFrame, existing: DataFrame,
+                         textCol: String, expectedExisting: Long = -1L,
+                         fpp: Double = 0.03,
+                         maxBloomBytes: Long = 64L << 20,
+                         maxHitBroadcast: Long = 4L << 20): DataFrame = {
+    // xxhash64 hashes a NULL input to the bare seed (the hash family is
+    // never-null by design), which would let two null texts "match" —
+    // SQL equality semantics say null matches nothing, and the DuckDB
+    // text-equality gate agrees. Keep the hash null for null text: null
+    // join keys never match, on both routes, in both engines.
+    def h(c: Column): Column = when(c.isNotNull, xxhash64(c))
+    val exHash = existing.select(h(col(textCol)).as("_h"))
+    val n = if (expectedExisting > 0) expectedExisting else exHash.count()
+    if (n == 0) return incoming // empty snapshot: every row is new
+    // standard bloom sizing: bits = -n ln(p) / (ln 2)^2
+    val bloomBytes =
+      (-n * math.log(fpp) / (math.log(2) * math.log(2)) / 8).toLong
+    val inHash = incoming.withColumn("_h", h(col(textCol)))
+    val confirmed: Option[DataFrame] =
+      if (bloomBytes <= maxBloomBytes) {
+        val bf = exHash.filter(col("_h").isNotNull)
+          .stat.bloomFilter("_h", math.max(n, 1), fpp)
+        val bc = incoming.sparkSession.sparkContext.broadcast(bf)
+        val candidates = inHash
+          .filter(graft.functions.BloomMightContain(col("_h"), bc))
+          .select("_h").distinct()
+        val hits = Par.pinLatest("dedup.against.hits",
+          exHash.join(broadcast(candidates), Seq("_h"), "left_semi")
+            .distinct())
+        // the confirm set is bounded by the TRUE duplicate count; if the
+        // incoming batch is mostly redundant it can still be corpus-sized
+        // — fall back to the shuffle route rather than broadcast it
+        if (hits.count() <= maxHitBroadcast) Some(broadcast(hits)) else None
+      } else None
+    confirmed match {
+      case Some(hits) => inHash.join(hits, Seq("_h"), "left_anti").drop("_h")
+      case None => inHash.join(exHash, Seq("_h"), "left_anti").drop("_h")
+    }
+  }
 }

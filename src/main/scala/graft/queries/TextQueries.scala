@@ -54,6 +54,76 @@ object TextQueries {
       ()
     }
 
+  /** q66's pre-sink streaming construction under the sized
+    * state-partition conf: the raw-events stream + a far-future sentinel
+    * SECOND file source (after the first microbatch the watermark passes
+    * every real session's end and the no-data batch flushes them —
+    * emission driven purely by event time) + session windows, handed to
+    * `run` for the sink choice. Partitions conf is restored and the
+    * sentinel dir deleted on the way out. Shared by the registered query
+    * (memory sink + ordered post-processing) and Decade3Probe (NOOP sink
+    * — at decade-3 volume the memory sink's driver-side result table,
+    * ~1e8 session rows, OOMs the harness while the OPERATOR's state
+    * stays watermark-bounded; the noop sink measures the operator, not
+    * result collection).
+    *
+    * Session-window state store cost scales with partitions per
+    * microbatch (measured sf0.1 floor: 2 — 16 -> 5.5s, 4 -> 4.3s,
+    * 2 -> 3.9s, 1 -> 4.4s), but a pinned constant throttles keyed state
+    * work at bigger inputs — sized by input bytes instead (sf1: pinned
+    * 2 -> 13.0 s in the paired bench, sized 8 -> 6.0 s).
+    *
+    * session_window merges boundary-INCLUSIVELY (an event exactly
+    * gapDuration after the last one EXTENDS the session), so gap=1800s
+    * reproduces the batch rule "new session when gap > 1800s" exactly;
+    * ts is floored to seconds in the stream projection.
+    */
+  private[graft] def withQ66Sessions[T](s: SparkSession, d: String)(
+      run: DataFrame => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet")
+        .toString)
+    // declared outside the try so the finally can reclaim it: the sink
+    // consumes the stream synchronously inside `run`, so the sentinel
+    // parquet is dead the moment `run` returns
+    var sentinelDir: String = null
+    try {
+      val ev = graft.streaming.Streams.readEventsRaw(s, d,
+          glob = "events.parquet")
+        .select(col("event_id"),
+          col("ts").cast("long").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      sentinelDir =
+        java.nio.file.Files.createTempDirectory("q66_sentinel").toString
+      s.range(1)
+        .select(lit(-1L).as("event_id"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        .write.mode("overwrite").parquet(sentinelDir)
+      val sentinel = s.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(sentinelDir)
+      run(graft.streaming.Streams.sessionWindows(
+        ev.unionByName(sentinel), gap = "1800 seconds",
+        watermark = "0 seconds"))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (sentinelDir != null) {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(sentinelDir)
+        // Files.walk holds directory handles open until closed —
+        // materialize the paths, then close, then delete.
+        val walk = java.nio.file.Files.walk(root)
+        val paths =
+          try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          finally walk.close()
+        paths.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + corpus stats per language bucket.
     "q31_token_stats" -> ((s, d) => {
@@ -324,6 +394,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental ingestion dedup: a "new crawl" (every 4th doc, plus
+    // deterministically planted re-crawls of snapshot texts) deduped
+    // against the prior snapshot (the other docs) WITHOUT shuffling the
+    // snapshot — bloom prefilter over snapshot text hashes, broadcast
+    // candidate confirm, broadcast anti join (Dedup.dedupAgainstCorpus).
+    // FULL oracle: DuckDB text-equality NOT EXISTS over the same
+    // construction; equality-via-xxhash64 is the established hashed-key
+    // premise, and every planted re-crawl must vanish under the hash
+    // gate while every genuinely new doc survives.
+    "q100_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select("doc_id", "text")
+      val incoming = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs
+          .filter(pmod(col("doc_id"), lit(4)) === 1 &&
+            pmod(col("doc_id"), lit(3)) === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.dedupAgainstCorpus(incoming, existing, "text")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic source-weighted mix sampling: 60/30/10 % rates by
     // source index residue, systematic on doc_id.
     "q75_mix_sample" -> ((s, d) => {
@@ -469,44 +563,7 @@ object TextQueries {
     // no-data microbatch flushes them all — emission driven purely by
     // event time, identical on live run and replay.
     "q66_stream_sessionize" -> ((s, d) => {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      // session-window state store cost scales with partitions per
-      // microbatch (measured sf0.1 floor: 2 — 16 -> 5.5s, 4 -> 4.3s,
-      // 2 -> 3.9s, 1 -> 4.4s), but a pinned constant throttles keyed
-      // state work at bigger inputs — size by input bytes instead
-      // (sf1: pinned 2 -> 13.0 s in the paired bench, sized 8 -> 6.0 s)
-      s.conf.set("spark.sql.shuffle.partitions",
-        graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet").toString)
-      // declared outside the try so the finally can reclaim it: the
-      // memory sink holds the results, so the sentinel parquet is dead
-      // the moment the (synchronous) runToMemory returns
-      var sentinelDir: String = null
-      try {
-        // Stream the RAW events parquet directly (no per-run copy of the
-        // corpus — the nanos rebuild happens in the stream projection);
-        // floor ts to seconds; session_window merges boundary-inclusively
-        // (an event exactly gapDuration after the last one EXTENDS the
-        // session), so gap=1800s reproduces the batch rule "new session
-        // when gap > 1800s" exactly
-        val ev = graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet")
-          .select(col("event_id"),
-            col("ts").cast("long").cast("timestamp").as("ts"),
-            col("user_id"), col("event_type"), col("value"))
-        // The far-future sentinel arrives as a SECOND one-row file source
-        // unioned in: after the first microbatch the watermark passes
-        // every real session's end, and the no-data batch flushes them.
-        sentinelDir = java.nio.file.Files.createTempDirectory("q66_sentinel").toString
-        s.range(1)
-          .select(lit(-1L).as("event_id"),
-            lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
-            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-            lit(0.0).as("value"))
-          .write.mode("overwrite").parquet(sentinelDir)
-        val sentinel = s.readStream
-          .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
-          .parquet(sentinelDir)
-        val sessions = graft.streaming.Streams.sessionWindows(
-          ev.unionByName(sentinel), gap = "1800 seconds", watermark = "0 seconds")
+      withQ66Sessions(s, d) { sessions =>
         val out = graft.streaming.Streams.runToMemory(
           sessions, s"q66_sessions_${System.nanoTime}", "append")
         val w = org.apache.spark.sql.expressions.Window
@@ -518,19 +575,6 @@ object TextQueries {
             round(col("sum_value"), 2).as("sum_value"),
             col("duration_sec"))
           .orderBy("user_id", "session_idx")
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        if (sentinelDir != null) {
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Paths.get(sentinelDir)
-          // Files.walk holds directory handles open until closed —
-          // materialize the paths, then close, then delete.
-          val walk = java.nio.file.Files.walk(root)
-          val paths =
-            try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-            finally walk.close()
-          paths.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
       }
     }),
 
@@ -1551,5 +1595,21 @@ object TextQueries {
           |  CAST(len(string_split(d.t, chr(10))) - coalesce(a.kept_n, 0)
           |    AS INT) AS n_removed_lines
           |FROM docs d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin) +
+      // Incremental-dedup truth: RAW TEXT-EQUALITY anti join over the
+      // same snapshot/crawl construction — the hash gate holds only if
+      // xxhash64-matching equals text-matching on this corpus (the
+      // collision-freedom premise, re-verified every round).
+      ("q100_incremental_dedup" ->
+        """WITH existing AS (
+          |  SELECT text FROM documents WHERE doc_id % 4 <> 0),
+          |incoming AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 4 = 1 AND doc_id % 3 = 1)
+          |SELECT i.doc_id, CAST(strlen(i.text) AS INT) AS n_bytes
+          |FROM incoming i
+          |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = i.text)
           |ORDER BY doc_id""".stripMargin)
 }

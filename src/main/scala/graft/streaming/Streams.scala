@@ -432,4 +432,19 @@ object Streams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Execute a stream fully (all available input plus the no-data flush
+    * batch) through the NOOP sink: the measurement vehicle for streaming
+    * operators at scales where the memory sink's driver-side result
+    * table would dominate or OOM (q66 at decade 3 emits ~1e8 session
+    * rows — the OPERATOR's keyed state stays watermark-bounded, but
+    * collecting the results does not). State work, shuffles, and
+    * watermark semantics are identical to the memory path; only result
+    * accumulation is dropped.
+    */
+  def runToNoop(df: DataFrame, outputMode: String = "append"): Unit = {
+    val q = df.writeStream.format("noop").outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -1267,4 +1267,69 @@ class DedupSimSpec extends AnyFunSuite {
     assert(kAuto.exists { case (_, nb, rank) => nb == 0L && rank == 1 },
       "identical twin must win top-1 under auto sizing")
   }
+  test("dedupAgainstCorpus: bloom route == shuffle route == text-equality " +
+       "truth; planted dups drop, fresh and null-text rows survive") {
+    val existing = Seq(
+      (1L, "snapshot doc one"), (2L, "snapshot doc two"),
+      (3L, "snapshot doc three"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "genuinely new doc"),          // new → kept
+      (11L, "snapshot doc two"),           // re-crawl → dropped
+      (12L, "snapshot doc three"),         // re-crawl → dropped
+      (13L, null.asInstanceOf[String]),    // null never matches → kept
+      (14L, "another new doc"),
+      (15L, "snapshot doc one"))           // re-crawl → dropped
+      .toDF("doc_id", "text")
+    val want = Set(10L, 13L, 14L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // default (bloom + broadcast confirm) route
+    assert(ids(Dedup.dedupAgainstCorpus(incoming, existing, "text")) == want)
+    // forced shuffle route (sketch budget 0)
+    assert(ids(Dedup.dedupAgainstCorpus(incoming, existing, "text",
+      maxBloomBytes = 0L)) == want)
+    // forced confirm-set fallback (hit broadcast budget 0): bloom built,
+    // confirm refused, shuffle anti join must still be exact
+    assert(ids(Dedup.dedupAgainstCorpus(incoming, existing, "text",
+      maxHitBroadcast = 0L)) == want)
+    // output keeps every incoming column
+    val out = Dedup.dedupAgainstCorpus(incoming, existing, "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("dedupAgainstCorpus: empty snapshot keeps everything; fully " +
+       "redundant batch returns nothing; expectedExisting skips the count") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val empty = existing.filter(col("doc_id") < 0)
+    val incoming = Seq((10L, "a"), (11L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstCorpus(incoming, empty, "text").count() == 2)
+    assert(Dedup.dedupAgainstCorpus(incoming, existing, "text").count() == 0)
+    // pre-sized sketch (expectedExisting > 0) must not change the answer
+    assert(Dedup.dedupAgainstCorpus(incoming, existing, "text",
+      expectedExisting = 2L).count() == 0)
+  }
+
+  test("dedupAgainstCorpus at width: random corpus ground truth across " +
+       "both routes (bloom false positives cleared by the confirm join)") {
+    val rng = new Random(17)
+    def txt(i: Int) = s"doc body ${rng.nextInt(1000)} $i"
+    val existing = (0 until 400).map(i => (i.toLong, txt(i)))
+    val fresh = (0 until 150).map(i => (1000L + i, s"new ${rng.nextInt(50)} $i"))
+    val recrawl = existing.take(60).map { case (id, t) => (2000L + id, t) }
+    val exDf = existing.toDF("doc_id", "text").repartition(5)
+    val inDf = (fresh ++ recrawl).toDF("doc_id", "text").repartition(7)
+    val truthTexts = existing.map(_._2).toSet
+    val want = (fresh ++ recrawl).filterNot(r => truthTexts(r._2))
+      .map(_._1).toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // tight fpp=0.5 sizing would FORCE false positives through the
+    // confirm join; exactness must hold anyway
+    assert(ids(Dedup.dedupAgainstCorpus(inDf, exDf, "text",
+      fpp = 0.5)) == want)
+    assert(ids(Dedup.dedupAgainstCorpus(inDf, exDf, "text",
+      maxBloomBytes = 0L)) == want)
+  }
+
 }

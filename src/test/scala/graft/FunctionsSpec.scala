@@ -732,4 +732,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(single == two, "routes diverge under CODEGEN_ONLY")
     assert(single.nonEmpty, "planted spans must surface")
   }
+  test("bloom_might_contain: codegen parity with the sketch, null-safe") {
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 50L).foreach(i => bf.putLong(i * 7))
+    val bc = spark.sparkContext.broadcast(bf)
+    val df = (Seq.tabulate(50)(i => Some(i * 7L)) ++
+      Seq.tabulate(20)(i => Some(i * 7L + 3)) ++ Seq(None))
+      .toDF("h").repartition(3)
+    val got = df.select(col("h"),
+        graft.functions.BloomMightContain(col("h"), bc).as("mc"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    got.foreach {
+      case (None, mc) => assert(mc.isEmpty, "null in, null out")
+      case (Some(h), mc) =>
+        assert(mc.contains(bf.mightContainLong(h)), s"h=$h")
+        // no false negatives on inserted values
+        if (h % 7 == 0 && h / 7 < 50) assert(mc.contains(true))
+    }
+  }
+
 }

@@ -490,10 +490,18 @@ object Dedup {
     *   4. `incoming` anti-joins the confirmed hash set (broadcast again
     *      — it is at most the true-duplicate count).
     * When the sketch would exceed `maxBloomBytes` (snapshot hash count
-    * past ~10^8) or the confirmed-hit set exceeds `maxHitBroadcast`
-    * (incoming mostly redundant), the route falls back to the plain
-    * hash anti-join — one 8-byte-key shuffle per side, still never the
-    * text payload.
+    * past ~10^8) or the CANDIDATE set exceeds `maxBroadcastRows`
+    * (incoming mostly redundant: candidates ≈ incoming's distinct
+    * hashes), the route falls back to the plain hash anti-join — one
+    * 8-byte-key shuffle per side, still never the text payload. The
+    * candidate bound is checked BEFORE any broadcast is planned:
+    * candidates ⊇ confirmed hits (true dups plus bloom false
+    * positives), so bounding candidates bounds both broadcasts, and an
+    * over-budget batch never builds either (the one count() that makes
+    * the decision rides the pinned candidate cache the happy path
+    * reuses; a fallback wastes only the bloom build, one snapshot
+    * scan). `maxBroadcastRows` is a ROW budget over 8-byte hash keys —
+    * the default 4M rows admits a ~32 MB broadcast.
     *
     * Equality premise: matching is on xxhash64(text) — identical to
     * text equality absent a 64-bit collision between distinct texts
@@ -506,39 +514,53 @@ object Dedup {
                          textCol: String, expectedExisting: Long = -1L,
                          fpp: Double = 0.03,
                          maxBloomBytes: Long = 64L << 20,
-                         maxHitBroadcast: Long = 4L << 20): DataFrame = {
+                         maxBroadcastRows: Long = 4L << 20): DataFrame = {
     // xxhash64 hashes a NULL input to the bare seed (the hash family is
     // never-null by design), which would let two null texts "match" —
     // SQL equality semantics say null matches nothing, and the DuckDB
     // text-equality gate agrees. Keep the hash null for null text: null
     // join keys never match, on both routes, in both engines.
     def h(c: Column): Column = when(c.isNotNull, xxhash64(c))
-    val exHash = existing.select(h(col(textCol)).as("_h"))
+    // collision-proof internal key: `withColumn` would silently replace
+    // (and the final drop would then swallow) a caller column named the
+    // same, breaking the keeps-every-incoming-column contract
+    val hCol = Iterator.from(0).map(i => if (i == 0) "_h" else s"_h$i")
+      .find(n => !incoming.columns.contains(n)).get
+    val exHash = existing.select(h(col(textCol)).as(hCol))
     val n = if (expectedExisting > 0) expectedExisting else exHash.count()
     if (n == 0) return incoming // empty snapshot: every row is new
     // standard bloom sizing: bits = -n ln(p) / (ln 2)^2
     val bloomBytes =
       (-n * math.log(fpp) / (math.log(2) * math.log(2)) / 8).toLong
-    val inHash = incoming.withColumn("_h", h(col(textCol)))
+    val inHash = incoming.withColumn(hCol, h(col(textCol)))
     val confirmed: Option[DataFrame] =
       if (bloomBytes <= maxBloomBytes) {
-        val bf = exHash.filter(col("_h").isNotNull)
-          .stat.bloomFilter("_h", math.max(n, 1), fpp)
+        val bf = exHash.filter(col(hCol).isNotNull)
+          .stat.bloomFilter(hCol, math.max(n, 1), fpp)
         val bc = incoming.sparkSession.sparkContext.broadcast(bf)
-        val candidates = inHash
-          .filter(graft.functions.BloomMightContain(col("_h"), bc))
-          .select("_h").distinct()
-        val hits = Par.pinLatest("dedup.against.hits",
-          exHash.join(broadcast(candidates), Seq("_h"), "left_semi")
-            .distinct())
-        // the confirm set is bounded by the TRUE duplicate count; if the
-        // incoming batch is mostly redundant it can still be corpus-sized
-        // — fall back to the shuffle route rather than broadcast it
-        if (hits.count() <= maxHitBroadcast) Some(broadcast(hits)) else None
+        val candidates = Par.pinLatest("dedup.against.candidates", inHash
+          .filter(graft.functions.BloomMightContain(col(hCol), bc))
+          .select(hCol).distinct())
+        // bound the CANDIDATE set before planning ANY broadcast:
+        // candidates ⊇ confirmed hits, so this one check bounds both
+        // broadcasts, and a mostly-redundant batch falls back without
+        // ever building a corpus-sized exchange (the r13 guard counted
+        // the confirmed set — after the candidate broadcast had run)
+        if (candidates.count() <= maxBroadcastRows) {
+          val hits = Par.pinLatest("dedup.against.hits",
+            exHash.join(broadcast(candidates), Seq(hCol), "left_semi")
+              .distinct())
+          hits.count() // materialize through the pin …
+          Par.unpin("dedup.against.candidates", candidates) // … then free
+          Some(broadcast(hits)) // hits ⊆ candidates: in budget a fortiori
+        } else {
+          Par.unpin("dedup.against.candidates", candidates)
+          None
+        }
       } else None
     confirmed match {
-      case Some(hits) => inHash.join(hits, Seq("_h"), "left_anti").drop("_h")
-      case None => inHash.join(exHash, Seq("_h"), "left_anti").drop("_h")
+      case Some(hits) => inHash.join(hits, Seq(hCol), "left_anti").drop(hCol)
+      case None => inHash.join(exHash, Seq(hCol), "left_anti").drop(hCol)
     }
   }
 }

@@ -35,10 +35,14 @@ import org.apache.spark.sql.types._
   * ([[Long128ToDecimal]]), not once per row.
   *
   * Exactness: 128-bit signed accumulation is exact until |sum| reaches
-  * 2^127 ~ 1.7e38 (DECIMAL(38,0) itself overflows at 1e38, so this adds
-  * no new failure mode — a corpus would need ~1e26 rows of max-cent
-  * prices to get there). Empty/all-null input returns NULL, matching
-  * `sum`. At 100 TB the per-row work is three long adds and four bitwise
+  * 2^127 ~ 1.7e38. For |sum| in [1e38, 2^127) — past DECIMAL(38,0)'s
+  * own range — the group evaluates to NULL, matching what a LEGACY-mode
+  * `sum(CAST(x AS DECIMAL(38,0)))` returns on precision overflow.
+  * Beyond 2^127 the two-long accumulator wraps silently (a divergence
+  * from the decimal sum, which stays NULL) — reaching it needs > 2^64
+  * ~ 1.8e19 non-null rows even at max-long magnitude, far past any
+  * stated corpus. Empty/all-null input returns NULL, matching `sum`.
+  * At 100 TB the per-row work is three long adds and four bitwise
   * ops per aggregate — no decimal, no allocation, no JIT cliff.
   */
 case class Sum128(child: Expression)
@@ -112,12 +116,15 @@ object Sum128 {
 
 /** (hi, lo) signed-128 → DECIMAL(38,0); runs once per aggregate GROUP
   * (Sum128's evaluate), so the BigDecimal construction here is off the
-  * per-row path by design.
+  * per-row path by design. A value past DECIMAL(38,0)'s range (|v| >=
+  * 1e38) evaluates to NULL — the LEGACY-mode decimal-sum overflow
+  * contract — rather than throwing.
   */
 case class Long128ToDecimal(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -132,7 +139,8 @@ case class Long128ToDecimal(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (h, l) =>
-      s"${ev.value} = graft.functions.Long128ToDecimal.toDecimal($h, $l);")
+      s"""${ev.value} = graft.functions.Long128ToDecimal.toDecimal($h, $l);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Long128ToDecimal =
@@ -142,14 +150,17 @@ case class Long128ToDecimal(left: Expression, right: Expression)
 object Long128ToDecimal {
 
   private val TWO_64 = java.math.BigInteger.ONE.shiftLeft(64)
+  private val TEN_38 = java.math.BigInteger.TEN.pow(38)
 
-  /** Shared by eval and generated code. */
+  /** Shared by eval and generated code; null on DECIMAL(38,0) overflow
+    * (the legacy decimal-sum contract), never a throw.
+    */
   def toDecimal(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
     val unsignedLo =
       if (lo >= 0) java.math.BigInteger.valueOf(lo)
       else java.math.BigInteger.valueOf(lo).add(TWO_64)
     val v = java.math.BigInteger.valueOf(hi).multiply(TWO_64).add(unsignedLo)
-    org.apache.spark.sql.types.Decimal(
-      new java.math.BigDecimal(v), 38, 0)
+    if (v.abs.compareTo(TEN_38) >= 0) null
+    else org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v), 38, 0)
   }
 }

@@ -1289,13 +1289,48 @@ class DedupSimSpec extends AnyFunSuite {
     // forced shuffle route (sketch budget 0)
     assert(ids(Dedup.dedupAgainstCorpus(incoming, existing, "text",
       maxBloomBytes = 0L)) == want)
-    // forced confirm-set fallback (hit broadcast budget 0): bloom built,
-    // confirm refused, shuffle anti join must still be exact
+    // forced candidate-budget fallback (broadcast budget 0): bloom built,
+    // candidate count over budget, shuffle anti join must still be exact
     assert(ids(Dedup.dedupAgainstCorpus(incoming, existing, "text",
-      maxHitBroadcast = 0L)) == want)
+      maxBroadcastRows = 0L)) == want)
     // output keeps every incoming column
     val out = Dedup.dedupAgainstCorpus(incoming, existing, "text")
     assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("dedupAgainstCorpus: a mostly-redundant batch over the row budget " +
+       "takes the shuffle fallback WITHOUT planning a candidate broadcast; " +
+       "a caller column named _h survives") {
+    // 50 incoming rows, 45 of them re-crawls: candidates ≈ the batch,
+    // which is exactly the docstring's fallback scenario. Budget of 10
+    // rows must refuse BEFORE any broadcast: the returned plan carries
+    // neither the bloom probe nor a broadcast hint.
+    val existing = (0 until 60).map(i => (i.toLong, s"snapshot body $i"))
+      .toDF("doc_id", "text")
+    val incoming = ((0 until 45).map(i => (100L + i, s"snapshot body $i")) ++
+      (0 until 5).map(i => (900L + i, s"fresh body $i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(incoming, existing, "text",
+      maxBroadcastRows = 10L)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("bloom"),
+      s"fallback plan must not probe the bloom sketch:\n$plan")
+    assert(!plan.toLowerCase.contains("broadcast"),
+      s"fallback plan must not hint/plan any broadcast:\n$plan")
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      (900L until 905L).toSet)
+    // the default route on the same data DOES confirm via broadcast
+    val fast = Dedup.dedupAgainstCorpus(incoming, existing, "text")
+    assert(fast.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("broadcast"))
+    assert(fast.select("doc_id").as[Long].collect().toSet ==
+      (900L until 905L).toSet)
+    // a real caller column named _h must survive to the output untouched
+    val withH = incoming.withColumn("_h", col("doc_id") * 2)
+    val kept = Dedup.dedupAgainstCorpus(withH, existing, "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "_h"))
+    assert(kept.select("doc_id", "_h").as[(Long, Long)].collect().toMap ==
+      (900L until 905L).map(i => i -> i * 2).toMap)
   }
 
   test("dedupAgainstCorpus: empty snapshot keeps everything; fully " +
@@ -1330,6 +1365,8 @@ class DedupSimSpec extends AnyFunSuite {
       fpp = 0.5)) == want)
     assert(ids(Dedup.dedupAgainstCorpus(inDf, exDf, "text",
       maxBloomBytes = 0L)) == want)
+    assert(ids(Dedup.dedupAgainstCorpus(inDf, exDf, "text",
+      maxBroadcastRows = 0L)) == want)
   }
 
 }

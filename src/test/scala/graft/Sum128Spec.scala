@@ -67,6 +67,32 @@ class Sum128Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("DECIMAL(38,0) overflow → NULL (legacy decimal-sum contract), " +
+       "both eval and codegen; 1e38-1 still materializes") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def limbs(v: BigInt): (Long, Long) =
+      ((v >> 64).toLong, v.toLong) // low 64 bits, two's complement
+    def viaExpr(v: BigInt): java.math.BigDecimal = {
+      val (hi, lo) = limbs(v)
+      val c = GraftSqlBridge.column(
+        graft.functions.Long128ToDecimal(Literal(hi), Literal(lo)))
+      spark.range(1).select(c.as("d")).collect()(0).getDecimal(0)
+    }
+    val ten38 = BigInt(10).pow(38)
+    // direct kernel: null at +/-1e38 and beyond, exact just below
+    assert(graft.functions.Long128ToDecimal.toDecimal(
+      limbs(ten38)._1, limbs(ten38)._2) == null)
+    assert(graft.functions.Long128ToDecimal.toDecimal(
+      limbs(-ten38)._1, limbs(-ten38)._2) == null)
+    // through the expression (CODEGEN_ONLY session → generated path)
+    assert(viaExpr(ten38) == null)
+    assert(viaExpr(ten38 + 12345) == null)
+    assert(viaExpr(-ten38 - 1) == null)
+    assert(BigInt(viaExpr(ten38 - 1).toBigInteger) == ten38 - 1)
+    assert(BigInt(viaExpr(-(ten38 - 1)).toBigInteger) == -(ten38 - 1))
+  }
+
   test("agrees with decimal(38,0) sum on the q01 cents shape") {
     import spark.implicits._
     val rng = new scala.util.Random(13)

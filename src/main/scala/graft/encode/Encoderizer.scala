@@ -351,17 +351,6 @@ object Encoderizer {
       EncoderizerModel(stages.filter(s => names.contains(s.name)), featuresCol,
         weights.view.filterKeys(names.contains).toMap)
 
-    // Sparse-aware vector scaling for `transformer_weights` on hashed-text
-    // stages — never densifies the 2^18-wide vectors.
-    private def scaleVec = udf((v: org.apache.spark.ml.linalg.Vector, w: Double) =>
-      v match {
-        case s: org.apache.spark.ml.linalg.SparseVector =>
-          new org.apache.spark.ml.linalg.SparseVector(
-            s.size, s.indices, s.values.map(_ * w))
-        case d: org.apache.spark.ml.linalg.DenseVector =>
-          new org.apache.spark.ml.linalg.DenseVector(d.values.map(_ * w))
-      })
-
     def transform(df: DataFrame): DataFrame = {
       var out = df
       val outCols = stages.zipWithIndex.map { case (s, i) =>
@@ -375,7 +364,9 @@ object Encoderizer {
           case _: ArrayType =>
             array_to_vector(functions.transform(col(c), e => e * w)).as(c)
           case _ if w == 1.0 => col(c).as(c)
-          case _             => scaleVec(col(c), lit(w)).as(c)
+          // codegen'd, sparsity-preserving [[graft.functions.ScaleVector]]
+          // — never densifies the 2^18-wide hashed-text vectors
+          case _             => graft.functions.ScaleVector(col(c), w).as(c)
         }
       }
       val withVecs = out.select((df.columns.map(qcol).toSeq ++ outCols): _*)

@@ -754,4 +754,36 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("scale_vector: sparse stays sparse, dense scales, null rides, " +
+       "matches driver-side math under forced codegen") {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val rows: Seq[(Long, Vector)] = Seq(
+      1L -> Vectors.sparse(1 << 18, Array(3, 77, 262143), Array(1.5, -2.0, 0.25)),
+      2L -> Vectors.dense(0.5, -1.0, 4.0),
+      3L -> Vectors.sparse(10, Array.empty[Int], Array.empty[Double]),
+      4L -> null)
+    val df = spark.createDataFrame(rows.map { case (id, v) => (id, v) })
+      .toDF("id", "vec").repartition(2)
+    val w = 0.3
+    val got = df.select(col("id"),
+        graft.functions.ScaleVector(col("vec"), w).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Vector](1))).toMap
+    assert(got(4L) == null, "null in, null out")
+    rows.filter(_._2 != null).foreach { case (id, v) =>
+      val s = got(id)
+      (v, s) match {
+        case (sp: org.apache.spark.ml.linalg.SparseVector,
+              so: org.apache.spark.ml.linalg.SparseVector) =>
+          assert(so.size == sp.size && so.indices.sameElements(sp.indices),
+            s"id=$id sparsity/layout must be preserved")
+          assert(so.values.sameElements(sp.values.map(_ * w)), s"id=$id")
+        case (dn: org.apache.spark.ml.linalg.DenseVector,
+              dd: org.apache.spark.ml.linalg.DenseVector) =>
+          assert(dd.values.sameElements(dn.values.map(_ * w)), s"id=$id")
+        case other => fail(s"id=$id layout changed across scaling: $other")
+      }
+    }
+  }
+
 }

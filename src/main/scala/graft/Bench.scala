@@ -7,6 +7,26 @@ package graft
   * A small warm-up action runs first so JVM/classloader startup is not
   * charged to whichever query happens to run first; queries then run in
   * name order (deterministic attribution across rounds).
+  *
+  * ==Noise defenses (NOTES round-13 item 2: slow-C2 hosts)==
+  * On a host whose C2 compiler lags, big generated methods run whole
+  * first iterations interpreted/deoptimized (measured: 125 s of JIT on
+  * one first-touch plan; identical plans swinging 6–107 s in one JVM).
+  * Defenses, outermost first:
+  *   - `SPARK_GRAFT_BENCH_DISCARD_FIRST=1` — run ONE untimed priming
+  *     iteration per query before the recorded min-of-k, so every
+  *     recorded run executes against compiled code. This is the
+  *     recommended adjudication invocation on a noisy host:
+  *     `SPARK_GRAFT_BENCH_DISCARD_FIRST=1 SPARK_GRAFT_BENCH_ITERS=2`.
+  *     (Default OFF: the driver's per-round bench stays comparable
+  *     with prior rounds' min-of-2 protocol.)
+  *   - min-of-k + instability retries (`SPARK_GRAFT_BENCH_ITERS`,
+  *     `SPARK_GRAFT_BENCH_MAX_EXTRA`, `SPARK_GRAFT_BENCH_STABLE_K`).
+  *   - `SPARK_GRAFT_BENCH_DUMP_ITERS=<path>` — write every per-query
+  *     iteration (discarded one included) as JSON for offline spike
+  *     attribution, without changing the one-line stdout contract.
+  *   - `SPARK_GRAFT_JVM_EXTRA` (build.sbt hook) for JIT flag
+  *     experiments on the forked JVM.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +50,11 @@ object Bench {
     // reported time is always the min.
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
     val stableK = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_K", "1.3").toDouble
+    val discardFirst =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DISCARD_FIRST", "0") == "1"
+    val dumpIters = sys.env.get("SPARK_GRAFT_BENCH_DUMP_ITERS")
+    val allIters = scala.collection.mutable.LinkedHashMap[
+      String, (Option[Double], Seq[Double])]()
     // A crashing query must be visible in the output, not silently timed:
     // record per-query failure markers and a top-level errors map.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -51,6 +76,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // priming iteration: pays the first-touch JIT/classload cost OFF
+      // the record, so every recorded run executes compiled code
+      val discarded = if (discardFirst) Some(runOnce()) else None
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       (1 to iters).foreach(_ => times += runOnce())
       def unstable: Boolean = {
@@ -64,7 +92,16 @@ object Bench {
       while (iters >= 2 && err.isEmpty && unstable && extra < maxExtra) {
         times += runOnce(); extra += 1
       }
+      allIters(name) = (discarded, times.toSeq)
       (name, times.min, err, extra)
+    }
+    dumpIters.foreach { path =>
+      val body = allIters.map { case (k, (d, ts)) =>
+        "\"" + k + "\":{\"discarded\":" + d.fold("null")(_.toString) +
+          ",\"times\":[" + ts.mkString(",") + "]}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -88,7 +125,7 @@ object Bench {
     // execution via toRdd (earlier rounds' count() vehicle let Catalyst
     // eliminate measurable work — totals are NOT comparable across the
     // boundary; see NOTES round-12 log)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"exec","iters":$iters,"extra_iters":$extraIters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"exec","iters":$iters,"extra_iters":$extraIters,"discard_first":$discardFirst,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

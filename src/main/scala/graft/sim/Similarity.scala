@@ -311,8 +311,12 @@ object Similarity {
     // vectors keep their ORIGINAL element type on disk (array<float>
     // corpora would double in size as array<double>; the probe's cosine
     // casts at read time) — only the quantizer input is cast
-    val toVec = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+    // spreadNarrow BEFORE the persist: the cached partitioning is what
+    // every downstream pass (count, fit sample, n×cells assignment)
+    // inherits — a one-split local file layout would serialize them all
+    val toVec = spreadNarrow(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .filter(col("vec").isNotNull && size(col("vec")) > 0))
       .withColumn("_nv",
         array_to_vector(normalized(col("vec").cast("array<double>"))))
       .persist()
@@ -371,9 +375,18 @@ object Similarity {
       else recallCurveSamples > 0
     val curveSamples =
       if (recallCurveSamples == RecallCurveAuto) 256 else recallCurveSamples
+    // The curve reads the index JUST WRITTEN, not the `assigned` plan:
+    // re-evaluating `assigned` would recompute the fused NearestCentroid
+    // argmin (n × cells × dim) a second time, while the written layout
+    // carries _cell for free in its directory names and its
+    // one-file-per-cell shape parallelizes the read (IvfBuildProbe r14:
+    // the hidden recompute was most of the curve phase's cost). Values
+    // are bit-identical — same rows, same stored element type.
     val ranks: Array[Int] =
       if (!wantCurve || nRows < 2) Array.empty
-      else measureRecallRanks(assigned, kmCells, curveSamples)
+      else measureRecallRanks(
+        spark.read.parquet(s"$dir/cells").select("id", "vec", "_cell"),
+        kmCells, curveSamples)
     toVec.unpersist(blocking = false)
     spark.createDataFrame(kmCells).toDF("_cell", "centroid")
       .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
@@ -398,37 +411,94 @@ object Similarity {
     * true top-1 cosine neighbor's cell in the sample's centroid-distance
     * ordering — the sufficient statistic for the whole recall(nProbe)
     * curve (recall at p = fraction of ranks <= p). ONE distributed pass:
-    * every corpus row scores all samples through one fused
-    * [[graft.functions.LinearScoreMatrix]] (cosine = dot on the
-    * normalized vectors) and a single aggregation takes the per-sample
-    * max over (dot, cell) structs — deterministic under dot ties (larger
-    * cell id wins the struct compare; any tied neighbor is a true top-1,
-    * so either cell is valid truth). Samples are identified by
+    * a primitive-array `treeAggregate` (the DataParallelCART
+    * sufficient-stats idiom) holds per-sample (bestDot, bestCell) and
+    * every corpus row updates all samples with tight double[] loops —
+    * deterministic under dot ties (larger cell id wins; any tied
+    * neighbor is a true top-1, so either cell is valid truth). This
+    * replaced a 256-wide `max(struct(dot, cell))` aggregation whose
+    * per-row struct allocations were THE dominant q94_build phase
+    * (IvfBuildProbe r14: curve 10.0 s of the 16.3 s build at 200k
+    * vectors); the reduction is bounded at samples × 12 bytes per
+    * partial, never row-shaped. Samples are identified by
     * xxhash64(id), generic over the id type; a hash collision merely
     * excludes one extra corpus row from one sample's truth.
     */
+  /** Round-robin spread for a corpus input whose physical layout yields
+    * fewer partitions than cores — the local few-large-files artifact
+    * that silently serializes every downstream compute pass (a 51 MB
+    * single-split scan caps the fit sample, the n×cells assignment and
+    * the recall curve at ONE core; IvfBuildProbe r14 measured the 200k-
+    * vector build at 16-50 s with every phase under-parallelized). A
+    * real cluster scanning 100 TB gets its splits from
+    * maxPartitionBytes; this guard only triggers where the layout, not
+    * the data, is the constraint. Byte floor shared with Par.fanOut so
+    * tiny corpora never pay the exchange. (Par.fanOut itself declines
+    * cached/pinned inputs by design — these callsites KNOW the
+    * downstream is corpus-sized compute, exactly when the exchange
+    * pays.)
+    */
+  private[graft] def spreadNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+          BigInt(graft.ops.Par.FanOutMinBytes) &&
+        df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private[graft] def measureRecallRanks(assigned: DataFrame,
                                         cents: Seq[(Int, Seq[Double])],
                                         samples: Int): Array[Int] = {
-    val base = assigned.select(xxhash64(col("id")).as("_k"),
+    // the curve input is typically a (cached or freshly-written)
+    // few-file scan — spread it or the whole pass runs on one core
+    val base = spreadNarrow(assigned).select(xxhash64(col("id")).as("_k"),
       normalized(col("vec").cast("array<double>")).as("_nv"), col("_cell"))
     val picked = base.orderBy("_k").limit(samples)
       .select("_k", "_nv").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     if (picked.isEmpty) return Array.empty
-    val w = picked.map { case (_, qn) => qn :+ 0.0 } // bias-last rows
-    val scored = base.withColumn("_dots",
-      graft.functions.LinearScoreMatrix(col("_nv"), w))
-    val aggs = picked.indices.map { s =>
-      max(when(col("_k") =!= picked(s)._1,
-        struct(element_at(col("_dots"), s + 1).as("d"),
-          col("_cell").as("c")))).as(s"s$s")
-    }
-    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+    val nS = picked.length
+    val keys = picked.map(_._1)
+    val qMat = picked.map(_._2)
+    // toRdd (InternalRow): primitive getLong/getInt + one double[] copy
+    // per row — no Row boxing of the 64-dim vectors
+    val (bestD, bestC) = base.queryExecution.toRdd.treeAggregate(
+      (Array.fill(nS)(Double.NegativeInfinity), Array.fill(nS)(-1)))(
+      seqOp = { case (acc @ (bd, bc), r) =>
+        if (!r.isNullAt(1)) {
+          val k = r.getLong(0)
+          val v = r.getArray(1).toDoubleArray()
+          val cell = r.getInt(2)
+          var s = 0
+          while (s < nS) {
+            if (k != keys(s)) { // exclude the sample's own row
+              val q = qMat(s)
+              val n = math.min(v.length, q.length)
+              var d = 0.0
+              var j = 0
+              while (j < n) { d += v(j) * q(j); j += 1 }
+              if (d > bd(s) || (d == bd(s) && cell > bc(s))) {
+                bd(s) = d; bc(s) = cell
+              }
+            }
+            s += 1
+          }
+        }
+        acc
+      },
+      combOp = { case (a @ (ad, ac), (bd, bc)) =>
+        var s = 0
+        while (s < nS) {
+          if (bd(s) > ad(s) || (bd(s) == ad(s) && bc(s) > ac(s))) {
+            ad(s) = bd(s); ac(s) = bc(s)
+          }
+          s += 1
+        }
+        a
+      })
     picked.indices.iterator.flatMap { s =>
-      if (row.isNullAt(s)) None // n == 1 relative to this sample
+      if (bestC(s) < 0) None // n == 1 relative to this sample
       else {
-        val nnCell = row.getStruct(s).getInt(1)
+        val nnCell = bestC(s)
         val qn = picked(s)._2
         // same (distance, cellId) ordering as NearestCells/probeIvfIndex
         val order = cents.sortBy { case (c, cent) =>
@@ -676,7 +746,7 @@ object Similarity {
     * semanticDedup and the on-disk index so the quantizers can't
     * silently diverge (init/metric changes apply everywhere at once).
     */
-  private def fitSphericalKMeans(df: DataFrame, nvCol: String, k: Int,
+  private[graft] def fitSphericalKMeans(df: DataFrame, nvCol: String, k: Int,
                                  seed: Long, maxIter: Int,
                                  initMode: Option[String] = None) = {
     import org.apache.spark.ml.clustering.KMeans

@@ -201,6 +201,20 @@ object Streams {
     * session; a new session starts only when the inter-event gap exceeds
     * `gap` — which matches the batch twin's (q49) "new session when
     * gap > 30 min" rule at gap = 30 min over second-floored timestamps.
+    *
+    * ==State store at scale==
+    * The default HDFS-backed provider keeps every open session's state
+    * ON-HEAP — measured to OOM executors at 100× session-key cardinality
+    * (the decade-3 probe's lesson). Past ~10^7 concurrent open sessions
+    * per executor, switch the session to RocksDB BEFORE starting the
+    * query: `Streams.withStateStore(spark, "rocksdb")` (or
+    * `SPARK_GRAFT_STATE_STORE=rocksdb` with `tools.Sessions.build`) —
+    * state is then bounded by local disk with changelog checkpointing,
+    * not heap, at a probed ~0.3 s/query floor cost (NOTES r12 item 8:
+    * q66 1.47 → 1.79 s at sf0.01). The provider is fixed
+    * at query start and pinned by the checkpoint; restarts keep whatever
+    * the checkpoint began with. Contract-pinned under the RocksDB
+    * provider by StreamingMultimodalSpec's checkpointed-restart test.
     */
   def sessionWindows(events: DataFrame, tsCol: String = "ts",
                      keyCol: String = "user_id", valueCol: String = "value",

@@ -1369,4 +1369,29 @@ class DedupSimSpec extends AnyFunSuite {
       maxBroadcastRows = 0L)) == want)
   }
 
+  test("spreadNarrow: a big one-split file scan fans out to all cores; " +
+       "a tiny one is returned untouched") {
+    // the local layout artifact behind the r14 q94_build finding: a
+    // single >8 MB parquet file scans as ONE partition and serializes
+    // every downstream compute pass
+    val dir = java.nio.file.Files.createTempDirectory("spread_narrow").toString
+    val rng = new Random(23)
+    (0 until 30000).map(i => (i.toLong, Seq.fill(64)(rng.nextDouble())))
+      .toDF("id", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/big")
+    Seq((1L, Seq(0.5))).toDF("id", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tiny")
+    val p = spark.sparkContext.defaultParallelism
+    val big = spark.read.parquet(s"$dir/big")
+    assert(big.rdd.getNumPartitions < p, "fixture must be a one-split scan")
+    val spread = graft.sim.Similarity.spreadNarrow(big)
+    assert(spread.rdd.getNumPartitions == p,
+      s"big narrow scan must fan out to $p partitions")
+    assert(spread.count() == 30000)
+    val tiny = spark.read.parquet(s"$dir/tiny")
+    val same = graft.sim.Similarity.spreadNarrow(tiny)
+    assert(same.rdd.getNumPartitions == tiny.rdd.getNumPartitions,
+      "below the byte floor the frame must come back untouched")
+  }
+
 }

@@ -299,7 +299,8 @@ class FunctionsSpec extends AnyFunSuite {
         col("v"), Seq.tabulate(4096)(c => (c, Seq.fill(dim)(rng.nextGaussian())))),
       "nearest_cells(4096 cells, 256 probes)" -> graft.functions.NearestCells(
         col("v"), Seq.tabulate(4096)(c => (c, Seq.fill(dim)(rng.nextGaussian()))),
-        256))
+        256),
+      "scale_vector" -> graft.functions.ScaleVector(col("sv"), 0.25))
     wide.foreach { case (name, expr) =>
       val proj = df.select(col("id"), expr.as("out"))
       proj.collect() // must actually run under CODEGEN_ONLY

@@ -133,8 +133,18 @@ object Par {
     * 73 s one-core scan stage into 4 s). Plan stats are reliable here:
     * fanOut only ever sees exchange-free narrow plans, whose estimate
     * comes straight from the file scan.
+    *
+    * 2 MB, not the original 8 MB (r14): the estimate is COMPRESSED file
+    * bytes while the cost driver is per-row CPU — a 5.5 MB parquet of
+    * 50k documents sat under the old floor and ran its whole
+    * regex-heavy scan stage on ONE core (isolated-probed at sf1:
+    * q32 10.8 s / q33 9.0 s on the r14 host, ~0.3 s of that being the
+    * exchange the floor was protecting against; the r12 bench host hid
+    * the same serialization at 0.8 s/query behind faster single-core
+    * throughput). 255 KB-class corpora (sf0.1) stay below the new
+    * floor, so the small-SF bench floor is unchanged.
     */
-  private[graft] val FanOutMinBytes: Long = 8L << 20
+  private[graft] val FanOutMinBytes: Long = 2L << 20
 
   def fanOut(df: DataFrame, minBytes: Long = FanOutMinBytes): DataFrame = {
     // Pinned/cached frames return UNTOUCHED, before any plan probe: cache

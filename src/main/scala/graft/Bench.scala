@@ -13,15 +13,22 @@ package graft
   * first iterations interpreted/deoptimized (measured: 125 s of JIT on
   * one first-touch plan; identical plans swinging 6–107 s in one JVM).
   * Defenses, outermost first:
-  *   - `SPARK_GRAFT_BENCH_DISCARD_FIRST=1` — run ONE untimed priming
-  *     iteration per query before the recorded min-of-k, so every
-  *     recorded run executes against compiled code. This is the
-  *     recommended adjudication invocation on a noisy host:
-  *     `SPARK_GRAFT_BENCH_DISCARD_FIRST=1 SPARK_GRAFT_BENCH_ITERS=2`.
-  *     (Default OFF: the driver's per-round bench stays comparable
-  *     with prior rounds' min-of-2 protocol.)
+  *   - Discard-first: ONE untimed priming iteration per query before the
+  *     recorded min-of-k, so every recorded run executes against
+  *     compiled code. DEFAULT ON since r15 (the r14 A/B measured 95.7 s
+  *     recorded without priming vs 55.3 s with, on identical binaries —
+  *     12 phantom spike queries collapsed; cross-round comparability
+  *     with the old no-priming protocol was already broken by the r13
+  *     host change, so steady-state is the honest number now). Opt out
+  *     with `SPARK_GRAFT_BENCH_DISCARD_FIRST=0` for a first-touch-
+  *     inclusive reading. The JSON self-describes via `"discard_first"`.
   *   - min-of-k + instability retries (`SPARK_GRAFT_BENCH_ITERS`,
   *     `SPARK_GRAFT_BENCH_MAX_EXTRA`, `SPARK_GRAFT_BENCH_STABLE_K`).
+  *   - Per-query `"cpu"` map: executor task CPU seconds of the
+  *     min-wall iteration, from a task-end listener (bus drained per
+  *     run). A storm/steal reading is distinguishable from a real
+  *     regression without a re-run: host CPU steal shows wall >> cpu;
+  *     a genuine plan regression moves cpu with wall.
   *   - `SPARK_GRAFT_BENCH_DUMP_ITERS=<path>` — write every per-query
   *     iteration (discarded one included) as JSON for offline spike
   *     attribution, without changing the one-line stdout contract.
@@ -34,6 +41,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.tools.Sessions.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+
+    // executor task CPU accumulator — attributed per run by draining the
+    // (async) listener bus before each read
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { cpuNanos.addAndGet(m.executorCpuTime); () }
+        }
+      })
 
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -51,15 +70,18 @@ object Bench {
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
     val stableK = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_K", "1.3").toDouble
     val discardFirst =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DISCARD_FIRST", "0") == "1"
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DISCARD_FIRST", "1") == "1"
     val dumpIters = sys.env.get("SPARK_GRAFT_BENCH_DUMP_ITERS")
     val allIters = scala.collection.mutable.LinkedHashMap[
-      String, (Option[Double], Seq[Double])]()
+      String, (Option[Double], Seq[(Double, Double)])]()
     // A crashing query must be visible in the output, not silently timed:
     // record per-query failure markers and a top-level errors map.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      def runOnce(): Double = {
+      // returns (wall seconds, executor task CPU seconds)
+      def runOnce(): (Double, Double) = {
+        org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        val c0 = cpuNanos.get()
         val t0 = System.nanoTime()
         // toRdd.count(), NOT Dataset.count(): count() re-optimizes the
         // plan under Aggregate[count(1)], and Catalyst then ELIMINATES
@@ -74,15 +96,17 @@ object Bench {
             err = Some(e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").take(120))
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        (wall, (cpuNanos.get() - c0) / 1e9)
       }
       // priming iteration: pays the first-touch JIT/classload cost OFF
       // the record, so every recorded run executes compiled code
-      val discarded = if (discardFirst) Some(runOnce()) else None
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val discarded = if (discardFirst) Some(runOnce()._1) else None
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       (1 to iters).foreach(_ => times += runOnce())
       def unstable: Boolean = {
-        val s = times.sorted
+        val s = times.map(_._1).sorted
         s.length < 2 || (s(1) > s(0) * stableK && s(1) - s(0) > 0.1)
       }
       var extra = 0
@@ -93,20 +117,26 @@ object Bench {
         times += runOnce(); extra += 1
       }
       allIters(name) = (discarded, times.toSeq)
-      (name, times.min, err, extra)
+      val best = times.minBy(_._1)
+      (name, best._1, best._2, err, extra)
     }
     dumpIters.foreach { path =>
       val body = allIters.map { case (k, (d, ts)) =>
         "\"" + k + "\":{\"discarded\":" + d.fold("null")(_.toString) +
-          ",\"times\":[" + ts.mkString(",") + "]}"
+          ",\"times\":[" + ts.map(_._1).mkString(",") + "]" +
+          ",\"cpu\":[" + ts.map(_._2).mkString(",") + "]}"
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val extraIters = results.map(_._4).sum
-    val failed = results.collect { case (k, _, Some(e), _) => (k, e) }
+    // executor task CPU seconds of each query's min-wall iteration — the
+    // storm-vs-regression discriminator (see scaladoc)
+    val cpus_ = results.map { case (k, _, c, _, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val extraIters = results.map(_._5).sum
+    val failed = results.collect { case (k, _, _, Some(e), _) => (k, e) }
     val errs = failed.map { case (k, e) =>
       // control chars (AnalysisException messages span lines) would make
       // the emitted line unparseable JSON — flatten them to spaces
@@ -125,7 +155,7 @@ object Bench {
     // execution via toRdd (earlier rounds' count() vehicle let Catalyst
     // eliminate measurable work — totals are NOT comparable across the
     // boundary; see NOTES round-12 log)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"exec","iters":$iters,"extra_iters":$extraIters,"discard_first":$discardFirst,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"exec","iters":$iters,"extra_iters":$extraIters,"discard_first":$discardFirst,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":${failed.size},"errors":$errs,"queries":$qs,"cpu":$cpus_,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

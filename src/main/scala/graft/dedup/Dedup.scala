@@ -499,8 +499,11 @@ object Dedup {
     * positives), so bounding candidates bounds both broadcasts, and an
     * over-budget batch never builds either (the one count() that makes
     * the decision rides the pinned candidate cache the happy path
-    * reuses; a fallback wastes only the bloom build, one snapshot
-    * scan). `maxBroadcastRows` is a ROW budget over 8-byte hash keys —
+    * reuses; a fallback therefore pays the bloom build — one snapshot
+    * scan — plus the candidate materialization that made the decision:
+    * the bloom-filtered distinct shuffle over the incoming batch, its
+    * pin, and the count). `maxBroadcastRows` is a ROW budget over
+    * 8-byte hash keys —
     * the default 4M rows admits a ~32 MB broadcast.
     *
     * Equality premise: matching is on xxhash64(text) — identical to

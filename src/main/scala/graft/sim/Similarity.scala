@@ -423,6 +423,15 @@ object Similarity {
     * partial, never row-shaped. Samples are identified by
     * xxhash64(id), generic over the id type; a hash collision merely
     * excludes one extra corpus row from one sample's truth.
+    *
+    * NaN contract (deliberate): a corpus row with any NaN component has
+    * a NaN dot against every sample, and the strict `d > bd(s)`
+    * comparison never admits it — such rows are EXCLUDED from truth
+    * selection. This is the behavior we want (a corrupt vector must not
+    * become anyone's "true" neighbor; the serving paths likewise raise
+    * on NaN queries rather than rank them), but note it differs from
+    * the pre-r14 `max(struct(dot, cell))` aggregation, which ordered
+    * NaN above all doubles and could crown a NaN row as truth.
     */
   /** Round-robin spread for a corpus input whose physical layout yields
     * fewer partitions than cores — the local few-large-files artifact
@@ -449,9 +458,14 @@ object Similarity {
                                         cents: Seq[(Int, Seq[Double])],
                                         samples: Int): Array[Int] = {
     // the curve input is typically a (cached or freshly-written)
-    // few-file scan — spread it or the whole pass runs on one core
+    // few-file scan — spread it or the whole pass runs on one core.
+    // _cell is PINNED to int here: the read-back path's _cell comes from
+    // hive-partition directory names, whose type is inference-dependent
+    // (partitionColumnTypeInference off ⇒ StringType) and the primitive
+    // getInt below would break on it.
     val base = spreadNarrow(assigned).select(xxhash64(col("id")).as("_k"),
-      normalized(col("vec").cast("array<double>")).as("_nv"), col("_cell"))
+      normalized(col("vec").cast("array<double>")).as("_nv"),
+      col("_cell").cast("int").as("_cell"))
     val picked = base.orderBy("_k").limit(samples)
       .select("_k", "_nv").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

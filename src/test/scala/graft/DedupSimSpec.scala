@@ -1372,8 +1372,9 @@ class DedupSimSpec extends AnyFunSuite {
   test("spreadNarrow: a big one-split file scan fans out to all cores; " +
        "a tiny one is returned untouched") {
     // the local layout artifact behind the r14 q94_build finding: a
-    // single >8 MB parquet file scans as ONE partition and serializes
-    // every downstream compute pass
+    // single parquet file past the FanOutMinBytes floor (2 MB since the
+    // r14 fanOut-floor fix) scans as ONE partition and serializes every
+    // downstream compute pass
     val dir = java.nio.file.Files.createTempDirectory("spread_narrow").toString
     val rng = new Random(23)
     (0 until 30000).map(i => (i.toLong, Seq.fill(64)(rng.nextDouble())))

@@ -47,14 +47,110 @@ object Dedup {
     *
     * `maxShingleDf` drops shingles appearing in more docs than the cap
     * (skew + noise control at scale; pass Int.MaxValue to disable).
+    *
+    * `prefixFilter` (OPT-IN, r15): PPJoin-family prefix filtering
+    * (Chaudhuri et al. SSJoin 2006; Xiao et al. WWW 2008 — public
+    * literature). Each doc indexes only the FIRST
+    * `|s| − ⌈t·|s|⌉ + 1` of its ascending-sorted shingle hashes;
+    * candidate pairs come from the (smaller) prefix inverted index,
+    * and the exact Jaccard is recomputed per candidate over the full
+    * sorted hash arrays ([[graft.functions.SortedIntersectCount]]
+    * — the q38 rerank kernel). EXACT for Jaccard ≥ t: for a qualifying
+    * pair, |A∩B| ≥ t·|A∪B| ≥ ⌈t·|A|⌉, so at most ⌈t·|A|⌉−1 of A's
+    * elements outside its prefix can be intersection members — at
+    * least one intersection element sits in A's prefix, and the
+    * globally SMALLEST intersection element therefore sits in BOTH
+    * prefixes (it is ≤ any prefix-resident intersection element of
+    * each side, and prefixes are each side's smallest elements).
+    * Spec-pinned equal to the full-index route in both cap regimes.
+    *
+    * Default OFF after measurement (r15, PrefixFilterABProbe,
+    * interleaved same-JVM A/B): on this corpus family the full-index
+    * route wins at EVERY probed threshold — sf1 min-of-k prefix/full =
+    * 10.1/5.5 s at t=0.2, 4.1/2.0 at t=0.5, 2.7/2.0 at t=0.8, and the
+    * sf10 t=0.2 prefix arm did not finish in 55 min where the full
+    * route's isolated time is ~19 s. Root cause: the r13 census showed
+    * candidate volume at t=0.2 is INHERENT (≈ qualifying pairs), so
+    * the prefix cut can't remove meaningful candidates, while the
+    * rerank re-scores each candidate by joining BOTH full hash arrays
+    * onto it (KB/pair of shuffle — the exact payload shape the q38
+    * hashed-rerank fix removed) where the full route's intersection
+    * falls out of the index join's pair-count for free. Prefix
+    * filtering pays off only when candidates ≫ qualifying pairs (high
+    * thresholds over low-overlap corpora) — callers with that shape
+    * opt in; the oracle gate (q36) and the default stay on the
+    * full-index route.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double,
-                        maxShingleDf: Int = 1000): DataFrame = {
+                        maxShingleDf: Int = 1000,
+                        prefixFilter: Boolean = false): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
     val base = Par.fanOut(df.select(col(idCol).as("doc"), col(textCol).as("text")))
     val arr = array_filter_nonempty(
       TextFunctions.distinctWordNGrams(col("text"), n))
-    if (maxShingleDf == Int.MaxValue) {
+    if (prefixFilter) {
+      // per-doc SORTED distinct shingle hashes (ShingleHashes sorts
+      // ascending — the shared global order the prefix bound needs).
+      // No cap: one per-row codegen pass, no shuffle. With a cap: the
+      // hot-shingle list must see global document frequencies, so the
+      // arrays are rebuilt from the capped inverted index (one doc-keyed
+      // shuffle); sizes and intersections are then post-cap, matching
+      // the historical capped semantics.
+      val sets =
+        if (maxShingleDf == Int.MaxValue)
+          base.select(col("doc"),
+              graft.functions.ShingleHashes(arr).as("_h"))
+            .filter(size(col("_h")) > 0)
+        else {
+          val exploded = base
+            .select(col("doc"), explode_outer(arr).as("s"))
+            .filter(col("s").isNotNull) // dodge InferFiltersFromGenerate
+            .select(col("doc"), xxhash64(col("s")).as("s"))
+          val hot = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") > maxShingleDf).select("s")
+          exploded.join(broadcast(hot), Seq("s"), "left_anti")
+            .groupBy("doc")
+            .agg(sort_array(collect_set(col("s"))).as("_h"))
+        }
+      // consumed three times (prefix index + two rerank joins) with
+      // divergent plans — pin, as minhashPairs does with its shingles
+      val sh = Par.pinLatest("jaccard.sets", sets)
+      // exact per-side prefix: p = |s| − ⌈t·|s|⌉ + 1. The 1e-9 guard
+      // keeps a binary-inexact t·|s| that lands just above an integer
+      // from shortening the prefix below the exact bound (errs longer,
+      // never lossy). slice is 1-based and clamps at the array end.
+      val pLen = (size(col("_h")) -
+        ceil(lit(minJaccard) * size(col("_h")) - lit(1e-9)) + 1).cast("int")
+      val idx = sh.select(col("doc"), size(col("_h")).as("n_sh"),
+        explode(slice(col("_h"), lit(1), pLen)).as("s"))
+      // candidate pairs from the prefix index. The EXPLICIT shared
+      // repartition (minhashPairs' pattern) does two jobs: both join
+      // sides become one canonical exchange (computed once,
+      // ReusedExchange — AQE's per-occurrence cache stages otherwise
+      // defeat reuse of planner-inserted ENSURE_REQUIREMENTS exchanges
+      // over a pinned input), and the pair-exploding shuffle keeps its
+      // parallelism instead of being byte-coalesced to one task.
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      val idxP = idx.repartition(p, col("s"))
+      val cand = idxP.as("a").hint("shuffle_hash")
+        .join(idxP.as("b"),
+          col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(lit(1))
+        .select("id_a", "id_b", "n_a", "n_b")
+      cand.repartition(p, col("id_a"))
+        .join(sh.select(col("doc").as("id_a"), col("_h").as("_ha")), "id_a")
+        .join(sh.select(col("doc").as("id_b"), col("_h").as("_hb")), "id_b")
+        .withColumn("_inter",
+          graft.functions.SortedIntersectCount(col("_ha"), col("_hb")))
+        .withColumn("jaccard",
+          round(col("_inter") / (col("n_a") + col("n_b") - col("_inter")), 6))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+    } else if (maxShingleDf == Int.MaxValue) {
       // Carry each doc's shingle-set size THROUGH the explode so no
       // separate sizes aggregation (and no join-back) is needed: |A| and
       // |B| ride along with every inverted-index row and fall out of the
@@ -219,10 +315,13 @@ object Dedup {
     // expanding m(m-1)/2 pairs as a single array value crashes on a hot
     // bucket (near-identical boilerplate docs share a min-hash), while a
     // join streams the same pairs as rows. The join rows carry only
-    // (id, t, h); both sides share one canonical plan so the exchange is
-    // computed once (ReusedExchange). The explicit repartition pins the
-    // join key's partition count — AQE would otherwise coalesce this
-    // small-bytes/pair-exploding shuffle to one task — and the pair
+    // (id, t, h). (The two sides do NOT share one exchange here: AQE
+    // creates a TableCacheQueryStage per occurrence of the pinned `sh`,
+    // so the sides never canonicalize equal — probed r15. The duplicated
+    // work above the cache is the signature explode, cheap next to the
+    // shingle build the pin already saves.) The explicit repartition
+    // pins the join key's partition count — AQE would otherwise coalesce
+    // this small-bytes/pair-exploding shuffle to one task — and the pair
     // groupBy dedups collisions across tables.
     val p = df.sparkSession.sparkContext.defaultParallelism
     val sigsP = sigs.repartition(p, col("t"), col("h"))
@@ -565,5 +664,173 @@ object Dedup {
       case Some(hits) => inHash.join(hits, Seq(hCol), "left_anti").drop(hCol)
       case None => inHash.join(exHash, Seq(hCol), "left_anti").drop(hCol)
     }
+  }
+
+  /** On-disk MinHash near-dup index over a corpus snapshot — the
+    * NEAR-dup member of the incremental family ([[dedupAgainstCorpus]]
+    * is the exact member; the substring span index is the fragment
+    * member). The snapshot pays its shingling + signature build ONCE:
+    *
+    *   - `bands/` — one row per (table, min-hash signature, doc id),
+    *     the LSH candidate-generation side. Probes equi-join on (t, h).
+    *   - `sets/` — each doc's SORTED 64-bit shingle hashes
+    *     ([[graft.functions.ShingleHashes]]), the exact-rerank side.
+    *     Storing them is what lets a probe rerank candidates without
+    *     re-shingling (or even re-reading the text of) the snapshot.
+    *   - `_minhash_meta.json` — rows + the (n, numHashTables, seed)
+    *     the signatures were built with; probes MUST hash with the
+    *     same parameters, so they read them from here rather than
+    *     trusting the caller to repeat them.
+    *
+    * Signature scheme is bit-identical to [[minhashPairs]] (same
+    * MinHashSig expression, same xxhash64 shingle keys), so the recall
+    * and exactness contracts carry over: candidates require a shared
+    * min-hash in >= 1 of `numHashTables` tables (recall 1-(1-J)^k,
+    * ~1.0 for the verbatim/near-verbatim duplicates a re-crawl
+    * produces), and the rerank makes precision exact at `minJaccard`.
+    */
+  def writeMinhashIndex(snapshot: DataFrame, textCol: String, idCol: String,
+                        dir: String, n: Int = 3, numHashTables: Int = 8,
+                        seed: Long = 42): Unit = {
+    val spark = snapshot.sparkSession
+    // consumed twice (bands + sets) with divergent plans — persist for
+    // the duration of the build, released before returning
+    val sh = Par.fanOut(snapshot.select(col(idCol).as("id"),
+        col(textCol).as("text")))
+      .select(col("id"),
+        TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .persist()
+    sh.select(col("id"),
+        graft.functions.ShingleHashes(col("shingles")).as("_h"))
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    sh.select(col("id"), posexplode_outer(graft.functions.MinHashSig(
+        col("shingles"), numHashTables, seed)))
+      .select(col("pos").as("t"), col("col").as("h"), col("id"))
+      .filter(col("h").isNotNull)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    val rows = sh.count() // rides the cache
+    sh.unpersist(blocking = false)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_minhash_meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    out.write((s"""{"rows":$rows,"n":$n,"numHashTables":$numHashTables,""" +
+      s""""seed":$seed}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Build parameters of a [[writeMinhashIndex]] snapshot:
+    * (rows, n, numHashTables, seed). */
+  private def loadMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (Long, Int, Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_minhash_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no minhash index under $dir — build with " +
+      "writeMinhashIndex first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val j = org.json4s.jackson.JsonMethods.parse(txt)
+    def num(f: String): Long = (j \ f) match {
+      case org.json4s.JInt(v) => v.toLong
+      case other => sys.error(s"bad _minhash_meta.json field $f: $other")
+    }
+    (num("rows"), num("n").toInt, num("numHashTables").toInt, num("seed"))
+  }
+
+  /** Near-dup hits of `incoming` against a [[writeMinhashIndex]]
+    * snapshot: `(incoming_id, snapshot_id, est_jaccard)` for every
+    * LSH-recalled pair with exact (hashed-shingle) Jaccard >=
+    * `minJaccard`. The incremental twin of [[minhashPairs]], with the
+    * snapshot-side work amortized into the index.
+    *
+    * Scale design — the snapshot is the 100 TB side and is NEVER
+    * SHUFFLED on the default route:
+    *   1. the batch's band signatures (|batch| × numHashTables rows of
+    *      (t, h, id)) BROADCAST into a hash join against the `bands/`
+    *      scan — candidates stream out of one snapshot scan;
+    *   2. candidate pairs dedup (a shuffle over candidates only), and
+    *      the candidate SNAPSHOT ids broadcast into a semi-join that
+    *      plucks just those docs' hash arrays out of one `sets/` scan;
+    *   3. the rerank joins are candidate-bounded on both sides.
+    * When the batch signature set or the candidate set exceeds
+    * `maxBroadcastRows`, the route falls back to plain shuffle joins —
+    * still correct, but the snapshot's 8-byte band keys (and, for the
+    * candidates' snapshot ids, the sets arrays) do shuffle; a batch
+    * that large is a corpus merge, not a crawl increment, and should
+    * consider a fresh [[minhashPairs]] run instead. Both routes are
+    * spec-pinned equal.
+    */
+  def nearDupPairsAgainstCorpus(incoming: DataFrame, dir: String,
+                                textCol: String, idCol: String,
+                                minJaccard: Double = 0.2,
+                                maxBroadcastRows: Long = 4L << 20): DataFrame = {
+    val spark = incoming.sparkSession
+    val (_, n, k, seed) = loadMinhashMeta(spark, dir)
+    // batch shingles: consumed by the signature build AND the rerank —
+    // pin, as minhashPairs pins its shingle frame
+    val bsh = Par.pinLatest("minhash.against.batch",
+      Par.fanOut(incoming.select(col(idCol).as("_bid"),
+          col(textCol).as("text")))
+        .select(col("_bid"),
+          TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
+        .filter(size(col("shingles")) > 0))
+    val bSig = bsh.select(col("_bid"), posexplode_outer(
+        graft.functions.MinHashSig(col("shingles"), k, seed)))
+      .select(col("pos").as("t"), col("col").as("h"), col("_bid"))
+      .filter(col("h").isNotNull)
+    val bands = spark.read.parquet(s"$dir/bands")
+    // batch-signature budget: |batch| x k rows of 20 bytes — the count
+    // rides the pinned cache
+    val batchSigRows = bsh.count() * k
+    val candRaw =
+      if (batchSigRows <= maxBroadcastRows)
+        bands.join(broadcast(bSig), Seq("t", "h"))
+      else bands.join(bSig, Seq("t", "h"))
+    // dedup multi-table collisions — a shuffle over candidates only
+    val cand = Par.pinLatest("minhash.against.cand",
+      candRaw.select(col("id").as("_sid"), col("_bid")).distinct())
+    val nCand = cand.count()
+    val sets = spark.read.parquet(s"$dir/sets")
+    val snapSets =
+      if (nCand <= maxBroadcastRows) {
+        // candidate snapshot ids (<= nCand, dedup'd) broadcast-semi into
+        // the sets scan: one snapshot pass, zero snapshot shuffle, output
+        // bounded by the candidate count
+        val sids = cand.select(col("_sid")).distinct()
+        sets.join(broadcast(sids), sets("id") === sids("_sid"), "left_semi")
+      } else sets
+    val bH = bsh.select(col("_bid"),
+      graft.functions.ShingleHashes(col("shingles")).as("_hb"))
+    val out = cand
+      .join(snapSets.select(col("id").as("_sid"), col("_h").as("_ha")), "_sid")
+      .join(bH, "_bid")
+      .withColumn("_inter",
+        graft.functions.SortedIntersectCount(col("_ha"), col("_hb")))
+      .withColumn("est_jaccard", round(col("_inter") /
+        (size(col("_ha")) + size(col("_hb")) - col("_inter")), 6))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("_bid").as("incoming_id"), col("_sid").as("snapshot_id"),
+        col("est_jaccard"))
+    out
+  }
+
+  /** Incremental NEAR-dup dedup: keep the `incoming` rows with no
+    * [[nearDupPairsAgainstCorpus]] hit at `minJaccard` against the
+    * snapshot indexed at `dir` — the near-dup analogue of
+    * [[dedupAgainstCorpus]] (each crawl deduped against everything
+    * already kept, without re-processing the snapshot). Keeps every
+    * incoming column; rows whose text yields no shingles (null/short)
+    * survive, as they can match nothing — same null contract as the
+    * exact route.
+    */
+  def dedupNearAgainstCorpus(incoming: DataFrame, dir: String,
+                             textCol: String, idCol: String,
+                             minJaccard: Double = 0.2,
+                             maxBroadcastRows: Long = 4L << 20): DataFrame = {
+    val dups = nearDupPairsAgainstCorpus(incoming, dir, textCol, idCol,
+        minJaccard, maxBroadcastRows)
+      .select(col("incoming_id")).distinct()
+    incoming.join(dups, incoming(idCol) === dups("incoming_id"), "left_anti")
   }
 }

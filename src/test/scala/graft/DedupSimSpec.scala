@@ -231,17 +231,31 @@ class DedupSimSpec extends AnyFunSuite {
     // The physical properties the 100 TB design depends on, pinned so a
     // refactor can't silently regress them: the inverted-index self-join
     // must be a shuffled hash join (never a broadcast of the exploded
-    // index, never a cartesian/BNL), and the identical join sides must
-    // share one exchange (ReusedExchange under AQE).
-    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+    // index, never a cartesian/BNL). On the UNPINNED full-index route
+    // the identical join sides additionally share one exchange
+    // (ReusedExchange under AQE) — a pinned input defeats that (AQE
+    // creates a TableCacheQueryStage PER OCCURRENCE, so exchanges above
+    // different occurrences never canonicalize equal; probed r15 —
+    // minhashPairs has the same shape), which is fine on the prefix
+    // route: the duplicated work above the cache is an explode+slice of
+    // already-cached arrays, not the shingle computation.
+    val jacPref = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
       n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue)
+    jacPref.collect()
+    val prefPlan = jacPref.queryExecution.executedPlan.toString
+    assert(prefPlan.contains("ShuffledHashJoin"), s"want SHJ in:\n$prefPlan")
+    assert(!prefPlan.contains("CartesianProduct") &&
+      !prefPlan.contains("BroadcastNestedLoopJoin"), "no quadratic join")
+    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue,
+      prefixFilter = false)
     jac.collect()
     val plan = jac.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), s"want SHJ in:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), "no quadratic join")
     assert(plan.contains("ReusedExchange"),
-      "self-join sides must share one materialized exchange")
+      "full-route self-join sides must share one materialized exchange")
 
     val mh = Dedup.minhashPairs(corpus, "text", "doc_id", 3, 8, 0.2)
     mh.collect()
@@ -467,6 +481,90 @@ class DedupSimSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val exact = pairs.filter(p => p._3 == 0).map(p => (p._1, p._2)).toSet
     assert(exact.contains((0L, 100L)) && exact.contains((1L, 101L)))
+  }
+
+  test("prefix filtering is EXACT: prefix route == full-index route, " +
+       "both cap regimes, several thresholds") {
+    // the PPJoin bound is threshold-dependent — pin equality where the
+    // prefix is short (high t) and where it is nearly the whole set
+    // (low t), on the synthetic near-dup corpus AND the real testdata
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e6))
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      val full = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = t, maxShingleDf = Int.MaxValue,
+        prefixFilter = false).collect().map(key).toSet
+      val pref = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = t, maxShingleDf = Int.MaxValue)
+        .collect().map(key).toSet
+      assert(pref == full, s"prefix route diverged at t=$t (no cap): " +
+        s"missing=${(full -- pref).take(5)} extra=${(pref -- full).take(5)}")
+    }
+    // capped regime: the prefix is computed over the POST-CAP universe
+    val fullCap = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, minJaccard = 0.3, maxShingleDf = 3, prefixFilter = false)
+      .collect().map(key).toSet
+    val prefCap = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, minJaccard = 0.3, maxShingleDf = 3)
+      .collect().map(key).toSet
+    assert(prefCap == fullCap, "prefix route diverged under the df cap")
+    // real testdata at the q36 operating point
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fullQ36 = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue,
+      prefixFilter = false).collect().map(key).toSet
+    val prefQ36 = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.2, maxShingleDf = Int.MaxValue)
+      .collect().map(key).toSet
+    assert(prefQ36 == fullQ36 && prefQ36.nonEmpty,
+      s"prefix route diverged on sf0.001 documents (${prefQ36.size} vs " +
+        s"${fullQ36.size} pairs)")
+  }
+
+  test("minhash index: on-disk near-dup probe == exact cross truth, " +
+       "both budget routes; planted re-crawls drop, fresh docs survive") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    val snap = corpus.filter(col("doc_id") < 100) // originals 0..39
+    // the re-crawl: the planted copies (100=copy of 0, 101=copy of 1,
+    // 102=near-copy of 2) + fresh docs from a DISJOINT vocabulary (no
+    // chance trigram overlap) + a null-text and an empty-text row
+    val fresh = Seq(
+      (200L, "red orange yellow green blue indigo violet red orange yellow"),
+      (201L, "one two three four five six seven eight nine ten eleven"),
+      (202L, null.asInstanceOf[String]), (203L, "")).toDF("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") >= 100).unionByName(fresh)
+    Dedup.writeMinhashIndex(snap, "text", "doc_id", dir)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e6))
+    val pairs = Dedup.nearDupPairsAgainstCorpus(batch, dir, "text",
+      "doc_id", minJaccard = 0.5)
+    // exact truth: full-index jaccard over the union, cross pairs only
+    // (snapshot ids < 100 <= batch ids, so id_a is always the snapshot)
+    val truth = Dedup.ngramJaccardPairs(snap.unionByName(batch), "text",
+        "doc_id", n = 3, minJaccard = 0.5, maxShingleDf = Int.MaxValue,
+        prefixFilter = false)
+      .filter(col("id_a") < 100 && col("id_b") >= 100)
+      .select(col("id_b"), col("id_a"), col("jaccard"))
+      .collect().map(key).toSet
+    assert(pairs.collect().map(key).toSet == truth,
+      "probe hits must equal the exact cross-pair truth")
+    assert(truth.map(_._1) == Set(100L, 101L, 102L),
+      s"fixture: exactly the planted re-crawls qualify, got $truth")
+    def surv(maxB: Long) =
+      Dedup.dedupNearAgainstCorpus(batch, dir, "text", "doc_id",
+        minJaccard = 0.5, maxBroadcastRows = maxB)
+        .select("doc_id").as[Long].collect().toSet
+    val want = Set(200L, 201L, 202L, 203L)
+    assert(surv(4L << 20) == want, "broadcast route survivors")
+    assert(surv(0L) == want, "shuffle-fallback route survivors must match")
+    // happy-route plan shape: the snapshot sides (bands + sets scans)
+    // feed BROADCAST joins — the snapshot is scanned, never shuffled
+    val shaped = Dedup.nearDupPairsAgainstCorpus(batch, dir, "text",
+      "doc_id", minJaccard = 0.5)
+    shaped.collect()
+    val plan = shaped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"want broadcast candidate/sets joins in:\n$plan")
   }
 
   test("shingle document-frequency cap drops viral shingles") {
@@ -1158,7 +1256,8 @@ class DedupSimSpec extends AnyFunSuite {
     val cents = Array.tabulate(8)(c => (c, Seq.fill(16)(rng.nextGaussian())))
     val batch = Seq.tabulate(100)(i =>
       (i.toLong, Seq.fill(16)(rng.nextGaussian()))).toDF("id", "vec")
-    val assigned = Similarity.assignCells(batch, cents)
+    val assigned = Similarity.assignCells(batch,
+      Similarity.FlatQuantizer(cents.toSeq))
     val exchanges = assigned.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
@@ -1167,6 +1266,84 @@ class DedupSimSpec extends AnyFunSuite {
         assigned.queryExecution.executedPlan.toString)
     // and it assigns every row (sanity that the map actually ran)
     assert(assigned.count() == 100)
+  }
+
+  test("two-level IVF: nClusters past the flat cap builds a product " +
+       "quantizer; planted twins probe rank-1; probe==driver ranking; " +
+       "append matches build cells; curve machinery works") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf2l").toString
+    val rng = new Random(17)
+    val centers = Array.fill(20)(Array.fill(16)(rng.nextGaussian()))
+    val vecs = (0L until 600L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.toSeq.map(_ + rng.nextGaussian() * 0.05))
+    }.toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(vecs, "embedding", "vec_id", dir,
+      nClusters = 4100, maxIter = 3, recallCurveSamples = 64)
+    val q = Similarity.loadQuantizer(spark, dir)
+    assert(q.isInstanceOf[Similarity.TwoLevelQuantizer],
+      s"nClusters=4100 > FlatCellCap must build two-level, got $q")
+    assert(q.numCells > 4096 && q.dim == 16)
+    // flat enumeration of a two-level index fails LOUDLY
+    intercept[IllegalStateException] {
+      Similarity.loadCentroids(spark, dir)
+    }
+    // probe expression == driver-side ranking (shared kernel pin)
+    val qn = {
+      val v = centers(3).toSeq
+      val n2 = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n2)
+    }
+    val exprCells = Seq(Tuple1(qn)).toDF("v")
+      .select(q.probeCells(col("v"), 7).as("c")).head().getSeq[Int](0)
+    assert(exprCells == q.topCells(qn, 7),
+      "NearestCellsTwoLevel must equal the driver-side topCells")
+    // rankOfCell consistency: the rank-1 cell IS topCells' first
+    assert(q.rankOfCell(qn.toArray, exprCells.head) == 1)
+    // planted twins probe rank-1 at cos 1.0 — the q62/q94 oracle
+    // premise must survive the two-level route
+    val probes = vecs.filter(pmod(col("vec_id"), lit(30)) === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val res = Similarity.probeIvfIndexBatch(probes, "embedding", "vec_id",
+      dir, k = 1).collect()
+    assert(res.length == 20)
+    res.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") ==
+        r.getAs[Long]("query_id") - 100000 &&
+        r.getAs[Double]("cos") == 1.0,
+        s"twin must be its own rank-1 at cos 1.0: $r")
+    }
+    // single-query on-disk probe agrees
+    val one = Similarity.probeIvfIndex(spark, dir,
+      vecs.filter(col("vec_id") === 90L).head().getSeq[Double](1), k = 1)
+      .head()
+    assert(one.getLong(0) == 90L && one.getDouble(1) == 1.0)
+    // append assigns with the build's exact numerics: a re-appended
+    // vector lands in its original cell
+    val cellsDf = spark.read.parquet(s"$dir/cells")
+    val before = cellsDf.filter(col("id") === 7L)
+      .select(col("_cell").cast("int")).head().getInt(0)
+    Similarity.appendToIvfIndex(
+      vecs.filter(col("vec_id") === 7L)
+        .withColumn("vec_id", col("vec_id") + 555555),
+      "embedding", "vec_id", dir)
+    val after = spark.read.parquet(s"$dir/cells")
+      .filter(col("id") === 555562L)
+      .select(col("_cell").cast("int")).head().getInt(0)
+    assert(after == before, "appended twin must share its source's cell")
+    // recall curve: stored, monotone, resolves an operating point
+    val curve = Similarity.recallCurve(spark, dir).get
+    assert(curve.length == q.numCells)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b })
+    assert(curve.last == 1.0)
+    assert(Similarity.nProbeForRecall(spark, dir, 1.0) <= q.numCells)
+    // two-level assignment stays a narrow per-row map: zero Exchange
+    val assigned = Similarity.assignCells(
+      vecs.select(col("vec_id").as("id"), col("embedding").as("vec")), q)
+    val exchanges = assigned.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, "two-level assignment must not shuffle")
   }
 
   test("IVF probe picks up an index rebuilt by another process") {

@@ -177,20 +177,60 @@ class PlansSpec extends AnyFunSuite {
       case _ => false
     }
 
-  test("fanOut inserts the repartition only above the byte gate, on " +
+  test("fanOut inserts the repartition only above the size gate, on " +
        "under-parallel exchange-free scans") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
     assert(docs.rdd.getNumPartitions <
       spark.sparkContext.defaultParallelism, "fixture: one-split scan")
-    // above the gate: fan out to defaultParallelism
-    val fanned = graft.ops.Par.fanOut(docs, minBytes = 1L)
+    // above the gate: fan out to defaultParallelism (the parquet scan's
+    // footer row count is the routing signal — minRows is the lever)
+    val fanned = graft.ops.Par.fanOut(docs, minRows = 1L)
     assert(hasRepartition(fanned), "a big one-split scan must fan out")
     assert(fanned.rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism)
     // below the gate: untouched (the exchange costs more than it buys)
-    assert(graft.ops.Par.fanOut(docs, minBytes = Long.MaxValue) eq docs,
+    assert(graft.ops.Par.fanOut(docs, minRows = Long.MaxValue) eq docs,
       "sub-gate scans pass through untouched")
+  }
+
+  test("fanOut routes on ROWS when estimable, bytes only as fallback: " +
+       "a small-bytes/many-rows corpus fans out, a many-bytes/few-rows " +
+       "one doesn't (r14 floor lesson generalized)") {
+    // compressed bytes and per-row CPU disagree by the compression
+    // ratio: RLE-friendly repetitive text compresses a 30k-row corpus
+    // under the 2 MB byte floor, while 300 rows of incompressible
+    // payload blow past it — rows are the honest cost signal.
+    val dir = java.nio.file.Files.createTempDirectory("fanout_rows").toString
+    val manyRows = spark.range(30000).toDF("id")
+      .withColumn("text", concat(lit("the quick brown fox jumps over "),
+        col("id").cast("string")))
+    manyRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/many")
+    val rng = new scala.util.Random(7)
+    val fewRows = spark.createDataFrame(
+      (0 until 300).map(i => (i.toLong, rng.alphanumeric.take(30000).mkString)))
+      .toDF("id", "text")
+    fewRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/few")
+    val many = spark.read.parquet(s"$dir/many")
+    val few = spark.read.parquet(s"$dir/few")
+    val manyBytes = many.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fewBytes = few.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(manyBytes < BigInt(graft.ops.Par.FanOutMinBytes),
+      s"fixture: many-rows parquet must compress under the byte floor, got $manyBytes")
+    assert(fewBytes >= BigInt(graft.ops.Par.FanOutMinBytes),
+      s"fixture: few-rows parquet must exceed the byte floor, got $fewBytes")
+    assert(graft.ops.Par.estimatedRows(many).contains(30000L),
+      "footer probe must see the exact row count")
+    assert(graft.ops.Par.estimatedRows(few).contains(300L))
+    assert(hasRepartition(graft.ops.Par.fanOut(many)),
+      "a small-bytes/many-rows one-split scan must fan out")
+    assert(graft.ops.Par.fanOut(few) eq few,
+      "a many-bytes/few-rows scan passes through untouched")
+    // derived narrow plans (select/filter) keep the leaf's row estimate
+    val filtered = many.filter(length(col("text")) > 0)
+      .select(col("id"), col("text"))
+    assert(graft.ops.Par.estimatedRows(filtered).contains(30000L),
+      "footer rows survive narrow select/filter lineage")
   }
 
   test("fanOut is a no-op at >= defaultParallelism partitions (the " +

@@ -118,26 +118,27 @@ object Similarity {
       col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_na", normalized(col("_cv")))
       .cache()
-    // nClusters = 0 (default) auto-scales cells to ~sqrt(n): candidate
-    // volume per query is nProbe/nClusters × n, so FIXED cells make probe
-    // cost grow linearly per query — quadratic in total when the query
-    // panel grows with the corpus (measured: 16 fixed cells at 200k
-    // vectors × 4k queries = 141 s; sqrt-scaled = the linear path). The
-    // sqrt rule is also the RECALL-optimal sizing at a given probe
-    // fraction (AnnScaleRecallProbe: fixed 16 cells drop below the
-    // calibrated floor at 40× corpus; sqrt(n) cells at half probed hold
-    // 0.93). Mirrors semanticDedup's nClusters = 0 convention.
+    // nClusters = 0 (default) auto-sizes cells (autoCells): ~sqrt(n)
+    // small — candidate volume per query is nProbe/nClusters × n, so
+    // FIXED cells make probe cost grow linearly per query, quadratic in
+    // total when the query panel grows with the corpus (measured: 16
+    // fixed cells at 200k vectors × 4k queries = 141 s), and sqrt is
+    // the RECALL-optimal sizing at a given probe fraction
+    // (AnnScaleRecallProbe: fixed 16 cells drop below the calibrated
+    // floor at 40× corpus; sqrt(n) cells at half probed hold 0.93) —
+    // switching to BUDGET-DRIVEN cells past ~1.86M rows so auto-probe
+    // candidates stay constant (see autoCells).
     // one agg over the cache: row count (sizes the cells + the fit
     // sample) and dimension (the two-level split point)
     val statRow = toVec.agg(count(lit(1)), max(size(col("_na")))).head()
     val nCorpus = statRow.getLong(0)
     val dimCorpus = if (statRow.isNullAt(1)) 0 else statRow.getInt(1)
-    // UNCAPPED sqrt sizing since r15: past FlatCellCap the quantizer
-    // goes two-level (see fitCoarseQuantizer) instead of letting cell
-    // size grow linearly in n
-    val kCells =
-      if (nClusters > 0) nClusters
-      else math.max(16, math.ceil(math.sqrt(nCorpus.toDouble)).toInt)
+    // UNCAPPED since r15: past FlatCellCap the quantizer goes two-level
+    // (see fitCoarseQuantizer) instead of letting cell size grow
+    // linearly in n; past ~1.86M rows the sizing switches from sqrt(n)
+    // to budget-driven so auto-probe candidates stay constant
+    // (see autoCells)
+    val kCells = if (nClusters > 0) nClusters else autoCells(nCorpus)
     // nProbe = 0 (default) probes to a CONSTANT per-query candidate
     // budget (autoNProbe: ~AutoProbeBudget corpus rows per query,
     // floor 3, exhaustive for corpora at or under the budget). The
@@ -294,6 +295,39 @@ object Similarity {
     math.min(cells, math.max(3, byBudget))
   }
 
+  /** The ONE auto cell-count rule (`nClusters = 0`) — shared by
+    * `ivfTopK` and `writeIvfIndex` so the in-memory and on-disk builds
+    * cannot diverge. Two regimes:
+    *
+    *   - `sqrt(n)` below ~1.86M rows — the recall-optimal sizing at a
+    *     given probe fraction (AnnScaleRecallProbe), and the historical
+    *     rule at every gate SF (nothing under ~1.86M rows changes).
+    *   - BUDGET-DRIVEN above: `ceil(3n / AutoProbeBudget)` cells, so
+    *     [[autoNProbe]]'s floor of 3 probes × cell size lands back at
+    *     ~the budget. Pure sqrt sizing left auto-mode candidates
+    *     growing as 3·√n — sub-linear but still unbounded; the
+    *     Ivf2LScaleProbe r15 run measured 13.5k candidates/query
+    *     (3.3× budget) at 20M vectors under sqrt sizing vs ~5.2k once
+    *     cells were budget-sized. Realized two-level cells round
+    *     kCells UP to k1·k2, so cell size only shrinks and the probe
+    *     rule's ceil can add one extra probe — candidates stay ≤
+    *     ~4/3 × budget, a bounded constant.
+    *
+    * Clamped at the two-level ceiling (FlatCellCap² = 16.7M cells):
+    * the budget holds exactly to n ≈ 2.3e13 vectors — two orders past
+    * the 100 TB north star (~3e10 embeddings) — and degrades linearly
+    * only beyond that. Assignment cost at the ceiling is
+    * (k1+k2)·d/2 = 4096·d flops/row, the SAME bound the old flat cap
+    * enforced, so the budget regime never exceeds the build cost the
+    * cap was protecting.
+    */
+  private[graft] def autoCells(nRows: Long): Int = {
+    val bySqrt = math.ceil(math.sqrt(nRows.toDouble)).toLong
+    val byBudget = math.ceil(3.0 * nRows / AutoProbeBudget).toLong
+    val ceiling = FlatCellCap.toLong * FlatCellCap
+    math.min(ceiling, math.max(16L, math.max(bySqrt, byBudget))).toInt
+  }
+
   /** Materialize the IVF scale path ivfTopK's doc promises: the corpus
     * written HIVE-PARTITIONED BY QUANTIZER CELL (`dir/cells/_cell=N/…`)
     * with the centroids as a tiny JSON sidecar. A probe then reads ONLY
@@ -327,12 +361,10 @@ object Similarity {
     require(nRows > 0,
       s"cannot build an IVF index over an empty corpus ($vecCol all null/empty?)")
     val dim = statRow.getInt(1)
-    // nClusters = 0 auto-scales to ~sqrt(n), as in ivfTopK — UNCAPPED
-    // since r15: past FlatCellCap the quantizer goes two-level instead
-    // of letting cell size (and per-query serve cost) grow linearly
-    val kCells =
-      if (nClusters > 0) nClusters
-      else math.max(16, math.ceil(math.sqrt(nRows.toDouble)).toInt)
+    // nClusters = 0 auto-sizes via the SAME rule as ivfTopK (autoCells:
+    // sqrt(n) small, budget-driven past ~1.86M rows, two-level past the
+    // flat cap) — the on-disk and in-memory builds cannot diverge
+    val kCells = if (nClusters > 0) nClusters else autoCells(nRows)
     val quant = fitCoarseQuantizer(toVec, "_na", "id", nRows, kCells, dim,
       seed, maxIter)
     // fused-argmin assignment (not model.transform): full-corpus pass
@@ -789,8 +821,9 @@ object Similarity {
     * value made cell size, and with it per-query SERVE cost, linear in
     * n past ~16.7M vectors (the constant AutoProbeBudget became
     * unsatisfiable: at 3e10 vectors the nProbe floor alone scanned
-    * ~2e7 rows/query). Two-level keeps cells ≈ √n at every scale the
-    * 100 TB target needs (k1·k2 ≤ 4096² = 16.7M cells ⇒ n ≈ 2.8e14).
+    * ~2e7 rows/query). Two-level lets [[autoCells]] size cells for a
+    * CONSTANT candidate budget at every scale the 100 TB target needs
+    * (k1·k2 ≤ 4096² = 16.7M cells holds the budget to n ≈ 2.3e13).
     */
   private[graft] val FlatCellCap = 4096
 

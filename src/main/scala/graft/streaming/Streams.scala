@@ -230,6 +230,49 @@ object Streams {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"), col("duration_sec"))
 
+  /** BOUNDED-OUTPUT serving variant of [[sessionWindows]] (r15, verdict
+    * item 7): per-(key, time-bucket) session STATS instead of one row
+    * per session. The per-session stream is correct but its output is
+    * session-count-sized — fine for a file sink, a driver OOM for any
+    * collecting sink at 100× (the q66 probe needed a noop sink at
+    * decade 3). Here a SECOND event-time aggregation chains after
+    * `session_window` (multiple stateful operators, Spark ≥ 3.4):
+    * sessions are bucketed by their END time (`window_time` = end − 1
+    * tick, so a session closing exactly on a boundary lands in the
+    * bucket it closed in — end-exclusive semantics), and each
+    * (key, bucket) row is emitted ONCE, final, when the watermark
+    * passes the bucket — the shape a 100 TB caller actually ships to a
+    * dashboard or feature store. Output size is keys × active buckets,
+    * never session count; both aggregations' state stays
+    * watermark-bounded (RocksDB guidance in [[sessionWindows]]'s
+    * scaladoc applies to both stores).
+    *
+    * Emitted columns: key, `bucket_start`, `n_sessions`, `n_events`,
+    * `sum_value`, `max_duration_sec`. Spec-pinned against the q49
+    * batch sessionization rule under BOTH state-store providers.
+    */
+  def sessionStats(events: DataFrame, tsCol: String = "ts",
+                   keyCol: String = "user_id", valueCol: String = "value",
+                   gap: String = "30 minutes",
+                   watermark: String = "10 minutes",
+                   bucket: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCol).as("sum_value"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("duration_sec"))
+      .groupBy(col(keyCol),
+        window(window_time(col("session_window")), bucket))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        sum("sum_value").as("sum_value"),
+        max("duration_sec").as("max_duration_sec"))
+      .select(col(keyCol), col("window.start").as("bucket_start"),
+        col("n_sessions"), col("n_events"), col("sum_value"),
+        col("max_duration_sec"))
+
   /** Streaming exact dedup: ONE survivor per normalized-text fingerprint
     * (first arrival — within a microbatch that is processing order, not
     * event order), with state bounded by the watermark —

@@ -911,13 +911,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Similarity.autoNProbe(448, 200000) == 10) // ceil(4096/446.4)
     assert(Similarity.autoNProbe(1415, 2000000) == 3) // floor engages
     assert(Similarity.autoNProbe(4096, 100000000) == 3)
-    // budget law: probed candidates stay ~budget across three decades
-    Seq(10000L, 100000L, 1000000L).foreach { n =>
-      val cells = math.ceil(math.sqrt(n.toDouble)).toInt
+    // budget law under the AUTO cell sizing (autoCells): probed
+    // candidates stay ~budget from 1e4 to 3e10 rows — the sqrt regime
+    // below ~1.86M rows, then budget-driven cells (r15: sqrt sizing
+    // alone left auto candidates growing as 3·sqrt(n) past the floor;
+    // Ivf2LScaleProbe measured 13.5k/query at 20M vectors)
+    Seq(10000L, 100000L, 1000000L, 20000000L, 1000000000L,
+        30000000000L).foreach { n =>
+      val cells = Similarity.autoCells(n)
       val cand = Similarity.autoNProbe(cells, n).toLong * (n / cells)
       assert(cand >= 2048 && cand <= 8192,
         s"n=$n cells=$cells candidates=$cand drifted from the ~4096 budget")
     }
+    // sizing regimes: sqrt below the crossover (gate SFs unchanged),
+    // budget-driven above, clamped at the two-level ceiling
+    assert(Similarity.autoCells(2000000L) ==
+      math.ceil(3.0 * 2000000L / 4096).toInt) // budget regime
+    assert(Similarity.autoCells(1000000L) == 1000) // sqrt regime
+    assert(Similarity.autoCells(1L << 62) == 4096 * 4096) // ceiling
     // end-to-end: a 64-cell index over 512 rows is UNDER the budget —
     // auto probes every cell (exact top-k on small corpora); an explicit
     // nProbe=4 prunes to exactly 4 cell files (one file per cell by

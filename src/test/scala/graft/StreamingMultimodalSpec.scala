@@ -71,6 +71,89 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       (2L, 1L, 8.0, 0L)), s"got ${out.toSeq}")
   }
 
+  test("sessionStats: bounded per-(key, bucket) serving output equals " +
+       "the q49 batch sessionization rule, under heap AND RocksDB " +
+       "providers") {
+    val t0 = 1700000000000L
+    def fixture(dir: String): Unit = {
+      def ev(id: Long, user: Long, offMs: Long, v: Double) =
+        (id, new java.sql.Timestamp(t0 + offMs), user, "click", v)
+      Seq(
+        // user 1: two sessions (gap 700s > 600s) whose ends land in
+        // DIFFERENT 1800s buckets; user 2: one session; user 3: two
+        // sessions (+1000s end 1600, +1700s end 2300) whose ends share
+        // one 1800s bucket (n_sessions = 2 there) — note two sessions
+        // of one key can NEVER share a bucket <= gap (their ends are
+        // always > gap apart), hence bucket 1800 > gap 600
+        ev(1, 1, 0, 1.0), ev(2, 1, 60000, 2.0),
+        ev(3, 1, 760000, 4.0),
+        ev(4, 2, 0, 8.0),
+        ev(5, 3, 1000000, 1.5), ev(6, 3, 1700000, 2.5),
+        ev(99, -1, 86400000L * 365, 0.0) // sentinel: flush every bucket
+      ).toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(dir)
+    }
+    // batch truth: the q49 rule (new session when inter-event gap >
+    // 600 s), sessions bucketed by end − 1 tick over 1800 s tumbling
+    // windows — computed with plain window functions, no streaming
+    def batchTruth(dir: String): Set[(Long, Long, Long, Long, Double, Long)] = {
+      val gapSec = 600L
+      val bucketSec = 1800L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      spark.read.parquet(dir).filter(col("user_id") >= 0)
+        .withColumn("_prev", lag("ts", 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("ts").cast("long") - col("_prev").cast("long") > gapSec, 1)
+          .otherwise(0))
+        .withColumn("_sid", sum("_new").over(w))
+        .groupBy("user_id", "_sid")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("duration_sec"),
+          (max(col("ts")).cast("long") + gapSec).as("_end"))
+        // end is exclusive: bucket of (end − 1µs) = floor over µs
+        .withColumn("bucket_start",
+          floor((col("_end") * 1000000L - 1) / (bucketSec * 1000000L))
+            * bucketSec)
+        .groupBy("user_id", "bucket_start")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+          sum("sum_value").as("sum_value"),
+          max("duration_sec").as("max_duration_sec"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    }
+    def streamed(dir: String): Set[(Long, Long, Long, Long, Double, Long)] =
+      Streams.runToMemory(
+        Streams.sessionStats(
+          spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, " +
+              "event_type string, value double").parquet(dir),
+          gap = "600 seconds", watermark = "0 seconds",
+          bucket = "1800 seconds"),
+        s"session_stats_${System.nanoTime}", "append")
+        .filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0),
+          r.getTimestamp(1).getTime / 1000, r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("sess_stats").toString
+    fixture(dir)
+    val truth = batchTruth(dir)
+    assert(truth.nonEmpty && truth.exists(_._3 == 2L),
+      s"fixture must produce a 2-session bucket, got $truth")
+    assert(streamed(dir) == truth, "heap provider must match batch truth")
+    val prevProvider = Streams.withStateStore(spark, "rocksdb")
+    try assert(streamed(dir) == truth,
+      "RocksDB provider must match batch truth")
+    finally {
+      prevProvider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      if (prevProvider.isEmpty)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     val dir = java.nio.file.Files.createTempDirectory("attr_stream").toString
     val t0 = 1700000000000L

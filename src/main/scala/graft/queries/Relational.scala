@@ -478,7 +478,11 @@ object Relational {
         bucketWidth = 4000.0)
         .groupBy("band_id")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("sum_price"))
+          // Sum128 exact units, not a double sum (the q01/q03
+          // discipline): per-band sums reach ~1e11 at sf10, where the
+          // engines' partial-agg ORDER flips round(,2) at the last ulp
+          // — caught by the r15 sf10 crosscheck gate
+          sumMoney(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("band_id")
     })
   )
@@ -722,7 +726,7 @@ object Relational {
         |         range * 4000.0 + 10000.0 AS hi
         |  FROM range(0, 140))
         |SELECT b.band_id, count(*) AS n_orders,
-        |       round(sum(o.o_totalprice), 2) AS sum_price
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(20,4))),2) AS DOUBLE) AS sum_price
         |FROM bands b JOIN orders o
         |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin

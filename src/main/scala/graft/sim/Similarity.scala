@@ -114,10 +114,17 @@ object Similarity {
     // assignment and probing then agree with the cosine rerank metric.
     // (Clustering raw vectors and probing by cosine mixes two metrics and
     // costs ~20-30 recall points on near-uniform corpora.)
-    val toVec = corpus.select(col(idCol).as("neighbor_id"),
+    // Cache ONLY the raw array; `_na` is derived LAZILY (outside the
+    // cache) so downstream passes read ONE cached array column and
+    // recompute the 2·dim-flop normalize inside their codegen stage.
+    // Caching the normalized copy alongside (`.withColumn before
+    // .cache()`) made every assignment/rerank row deserialize TWO
+    // array columns from the columnar cache — measured +32% on q62
+    // at sf10 (9.9 → 13.1 s) when r15 first did exactly that.
+    val rawVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-      .withColumn("_na", normalized(col("_cv")))
       .cache()
+    val toVec = rawVec.withColumn("_na", normalized(col("_cv")))
     // nClusters = 0 (default) auto-sizes cells (autoCells): ~sqrt(n)
     // small — candidate volume per query is nProbe/nClusters × n, so
     // FIXED cells make probe cost grow linearly per query, quadratic in
@@ -129,8 +136,9 @@ object Similarity {
     // switching to BUDGET-DRIVEN cells past ~1.86M rows so auto-probe
     // candidates stay constant (see autoCells).
     // one agg over the cache: row count (sizes the cells + the fit
-    // sample) and dimension (the two-level split point)
-    val statRow = toVec.agg(count(lit(1)), max(size(col("_na")))).head()
+    // sample) and dimension (the two-level split point) — reads the
+    // cached raw column, not the derived _na
+    val statRow = rawVec.agg(count(lit(1)), max(size(col("_cv")))).head()
     val nCorpus = statRow.getLong(0)
     val dimCorpus = if (statRow.isNullAt(1)) 0 else statRow.getInt(1)
     // UNCAPPED since r15: past FlatCellCap the quantizer goes two-level
@@ -229,7 +237,7 @@ object Similarity {
       // and nothing recomputes.
       .cache()
     res.count()
-    toVec.unpersist(blocking = false)
+    rawVec.unpersist(blocking = false)
     // Bound the RESULT caches too: a serving loop calling ivfTopK per
     // request would otherwise accumulate one pinned (small) frame per
     // call forever. Keep exactly one live result per session — evicting
@@ -347,14 +355,19 @@ object Similarity {
     // spreadNarrow BEFORE the persist: the cached partitioning is what
     // every downstream pass (count, fit sample, n×cells assignment)
     // inherits — a one-split local file layout would serialize them all
-    val toVec = spreadNarrow(
+    // Cache ONLY the raw vector; `_na` is derived LAZILY outside the
+    // cache (one cached array column per row in the assignment/write
+    // pass, normalize recomputed in codegen — the q62 lesson, see
+    // ivfTopK's cache comment).
+    val rawVec = spreadNarrow(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .filter(col("vec").isNotNull && size(col("vec")) > 0))
-      .withColumn("_na", normalized(col("vec").cast("array<double>")))
       .persist()
+    val toVec = rawVec
+      .withColumn("_na", normalized(col("vec").cast("array<double>")))
     // one agg: row count + dimension (the two-level split needs dim
-    // before the fit; max(size) rides the same cached pass)
-    val statRow = toVec.agg(count(lit(1)), max(size(col("_na")))).head()
+    // before the fit; size(vec) reads the cached raw column)
+    val statRow = toVec.agg(count(lit(1)), max(size(col("vec")))).head()
     val nRows = statRow.getLong(0)
     // loud empty check — KMeans.fit on zero rows dies with an opaque
     // MLlib stack; an index over nothing is a caller bug, not a no-op
@@ -418,7 +431,7 @@ object Similarity {
       else measureRecallRanks(
         spark.read.parquet(s"$dir/cells").select("id", "vec", "_cell"),
         quant, curveSamples)
-    toVec.unpersist(blocking = false)
+    rawVec.unpersist(blocking = false)
     // sidecar: flat indexes keep the historical (_cell, centroid)
     // schema verbatim; two-level writes its two sub-codebooks with a
     // `level` marker (1 = first dim-half, 2 = second) — loadQuantizer

@@ -173,7 +173,10 @@ object Par {
     * bounded by its row count, and on a real cluster files past
     * maxPartitionBytes get their splits from the scan, not from us.
     */
-  private[graft] val FanOutMinRows: Long = 16384L
+  private[graft] val FanOutMinRows: Long =
+    // env override is an A/B hook (QueryProbe floor sweeps), not a
+    // production knob: the default IS the calibrated value.
+    sys.env.get("SPARK_GRAFT_FANOUT_MIN_ROWS").map(_.toLong).getOrElse(16384L)
 
   /** Max leaf files before the footer probe declines: a many-file
     * layout already has its splits (fanOut's partition gate won't

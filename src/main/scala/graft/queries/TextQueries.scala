@@ -151,8 +151,12 @@ object TextQueries {
     }),
 
     // Per-document quality scoring (length/word-len/stopword/punct).
+    // minRows 2048: this projection's per-row CPU is regex-heavy
+    // (~200 µs/row — 4 regex passes/row), an order above the winnow-
+    // class scans the default 16384 floor is calibrated for; measured
+    // (QueryProbe min-of-2, sf0.1, r15): 1.10 → 0.70 s fanned out.
     "q32_quality" -> ((s, d) => {
-      graft.ops.Par.fanOut(Tables.documents(s, d)).select(
+      graft.ops.Par.fanOut(Tables.documents(s, d), minRows = 2048).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("token_count"),
         round(TextFunctions.avgWordLen(col("text")), 4).as("avg_word_len"),
@@ -162,8 +166,11 @@ object TextQueries {
     }),
 
     // Language ID by stopword-profile argmax.
+    // minRows 2048: langId = 5 VocabHits passes + a codepoint-class
+    // regex_replace per row (~240 µs/row) — same regex-heavy class as
+    // q32; measured (same probe): 1.10 → 0.59 s fanned out.
     "q33_lang_id" -> ((s, d) => {
-      graft.ops.Par.fanOut(Tables.documents(s, d))
+      graft.ops.Par.fanOut(Tables.documents(s, d), minRows = 2048)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("detected"))
         .orderBy("doc_id")
     }),

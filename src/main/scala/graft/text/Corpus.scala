@@ -242,6 +242,12 @@ object Corpus {
     * 1-row cross join, never a collect.
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // NO fanOut here, unlike tfidfTopTerms: measured at sf1 (QueryProbe
+    // min-of-2 × 3 sessions, r15) the fan-out is a consistent LOSS
+    // (2.4–3.3 s plain vs 3.0–5.3 s fanned) — `toks` feeds both the
+    // freq aggregate and the join back onto itself, and the extra
+    // repartition of raw docs costs more than the scan-stage
+    // parallelism buys a double-consumed explode.
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(textOrEmpty(textCol))).as("_w"))
     val freq = toks.groupBy("_w").agg(count(lit(1)).as("_c"))
@@ -264,7 +270,13 @@ object Corpus {
     */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol),
+    // fanOut: the tokenize+explode+partial-agg otherwise runs on the
+    // scan's split count (ONE task on a single-row-group corpus at any
+    // SF — this operator never shuffled before its first groupBy).
+    // Measured at sf1: ~5.9 → ~4.3 s (QueryProbe min-of-2 × 3
+    // sessions); no-op at sf0.1 (5k rows < the 16384 row floor). The
+    // nDocs count below deliberately rides the bare scan.
+    val toks = graft.ops.Par.fanOut(df).select(col(idCol),
       explode(TextFunctions.tokens(textOrEmpty(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))

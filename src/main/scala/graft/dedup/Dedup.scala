@@ -132,7 +132,8 @@ object Dedup {
       // defeat reuse of planner-inserted ENSURE_REQUIREMENTS exchanges
       // over a pinned input), and the pair-exploding shuffle keeps its
       // parallelism instead of being byte-coalesced to one task.
-      val p = df.sparkSession.sparkContext.defaultParallelism
+      // Rows-derived pin count — see minhashPairs / Par.pinPartitions.
+      val p = Par.pinPartitions(df)
       val idxP = idx.repartition(p, col("s"))
       val cand = idxP.as("a").hint("shuffle_hash")
         .join(idxP.as("b"),
@@ -322,8 +323,12 @@ object Dedup {
     // shingle build the pin already saves.) The explicit repartition
     // pins the join key's partition count — AQE would otherwise coalesce
     // this small-bytes/pair-exploding shuffle to one task — and the pair
-    // groupBy dedups collisions across tables.
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // groupBy dedups collisions across tables. The count is derived from
+    // the corpus row estimate (Par.pinPartitions, r15) — note it binds on
+    // the rerank pin below, not here: EnsureRequirements rewrites any
+    // join-feeding user shuffle's count to the session conf (see
+    // Par.pinPartitions scaladoc).
+    val p = Par.pinPartitions(df)
     val sigsP = sigs.repartition(p, col("t"), col("h"))
     val cand = sigsP.as("a").hint("shuffle_hash")
       .join(sigsP.as("b"),
@@ -384,7 +389,8 @@ object Dedup {
     // so the hamming filter runs BEFORE the dedup groupBy, shrinking that
     // shuffle to true near-dups; grouping then includes hamming, which is
     // functionally dependent on the pair and adds nothing to the key.
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Rows-derived pin count — see minhashPairs / Par.pinPartitions.
+    val p = Par.pinPartitions(df)
     val bandedP = banded.repartition(p, col("band"), col("key"))
     bandedP.as("a").hint("shuffle_hash")
       .join(bandedP.as("b"),

@@ -237,6 +237,64 @@ object Par {
     }
   }
 
+  /** Rows of operator input each task of a pair-exploding self-join pin
+    * should own — the [[pinPartitions]] divisor. Calibrated r15 on the
+    * q38 shape (PinCountProbe, sf0.1, 5k docs, min-of-3 warmed): p=32
+    * (the old `defaultParallelism` constant) burns ~8 executor-CPU-s
+    * where p∈{2,4} burns 3.5–5.5 for identical output — the delta is
+    * pure per-task/per-shuffle-block fixed cost (JFR: LZ4 stream +
+    * buffer churn per DiskBlockObjectWriter.open, one per (map task ×
+    * reduce partition) block). 2048 input rows/task ⇒ sf0.1 corpora pin
+    * 3 partitions, sf1 ~25, sf10+ the full cluster width.
+    */
+  private[graft] val PinRowsPerTask: Long = 2048L
+
+  /** Partition count for the EXPLICIT repartition pins of the pair
+    * operators (minhash signatures + rerank, simhash/SRP bands,
+    * semantic-dedup cells, jaccard prefix index): derived from the
+    * operator INPUT's estimated row count, clamped to
+    * [2, defaultParallelism].
+    *
+    * Those pins exist because AQE would byte-coalesce a small-bytes/
+    * pair-EXPLODING shuffle to one task (each operator documents this);
+    * but pinning the CLUSTER CONSTANT makes every stage over the pin pay
+    * `defaultParallelism` × the per-task fixed cost at any corpus size —
+    * the same "constant tuned for one deployment" failure the r15
+    * rows-based fanOut rework removed from the scan side (guide §2.2:
+    * shuffle blocks grow as tasks × partitions while bytes/block shrink).
+    * Deriving from rows keeps the guard (floor 2 preserves the exploding
+    * shuffle's parallelism signal) and restores full width exactly when
+    * the data can use it. No estimate ⇒ the old constant (errs toward
+    * parallelism, never toward a serialized stage).
+    *
+    * ==Where the count actually binds (measured r15, PinDebug)==
+    * A user repartition whose output feeds a node with a required
+    * distribution (the self-JOINs) is REWRITTEN by EnsureRequirements to
+    * `spark.sql.shuffle.partitions` — the REPARTITION_BY_NUM origin
+    * survives (so AQE still never byte-coalesces it) but the count does
+    * not. The derived count therefore binds on the pins whose consumer
+    * has no distribution requirement at this size — e.g. minhashPairs'
+    * candidate/rerank pin while the rerank joins broadcast — and is a
+    * documented no-op on the self-join exchanges (count = session conf
+    * there, exactly the pre-r15 value). Sizing the session conf itself
+    * is out of scope: it is the driver bench contract (cores), and AQE
+    * coalescing already right-sizes every ENSURE_REQUIREMENTS read.
+    *
+    * Partition COUNT never changes these operators' results: everything
+    * downstream of the pins is per-row arithmetic on exact values or
+    * keyed aggregation over them (no order-sensitive float sums).
+    */
+  private[graft] def pinPartitions(input: DataFrame,
+                                   rowsPerTask: Long = PinRowsPerTask): Int = {
+    val p = input.sparkSession.sparkContext.defaultParallelism
+    estimatedRows(input) match {
+      case Some(n) =>
+        math.max(2, math.min(p.toLong,
+          (n + rowsPerTask - 1) / rowsPerTask).toInt)
+      case None => p
+    }
+  }
+
   /** The shared size decision of [[fanOut]] and Similarity.spreadNarrow:
     * rows when estimable (primary), bytes otherwise (fallback) — see
     * [[FanOutMinRows]] for why rows lead.

@@ -1517,8 +1517,10 @@ object Similarity {
     // dedup shuffle, so the groupBy only ever shuffles surviving pairs —
     // a pair colliding in several bands is scored that many times (≤
     // bands, ~13% extra compute measured) but never shuffled with its
-    // vectors attached.
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // vectors attached. Rows-derived pin count (Par.pinPartitions, r15):
+    // the old defaultParallelism constant charged 32× per-task fixed
+    // cost to kB-scale corpora.
+    val p = graft.ops.Par.pinPartitions(df)
     val bandedP = banded.repartition(p, col("band"), col("key"))
     bandedP.as("a").hint("shuffle_hash")
       .join(bandedP.as("b"),
@@ -1618,7 +1620,8 @@ object Similarity {
           sdModel.clusterCenters.zipWithIndex
             .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq))
       .select(col("id"), col("_v"), col("_cell"))
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Rows-derived pin count — see srpPairs / Par.pinPartitions.
+    val p = graft.ops.Par.pinPartitions(df)
     val cellP = assigned.repartition(p, col("_cell"))
     val pairs = cellP.as("a").hint("shuffle_hash")
       .join(cellP.as("b"),

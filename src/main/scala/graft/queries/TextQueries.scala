@@ -156,12 +156,24 @@ object TextQueries {
     // class scans the default 16384 floor is calibrated for; measured
     // (QueryProbe min-of-2, sf0.1, r15): 1.10 → 0.70 s fanned out.
     "q32_quality" -> ((s, d) => {
-      graft.ops.Par.fanOut(Tables.documents(s, d), minRows = 2048).select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("token_count"),
-        round(TextFunctions.avgWordLen(col("text")), 4).as("avg_word_len"),
-        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+      // tokens + non-space length projected ONCE, metrics derived from
+      // the shared columns (r15: the single-select form embedded 3 split
+      // call sites per row — codegen CSE does not unify them across the
+      // when-guarded metric trees; same values, one tokenize)
+      val nsLen = Some(col("_ns"))
+      graft.ops.Par.fanOut(Tables.documents(s, d), minRows = 2048)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("_toks"),
+          length(regexp_replace(trim(col("text")), "\\s+", "")).as("_ns"))
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCountOf(col("_toks")).as("token_count"),
+          round(TextFunctions.avgWordLenOf(col("text"), col("_toks"), nsLen), 4)
+            .as("avg_word_len"),
+          round(TextFunctions.stopwordRatioOf(col("_toks")), 4)
+            .as("stopword_ratio"),
+          TextFunctions.qualityScoreOf(col("text"), col("_toks"), nsLen)
+            .as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -170,8 +182,13 @@ object TextQueries {
     // regex_replace per row (~240 µs/row) — same regex-heavy class as
     // q32; measured (same probe): 1.10 → 0.59 s fanned out.
     "q33_lang_id" -> ((s, d) => {
+      // shared-token form: the inline langId(text) embedded 10 split
+      // call sites per row (5 VocabHits × guard/branch) — see q32
       graft.ops.Par.fanOut(Tables.documents(s, d), minRows = 2048)
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("detected"))
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          TextFunctions.langIdOf(col("text"), col("_toks")).as("detected"))
         .orderBy("doc_id")
     }),
 

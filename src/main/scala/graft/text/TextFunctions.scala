@@ -18,6 +18,23 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** ==Shared-token (`*Of`) variants==
+    * Every text metric below starts from [[tokens]] — a full regex split
+    * of the document. A projection that derives several metrics from the
+    * same text therefore embeds the split once PER METRIC, and codegen
+    * subexpression elimination does NOT reliably unify them across
+    * `when`-guarded trees (measured r15, CodegenDump: the q32 quality
+    * projection carried 3 split call sites, q33's langId 10 — ~3–10× the
+    * tokenize cost, which dominates these queries' executor CPU). The
+    * `*Of` variants take the token array as a COLUMN so callers can
+    * project it once (`tokens(text).as("_toks")` in a separate select —
+    * CollapseProject never re-inlines a non-cheap expression consumed
+    * more than once) and share one split across all metrics. The
+    * text-only overloads delegate with `tokens(text)`, so their
+    * expression trees — and results — are unchanged.
+    */
+  def tokenCountOf(toks: Column): Column = size(toks)
+
   /** BPE-style pre-tokenizer pieces: GPT-2's pre-tokenization pattern
     * reduced to constructs Java regex and RE2 treat identically —
     * contraction suffixes, letter runs, digit runs, and punctuation runs,
@@ -69,16 +86,32 @@ object TextFunctions {
     // O(tokens × stopwords) string equality per row (see VocabHits)
     graft.functions.VocabHits(tokens(text), stop)
 
-  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
-    val n = tokenCount(text)
-    when(n === 0, 0.0).otherwise(stopwordCount(text, stop) / n.cast("double"))
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column =
+    stopwordRatioOf(tokens(text), stop)
+
+  /** [[stopwordRatio]] over a pre-projected token array (see
+    * [[tokenCountOf]]'s scaladoc for why).
+    */
+  def stopwordRatioOf(toks: Column,
+                      stop: Seq[String] = defaultStopwords): Column = {
+    val n = size(toks)
+    when(n === 0, 0.0)
+      .otherwise(graft.functions.VocabHits(toks, stop) / n.cast("double"))
   }
 
   /** Mean token length = non-space chars / token count. */
-  def avgWordLen(text: Column): Column = {
-    val n = tokenCount(text)
+  def avgWordLen(text: Column): Column = avgWordLenOf(text, tokens(text))
+
+  /** [[avgWordLen]] over a pre-projected token array. The non-space
+    * char count can be shared too (`nsLen`) when another metric in the
+    * same projection needs it (q32's quality score).
+    */
+  def avgWordLenOf(text: Column, toks: Column,
+                   nsLen: Option[Column] = None): Column = {
+    val n = size(toks)
     when(n === 0, 0.0)
-      .otherwise(length(regexp_replace(trim(text), "\\s+", "")) / n.cast("double"))
+      .otherwise(nsLen.getOrElse(
+        length(regexp_replace(trim(text), "\\s+", ""))) / n.cast("double"))
   }
 
   def punctRatio(text: Column): Column =
@@ -91,12 +124,19 @@ object TextFunctions {
     * punctuation density (the shape of the reference-free quality filters
     * used in LLM data pipelines).
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] over a pre-projected token array (and optionally a
+    * pre-projected non-space char count shared with [[avgWordLenOf]]) —
+    * identical arithmetic, one tokenize per row.
+    */
+  def qualityScoreOf(text: Column, toks: Column,
+                     nsLen: Option[Column] = None): Column = {
+    val n = size(toks).cast("double")
     val lenScore = least(n / 20.0, lit(1.0)) * when(n > 1000, 0.5).otherwise(1.0)
-    val awl = avgWordLen(text)
+    val awl = avgWordLenOf(text, toks, nsLen)
     val wordScore = when(awl.between(3.0, 10.0), 1.0).otherwise(0.5)
-    val stopScore = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.7)
+    val stopScore = when(stopwordRatioOf(toks) > 0.01, 1.0).otherwise(0.7)
     val punctScore = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
     round(lenScore * wordScore * stopScore * punctScore, 6)
   }
@@ -140,8 +180,13 @@ object TextFunctions {
     "es" -> Seq("el", "de", "que", "la", "los", "es", "una", "por"),
     "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOf(text, tokens(text))
+
+  /** [[langId]] over a pre-projected token array — the 5 per-language
+    * VocabHits passes then share ONE tokenize (q33 previously embedded
+    * 10 split call sites per row; see [[tokenCountOf]]).
+    */
+  def langIdOf(text: Column, toks: Column): Column = {
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(graft.functions.VocabHits(toks, words).as("hits"),
         lit(lang).as("lang"))

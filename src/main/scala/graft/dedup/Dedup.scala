@@ -726,8 +726,11 @@ object Dedup {
   }
 
   /** Build parameters of a [[writeMinhashIndex]] snapshot:
-    * (rows, n, numHashTables, seed). */
-  private def loadMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+    * (rows, n, numHashTables, seed). `private[graft]`: the
+    * q101_build_index gate reads the stamped meta back so the oracle
+    * can assert the on-disk index carries the closed-form properties
+    * (the q94_build_ivf discipline). */
+  private[graft] def loadMinhashMeta(spark: org.apache.spark.sql.SparkSession,
                               dir: String): (Long, Int, Int, Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_minhash_meta.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

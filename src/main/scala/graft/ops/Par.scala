@@ -327,8 +327,47 @@ object Par {
         plansExchange(df)) df
     else if (!bigEnoughToSpread(df, minBytes, minRows)) df
     else {
-      val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      val width = fanPartitions(df, minRows)
+      if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    }
+  }
+
+  /** Rows-derived fan-out WIDTH (r16): `ceil(rows / minRows)` clamped to
+    * [2, defaultParallelism]; no row estimate keeps the full width.
+    *
+    * The r15 fan always repartitioned to `defaultParallelism`, charging
+    * every fanned stage `cores × per-task fixed cost` however small the
+    * input — the same constant-tuned-for-one-deployment failure the
+    * rows-derived pin counts removed from the pair operators
+    * (guide §2.2: shuffle blocks grow as map tasks × reduce partitions
+    * while bytes per block shrink; plus ~0.2 s/task of measured stage
+    * overhead on 32-slot local sessions). Measured r16 (CpuProbe,
+    * sf0.1, 32 cores, min-of-2 after priming):
+    *   - q15 (100k events):  width 32 → 7: cpu 3.8 → 1.1 s, wall flat;
+    *   - q32 (5k docs):      width 32 → 3: cpu 7.3 → 0.5 s, wall
+    *     0.85 → 0.54 s;
+    *   - q33 (5k docs):      width 32 → 3: cpu ~5.5 → ~1.1 s.
+    * Width swept {2,3,4,7,8,16,32}: cpu rises ~linearly with width
+    * while wall is flat-to-worse past ~8 — narrow is strictly better
+    * until tasks own less than ~the floor's rows.
+    *
+    * The site's `minRows` floor doubles as the per-task grain: the floor
+    * IS the caller's calibrated "this many rows ≈ exchange break-even ≈
+    * a fraction of a second of work" signal (q32/q33 declare 2048 for
+    * regex-heavy rows, the winnow family keeps 16384), so one task owns
+    * at least a floor's worth of rows and width grows linearly with the
+    * corpus until the cluster width caps it — sf10+ plans keep the full
+    * fan exactly as before. `SPARK_GRAFT_FAN_GRAIN_DIV` is an A/B hook
+    * (divides the grain, widening the fan) for probe sweeps only.
+    */
+  private[graft] def fanPartitions(df: DataFrame, minRows: Long): Int = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val grain = math.max(1L, minRows /
+      sys.env.get("SPARK_GRAFT_FAN_GRAIN_DIV").map(_.toLong).getOrElse(1L))
+    estimatedRows(df) match {
+      case Some(n) =>
+        math.max(2, math.min(p.toLong, (n + grain - 1) / grain).toInt)
+      case None => p
     }
   }
 

@@ -485,6 +485,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // MinHash index BUILD, split from q101's serving so the snapshot
+    // indexing cost is visible per SF (the q94_build_ivf discipline —
+    // r15 verdict item 2: q101's index build only ever ran in the
+    // DISCARDED priming iteration, so a cost that scales with the
+    // snapshot corpus was invisible to the bench). Always a full
+    // rebuild (honest build cost per run), then gated against the meta
+    // the build STAMPED on disk: rows is closed-form (snapshot docs
+    // whose text yields >= 1 word 3-gram, i.e. >= 3 whitespace
+    // tokens), so DuckDB derives the same pair independently — the
+    // gate asserts an index with exactly those properties was written.
+    // Runs BEFORE q101_incremental_neardup in bench/verify name order,
+    // so that query stays serve-only (its q101Built.add is a no-op).
+    "q101_build_index" -> ((s, d) => {
+      val dir = q101IndexDir(d)
+      q94RegisterCleanup(dir)
+      val snap = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "text")
+      Dedup.writeMinhashIndex(snap, "text", "doc_id", dir)
+      q101Built.add(dir)
+      val (rows, _, numTables, _) = Dedup.loadMinhashMeta(s, dir)
+      import s.implicits._
+      Seq((rows, numTables)).toDF("n_docs", "n_tables")
+    }),
+
     // Deterministic source-weighted mix sampling: 60/30/10 % rates by
     // source index residue, systematic on doc_id.
     "q75_mix_sample" -> ((s, d) => {
@@ -505,15 +530,39 @@ object TextQueries {
     // stage is an operator oracled on its own (q73/q35/q74); this query
     // oracles the COMPOSITION.
     "q79_curation_pipeline" -> ((s, d) => {
+      // Single-pass composition (r16; the r15 shape evaluated the
+      // docs ⋈ gopher-pass frame in TWO divergent consumers — the
+      // fingerprint-keep aggregate and the final dedup join — so the
+      // whole gopherRules scan+join ran twice, and the full text column
+      // rode both doc_id joins). Now: ONE gopherRules pass produces the
+      // pass set; ONE narrow projection computes everything downstream
+      // actually needs (doc_id, source, prefix fingerprint, token
+      // count) — the text column never leaves a scan stage (guide §8:
+      // decide with small rows); the fingerprint dedup is a window-min
+      // over the narrow frame (same survivor set as groupBy(fp).min +
+      // join-back, one exchange instead of agg+join); the token budget
+      // is tokenBudget's own cumsum inlined over the already-narrow
+      // rows. Bit-identical output: same pass rules, same fingerprint,
+      // same ROWS-frame cumsum, same aggregates (oracle unchanged).
       val docs = Tables.documents(s, d)
       val pass = Corpus.gopherRules(docs, "text", "doc_id")
         .filter(col("pass")).select("doc_id")
-      val clean = docs.join(pass, "doc_id")
-      val keep = clean
-        .groupBy(TextFunctions.prefixFingerprint(col("text"), 5).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val deduped = clean.join(keep, "doc_id")
-      Corpus.tokenBudget(deduped, "text", "doc_id", "source", budget = 600L)
+      val meta = graft.ops.Par.fanOut(docs)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(coalesce(col("text"), lit(""))).as("_tk"))
+        .select(col("doc_id"), col("source"),
+          md5(lower(concat_ws(" ", slice(col("_tk"), 1, 5)))).as("_fp"),
+          size(col("_tk")).cast("long").as("n_tokens"))
+      val kept = meta.join(pass, "doc_id")
+      val wFp = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      kept.withColumn("_keep", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") === col("_keep"))
+        .withColumn("cum_tokens", sum("n_tokens").over(wSrc))
+        .filter(col("cum_tokens") <= 600)
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           max("cum_tokens").as("n_tokens"))
@@ -1685,6 +1734,17 @@ object TextQueries {
       // the same premise as q38: LSH recall is measured-100% on this
       // corpus's qualifying pairs, and the planted re-crawls' recall is
       // structural (identical shingle sets collide in every table).
+      // Closed-form build properties (see q101_build_index): rows =
+      // snapshot docs with >= 1 word 3-gram (>= 3 whitespace tokens of
+      // trimmed text; null/blank texts yield none), tables = the
+      // build-default 8 — derived independently of the engine, asserted
+      // against the meta the build stamped on disk.
+      ("q101_build_index" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(8 AS INT) AS n_tables
+          |FROM documents
+          |WHERE doc_id % 2 = 0
+          |  AND len(string_split_regex(trim(text), '\s+')) >= 3""".stripMargin) +
       ("q101_incremental_neardup" ->
         """WITH snap AS (
           |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

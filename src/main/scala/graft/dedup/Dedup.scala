@@ -178,10 +178,14 @@ object Dedup {
           explode_outer(col("_arr")).as("s"))
         .filter(col("s").isNotNull)
         .select(col("doc"), col("n_sh"), xxhash64(col("s")).as("s"))
-      selfJoinOnShingle(sh)
+      // pair intersection counts materialized under a conf scoped to the
+      // rows-derived width (see Par.pinMaterializedAt): the self-join's
+      // ENSURE_REQUIREMENTS exchanges otherwise run `cores`-wide at any
+      // corpus size; the jaccard arithmetic + threshold stay unpinned
+      Par.pinMaterializedAt("jaccard.pairagg", selfJoinOnShingle(sh)
         .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
           col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-        .agg(count(lit(1)).as("n_inter"))
+        .agg(count(lit(1)).as("n_inter")), Par.pinPartitions(df))
         .withColumn("jaccard",
           round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
         .filter(col("jaccard") >= minJaccard)
@@ -205,9 +209,10 @@ object Dedup {
         .filter(col("_df") > maxShingleDf).select("s")
       val filtered = exploded.join(broadcast(hot), Seq("s"), "left_anti")
       val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-      selfJoinOnShingle(filtered)
+      // scoped-conf pair-agg materialization, as in the no-cap branch
+      Par.pinMaterializedAt("jaccard.pairagg", selfJoinOnShingle(filtered)
         .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-        .agg(count(lit(1)).as("n_inter"))
+        .agg(count(lit(1)).as("n_inter")), Par.pinPartitions(df))
         .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
         .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
         .withColumn("jaccard",
@@ -296,11 +301,20 @@ object Dedup {
     // reuse cannot dedup it — persist it. MEMORY_AND_DISK (the default)
     // spills rather than evicts at corpus scale; this is a deliberate
     // recompute-vs-storage trade, measured ~2x end-to-end.
+    // The pin carries BOTH the string shingles (the signature build's
+    // input) and their sorted 64-bit hash array `_h` (the rerank's
+    // input, r16): the rerank joins consume `_h` TWICE (id_a / id_b
+    // sides) and AQE's per-occurrence cache stages defeat exchange
+    // reuse, so deriving it outside the pin re-ran the full
+    // ShingleHashes pass per side per call (measured sf0.1: 2 × 0.5 s
+    // single-task stages — most of q38's warm wall). Storing it costs
+    // ~8 B/shingle next to the ~20 B/shingle strings already pinned.
     val sh = Par.pinLatest("minhash.shingles",
       Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"),
           TextFunctions.distinctWordNGrams(col("text"), n).as("shingles"))
-        .filter(size(col("shingles")) > 0))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("_h", graft.functions.ShingleHashes(col("shingles"))))
     // Codegen'd signature build (bit-identical to the array_min/transform/
     // xxhash64 composition — see MinHashSig): one bytes-hash per shingle,
     // k long-folds, no interpreted lambdas. posexplode_outer (not plain):
@@ -330,12 +344,21 @@ object Dedup {
     // Par.pinPartitions scaladoc).
     val p = Par.pinPartitions(df)
     val sigsP = sigs.repartition(p, col("t"), col("h"))
-    val cand = sigsP.as("a").hint("shuffle_hash")
-      .join(sigsP.as("b"),
-        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
-      .select("id_a", "id_b")
+    // Candidate join+dedup MATERIALIZED under a conf scoped to p (r16):
+    // EnsureRequirements rewrites the sub-conf repartition count to the
+    // session conf on join inputs (Par.pinPartitions scaladoc), so the
+    // SHJ + pair-agg stages ran `cores` tasks at any corpus size —
+    // measured 3.0 executor-CPU-s at 32 tasks vs 0.13 at 3 for this
+    // exact shape (Par.pinMaterializedAt). At-scale (p >= conf) the
+    // frame passes through lazy and unpinned, exactly the r15 plan.
+    // The rerank below stays unpinned and recomputes per run.
+    val cand = Par.pinMaterializedAt("minhash.cand",
+      sigsP.as("a").hint("shuffle_hash")
+        .join(sigsP.as("b"),
+          col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).agg(lit(1))
+        .select("id_a", "id_b"), p)
     // Rerank: candidates are numerous PRE-filter (LSH collisions among
     // unrelated docs), so (a) pin the rerank's parallelism — its shuffle
     // bytes are small enough that AQE would coalesce the intersect-heavy
@@ -350,8 +373,7 @@ object Dedup {
     // distinct shingles (~|S|²/2⁶⁵); DedupSimSpec pins zero collisions
     // on the oracle corpora and randomized parity with the string-set
     // rerank. n_a/n_b stay exact: ShingleHashes preserves array length.
-    val shH = sh.select(col("id"),
-      graft.functions.ShingleHashes(col("shingles")).as("_h"))
+    val shH = sh.select(col("id"), col("_h")) // rides the pin, no re-hash
     cand.repartition(p, col("id_a"))
       .join(shH.select(col("id").as("id_a"), col("_h").as("_ha")), "id_a")
       .join(shH.select(col("id").as("id_b"), col("_h").as("_hb")), "id_b")
@@ -392,13 +414,17 @@ object Dedup {
     // Rows-derived pin count — see minhashPairs / Par.pinPartitions.
     val p = Par.pinPartitions(df)
     val bandedP = banded.repartition(p, col("band"), col("key"))
-    bandedP.as("a").hint("shuffle_hash")
-      .join(bandedP.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        TextFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // band join + hamming filter materialized under a conf scoped to p
+    // (see minhashPairs' cand / Par.pinMaterializedAt); the cross-band
+    // dedup groupBy stays unpinned and runs per call
+    Par.pinMaterializedAt("simhash.cand",
+      bandedP.as("a").hint("shuffle_hash")
+        .join(bandedP.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          TextFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+        .filter(col("hamming") <= maxHamming), p)
       .groupBy("id_a", "id_b", "hamming").agg(lit(1))
       .select("id_a", "id_b", "hamming")
   }

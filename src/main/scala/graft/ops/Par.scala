@@ -371,6 +371,59 @@ object Par {
     }
   }
 
+  /** Pin `df` and MATERIALIZE it with the session shuffle-partition conf
+    * scoped to `partitions` — the only way a rows-derived width can bind
+    * on exchanges feeding a node with a required distribution (r16,
+    * verdict item 6). Background: EnsureRequirements refuses to let a
+    * user repartition BELOW the session conf dictate a join's width
+    * (HashShuffleSpec's skew guard) and rewrites the exchange to
+    * `spark.sql.shuffle.partitions` in place, while AQE never
+    * byte-coalesces REPARTITION_BY_NUM — so the pair operators'
+    * self-join stages ran `cores` tasks at ANY corpus size. Measured
+    * r16 on the q38 candidate shape (LineageTruncProbe, sf0.1, 32
+    * cores): the 32-task SHJ stage burns 3.0 executor-CPU-s where the
+    * same plan at conf=3 burns 0.13 for identical output.
+    *
+    * Scoped-conf planning needs an EAGER action (a lazily returned
+    * frame plans after the conf is restored), so the pin is
+    * materialized here with count(). Only the SMALL-CORPUS regime is
+    * touched: when `partitions` >= the session conf (the rows-derived
+    * count clamps at defaultParallelism, so this is every at-scale
+    * corpus) the frame returns UNCHANGED — lazy, unpinned, plan
+    * bit-identical to r15. In the touched regime the materialized frame
+    * is bounded by construction (width < cores ⇒ operator input under
+    * ~[[PinRowsPerTask]] rows/core), so the eager pin cannot blow
+    * executor storage. Pinning candidate/verdict-class INTERMEDIATES is
+    * the established steady-state protocol (minhash shingles, substring
+    * verdicts); the per-pair scoring/dedup stages downstream stay
+    * unpinned and recompute per run.
+    */
+  def pinMaterializedAt(key: String, df: DataFrame,
+                        partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(confKey)
+    if (partitions >= prev.toInt) df
+    else {
+      // a live registry pin with the same logical plan was already
+      // materialized under the scoped conf by a previous call (a repeat
+      // bench/serving iteration) — reuse it without paying another
+      // count() job (~0.1–0.3 s of pure job latency per call otherwise)
+      val live = pinned.get((spark, key))
+      if (live != null &&
+          live.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        live
+      else {
+        spark.conf.set(confKey, partitions.toString)
+        try {
+          val p = pinLatest(key, df)
+          p.count() // builds the cache under the scoped width
+          p
+        } finally spark.conf.set(confKey, prev)
+      }
+    }
+  }
+
   /** [[pinLatest]] ONLY when `df`'s upstream is a DERIVED plan (contains
     * a join/aggregate/window/…): a frame consumed by several divergent
     * plans re-executes its whole upstream once per consumer, which is

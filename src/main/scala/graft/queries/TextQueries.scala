@@ -337,6 +337,9 @@ object TextQueries {
           stream, bench, "text", "doc_id", minLen = 50, k = 16)
         graft.streaming.Streams.runToMemory(
           out, s"q87_decon_${System.nanoTime}", "append")
+          // post-stream coalesce — see q65 (memory table scans wide)
+          .coalesce(graft.streaming.Streams.sizedStatePartitions(
+            s, d, "documents.parquet"))
           .select(col("doc_id"),
             col("contaminated").cast("int").as("contaminated"),
             col("n_bench_docs"), col("max_span"))
@@ -659,13 +662,20 @@ object TextQueries {
       // conf applies at stream START and is restored after the (fully
       // synchronous) run, so surrounding batch queries are unaffected.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet").toString)
+      val sp = graft.streaming.Streams.sizedStatePartitions(s, d, "events.parquet")
+      s.conf.set("spark.sql.shuffle.partitions", sp.toString)
       try {
         val stream = graft.streaming.Streams.windowedRollup(
           graft.streaming.Streams.readEventsRaw(s, d, glob = "events.parquet"))
+        // post-stream coalesce (r16): the memory-sink table scans as
+        // defaultParallelism partitions however few rows it holds
+        // (LocalTableScan parallelism), so the final sort's map side ran
+        // `cores` tasks × ~0.2 s/task of fixed stage cost on an
+        // aggregated, driver-local result. Width follows the same
+        // input-bytes sizing as the stream's state partitions.
         graft.streaming.Streams.runToMemory(
           stream, s"q65_rollup_${System.nanoTime}", "complete")
+          .coalesce(sp)
           .select(col("window_start"), col("event_type"), col("n_events"),
             round(col("sum_value"), 2).as("sum_value"))
           .orderBy("window_start", "event_type")
@@ -680,8 +690,11 @@ object TextQueries {
     // event time, identical on live run and replay.
     "q66_stream_sessionize" -> ((s, d) => {
       withQ66Sessions(s, d) { sessions =>
+        // post-stream coalesce — see q65 (memory table scans `cores`-wide)
         val out = graft.streaming.Streams.runToMemory(
-          sessions, s"q66_sessions_${System.nanoTime}", "append")
+            sessions, s"q66_sessions_${System.nanoTime}", "append")
+          .coalesce(graft.streaming.Streams.sizedStatePartitions(
+            s, d, "events.parquet"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("session_start")
         out.filter(col("user_id") >= 0)
@@ -716,8 +729,11 @@ object TextQueries {
         val joined = graft.streaming.Streams.streamIntervalJoin(
           clicks, purchases, "user_id", "_p_user", "c_ts", "p_ts",
           maxGap = "30 minutes", watermark = "1 hour")
+        // post-stream coalesce — see q65 (memory table scans `cores`-wide)
         val out = graft.streaming.Streams.runToMemory(
-          joined, s"q81_attr_${System.nanoTime}", "append")
+            joined, s"q81_attr_${System.nanoTime}", "append")
+          .coalesce(graft.streaming.Streams.sizedStatePartitions(
+            s, d, "events.parquet"))
         out.select(col("user_id"), col("click_id"), col("purchase_id"),
           (col("p_ts").cast("long") - col("c_ts").cast("long")).as("gap_sec"))
           .orderBy("click_id", "purchase_id")

@@ -1522,13 +1522,18 @@ object Similarity {
     // cost to kB-scale corpora.
     val p = graft.ops.Par.pinPartitions(df)
     val bandedP = banded.repartition(p, col("band"), col("key"))
-    bandedP.as("a").hint("shuffle_hash")
-      .join(bandedP.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a._v"), col("b._v")), 6).as("cos"))
-      .filter(col("cos") >= minCosine)
+    // band join + inline cosine + threshold materialized under a conf
+    // scoped to p (see Par.pinMaterializedAt — EnsureRequirements
+    // otherwise rewrites the sub-conf width to `cores` on the join);
+    // the cross-band dedup groupBy stays unpinned and runs per call
+    graft.ops.Par.pinMaterializedAt("srp.cand",
+      bandedP.as("a").hint("shuffle_hash")
+        .join(bandedP.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(cosine(col("a._v"), col("b._v")), 6).as("cos"))
+        .filter(col("cos") >= minCosine), p)
       // duplicates across bands carry an IDENTICAL cos (same codegen'd
       // arithmetic on the same operands) — max() is a dedup, not a choice
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
@@ -1623,13 +1628,17 @@ object Similarity {
     // Rows-derived pin count — see srpPairs / Par.pinPartitions.
     val p = graft.ops.Par.pinPartitions(df)
     val cellP = assigned.repartition(p, col("_cell"))
-    val pairs = cellP.as("a").hint("shuffle_hash")
-      .join(cellP.as("b"),
-        col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a._v"), col("b._v")).as("cos"))
-      .filter(col("cos") >= minCosine)
-      .select("id_a", "id_b")
+    // within-cell join + cosine threshold materialized under a conf
+    // scoped to p (see Par.pinMaterializedAt); survivors/components
+    // below stay unpinned and run per call
+    val pairs = graft.ops.Par.pinMaterializedAt("semdedup.pairs",
+      cellP.as("a").hint("shuffle_hash")
+        .join(cellP.as("b"),
+          col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosine(col("a._v"), col("b._v")).as("cos"))
+        .filter(col("cos") >= minCosine)
+        .select("id_a", "id_b"), p)
     val out = graft.dedup.Dedup.survivors(df, pairs, idCol)
     // components() has materialized the pair graph by now (its label
     // frame is persisted or driver-built); dropping the vector cache

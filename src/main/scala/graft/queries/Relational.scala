@@ -468,7 +468,12 @@ object Relational {
     // the bucketized equi-join (no BroadcastNestedLoopJoin). Bands are
     // half-open [lo, hi).
     "q80_range_join" -> ((s, d) => {
-      val bands = s.range(0, 140).select(
+      // one slice, not leafNodeDefaultParallelism (= cores): 140 dimension
+      // rows otherwise plan `cores` near-empty tasks on the broadcast
+      // BUILD side — pure per-task fixed cost at any deployment size
+      // (the r15 driver bench charged q80 10.5 executor-CPU-s at 32
+      // cores; the rows and result are identical either way)
+      val bands = s.range(0, 140, 1, numPartitions = 1).select(
         col("id").cast("int").as("band_id"),
         (col("id") * 4000.0).as("lo"),
         (col("id") * 4000.0 + 10000.0).as("hi"))

@@ -107,7 +107,7 @@ object TextQueries {
           col("user_id"), col("event_type"), col("value"))
       sentinelDir =
         java.nio.file.Files.createTempDirectory("q66_sentinel").toString
-      s.range(1)
+      s.range(0, 1, 1, numPartitions = 1) // 1 row: don't plan `cores` slices
         .select(lit(-1L).as("event_id"),
           lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),

@@ -281,4 +281,57 @@ class PlansSpec extends AnyFunSuite {
       "caller-persisted scans pass through untouched")
     finally { cached.unpersist(blocking = false); () }
   }
+
+  // ---- r16 fan WIDTH + scoped-conf pin materialization -----------------
+
+  test("fanPartitions derives the fan width from rows/minRows, clamped " +
+       "to [2, defaultParallelism]; no estimate keeps full width") {
+    val p = spark.sparkContext.defaultParallelism
+    val rows30k = spark.range(30000).toDF("id") // range carries rowCount
+    assert(graft.ops.Par.fanPartitions(rows30k, minRows = 16384L) == 2,
+      "30k rows at a 16384 grain = ceil(1.8) = 2")
+    assert(graft.ops.Par.fanPartitions(rows30k, minRows = 2048L) ==
+      math.min(p, 15), "30k rows at a 2048 grain = 15, cluster-clamped")
+    assert(graft.ops.Par.fanPartitions(rows30k, minRows = 1L) == p,
+      "grain 1 clamps at defaultParallelism")
+    assert(graft.ops.Par.fanPartitions(spark.range(1).toDF("id"),
+      minRows = 16384L) == 2, "floor of 2 keeps a parallelism signal")
+  }
+
+  test("pinMaterializedAt binds sub-conf join width and restores the " +
+       "conf; at-scale widths pass through lazy and unpinned") {
+    val confKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(confKey)
+    val df = spark.range(0, 1000, 1, 2).toDF("id")
+      .withColumn("k", pmod(col("id"), lit(7)))
+    val joined = df.as("a").join(df.as("b"), Seq("k"))
+      .groupBy("k").count()
+    // at-scale regime: partitions >= conf -> identical frame, no pin
+    assert(graft.ops.Par.pinMaterializedAt("spec.pmat.pass", joined,
+      before.toInt) eq joined, "width >= conf must pass through")
+    assert(graft.ops.Par.pinMaterializedAt("spec.pmat.pass", joined,
+      before.toInt + 5) eq joined, "width > conf must pass through")
+    // scoped regime: the materialized plan's exchanges carry the scoped
+    // width, the session conf is restored, results are unchanged
+    val pinned = graft.ops.Par.pinMaterializedAt("spec.pmat.pin", joined, 2)
+    try {
+      assert(spark.conf.get(confKey) == before, "conf must be restored")
+      assert(pinned.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE, "scoped frame is pinned")
+      val widths = pinned.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("hashpartitioning"))
+        .flatMap("""hashpartitioning\([^)]*?(\d+)\)""".r
+          .findAllMatchIn(_).map(_.group(1).toInt)).toSeq
+      assert(widths.nonEmpty && widths.forall(_ == 2),
+        s"scoped exchanges must plan at width 2, got $widths")
+      assert(pinned.collect().sortBy(_.getLong(0)).toSeq ==
+        joined.collect().sortBy(_.getLong(0)).toSeq,
+        "scoped materialization must not change results")
+      // warm-path shortcut: a logically identical frame reuses the live
+      // pin without re-materializing
+      val again = graft.ops.Par.pinMaterializedAt("spec.pmat.pin",
+        df.as("a").join(df.as("b"), Seq("k")).groupBy("k").count(), 2)
+      assert(again eq pinned, "same-result re-pin must reuse the live pin")
+    } finally graft.ops.Par.unpin("spec.pmat.pin", pinned)
+  }
 }
